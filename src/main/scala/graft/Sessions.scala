@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build SparkSessions so every entry point (Verify,
+  * Bench, tests) runs with identical semantics.
+  *
+  * - ANSI mode OFF: the reference's cleaning layer is permissive —
+  *   unparseable casts yield null, not errors (columns.py:70-86) —
+  *   and the DuckDB oracle comparisons use TRY_CAST for the same
+  *   behavior. Legacy (non-ANSI) cast matches that contract.
+  * - UTC session timezone: all testdata timestamps are naive UTC.
+  * - shuffle.partitions = cpu count locally; at cluster scale this is
+  *   AQE-coalesced from a higher initial number instead.
+  */
+object Sessions {
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
+      // long (Tables.events converts to a microsecond timestamp,
+      // matching DuckDB's ns->us truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      // the 4.1 checksum checkpoint manager's background writer can
+      // deadlock a local[n] state-store commit; plain checkpoint files
+      // are fine for this engine's streaming surface
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // fork-free checkpoint IO: Hadoop's local FS shells out
+      // (readlink/stat) without libhadoop, which can wedge in
+      // containers — see NioCheckpointFileManager
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+}

@@ -1,0 +1,72 @@
+package graft.clean
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level cleaning kernel.
+  *
+  * Ports the semantics of the reference's column-preparation layer
+  * (cc_catalog_airflow/dags/provider_api_scripts/common/storage/
+  * columns.py:30-118) as codegen-friendly expression chains — no UDFs,
+  * so every step stays inside WholeStageCodegen and distributes
+  * trivially at any scale.
+  */
+object Cleaning {
+
+  /** Reference `Column.__sanitize_string` (columns.py:30-42):
+    * null-safe; `"` -> `'`; backspace chars dropped; `\` -> `\\`;
+    * all whitespace runs collapsed to a single space (the reference
+    * achieves this with split()/join, which also trims the ends).
+    */
+  def sanitizeString(c: Column): Column = {
+    val quoted = regexp_replace(c, "\"", "'")
+    val noBackspace = regexp_replace(quoted, "\\x08", "")
+    // regex replacement strings treat \ specially: four source-level
+    // backslashes emit one literal backslash in the output.
+    val escaped = regexp_replace(noBackspace, "\\\\", "\\\\\\\\")
+    trim(regexp_replace(escaped, "\\s+", " "))
+  }
+
+  /** Reference `Column.__enforce_char_limit` (columns.py:44-57):
+    * over-limit strings truncate to `limit` chars, or null out when
+    * truncation is not allowed (URL columns, columns.py:225-243).
+    */
+  def enforceCharLimit(c: Column, limit: Int, truncate: Boolean): Column =
+    when(length(c) > limit, if (truncate) substring(c, 1, limit) else lit(null))
+      .otherwise(c)
+
+  /** Reference `IntegerColumn.prepare_string` (columns.py:70-86):
+    * best integer approximation of a numeric string — Python
+    * `int(float(v))` truncates toward zero; unparseable input -> null.
+    * Sessions run with ANSI off (graft.Sessions), so the double cast
+    * is permissive (null on unparseable) like the reference.
+    */
+  def intCast(c: Column): Column = {
+    val d = c.cast("double")
+    when(d.isNull || isnan(d), lit(null)).otherwise(d.cast("long").cast("int"))
+  }
+
+  /** Reference `BooleanColumn.prepare_string` (columns.py:99-118):
+    * {'true','True','t','T'} -> "t", {'false','False','f','F'} -> "f",
+    * anything else -> null.
+    */
+  def boolCast(c: Column): Column =
+    when(c.isin("true", "True", "t", "T"), "t")
+      .when(c.isin("false", "False", "f", "F"), "f")
+      .otherwise(lit(null))
+
+  /** Reference `StringColumn.prepare_string` (columns.py:193-206):
+    * sanitize then enforce limit (truncating). */
+  def prepareString(c: Column, limit: Int): Column =
+    enforceCharLimit(sanitizeString(c), limit, truncate = true)
+
+  /** Reference `URLColumn.prepare_string` (columns.py:225-243): URLs
+    * are *never* truncated — over-limit or invalid -> null. The
+    * sanitize-changed-it test means any char the sanitizer would touch
+    * invalidates the URL. */
+  def prepareUrl(c: Column, limit: Int): Column = {
+    val valid = Urls.validateUrlString(c)
+    when(sanitizeString(c) =!= c, lit(null))
+      .otherwise(enforceCharLimit(valid, limit, truncate = false))
+  }
+}

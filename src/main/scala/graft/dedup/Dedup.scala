@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Scale design (the whole point of these operators):
+  *   - exact dedupe is one hash-aggregate on a digest — never on the
+  *     raw text, so shuffle rows carry 32 bytes, not documents;
+  *   - MinHash-LSH shuffles on (band, band-hash) buckets and compares
+  *     ONLY within buckets — an all-pairs cross join never appears in
+  *     any plan, at any scale;
+  *   - SimHash groups by a short code and compares within code
+  *     buckets (optionally multi-probe by flipping bits).
+  */
+object Dedup {
+
+  /** Exact dedupe by content digest: keeps the row with the smallest
+    * `idCol` per normalized-text hash (deterministic, unlike
+    * dropDuplicates). D1/D2-style but content-addressed. */
+  def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
+  /** Word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Jaccard similarity of two string arrays (as distinct sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      size(array_union(da, db)).cast("double")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the document's distinct shingles.
+    * xxhash64(seed-literal, shingle) is Spark-native, codegen'd, and
+    * deterministic across the cluster. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(array_distinct(shingleArr), s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * bands × rowsPerBand hashes; a pair is a candidate iff some band
+    * of the signatures matches exactly. The plan is: per-doc signature
+    * (narrow) → explode to one row per band (×bands) → shuffle on
+    * (band, hash-of-band-slice) → self-join inside buckets only →
+    * distinct pairs → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingles(tokensOf(col(textCol)), shingleN)
+    val sigs = df.select(col(idCol).as("id"), sh.as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sigs.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash over the distinct-token set, built from md5
+    * nibbles so it is reproducible in ANY engine (the oracle recomputes
+    * it in SQL): word hash = first 4 hex digits of md5(word); bit k of
+    * the simhash is 1 iff the sum over words of ±1 (per word-bit k) is
+    * positive. */
+  def simhash16(text: Column): Column = {
+    val words = array_distinct(tokensOf(text))
+    val hexmap = "0123456789abcdef"
+    def nib(h: Column, i: Int): Column =
+      (instr(lit(hexmap), substring(h, i + 1, 1)) - 1).cast("int")
+    val wordHash = transform(words, w => {
+      val h = md5(w)
+      (nib(h, 0) * 4096 + nib(h, 1) * 256 + nib(h, 2) * 16 + nib(h, 3)).cast("int")
+    })
+    val bitCols = (0 until 16).map { k =>
+      val votes = aggregate(wordHash, lit(0),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1 << k)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash codes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the code's high byte (so
+    * comparisons stay within buckets), then keep pairs within
+    * `maxHamming`. For recall across the split boundary, production
+    * runs multi-probe with rotated codes; this keeps one probe. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val coded = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("code"))
+      .withColumn("bucket", shiftright(col("code"), 8))
+    val l = coded.alias("l")
+    val r = coded.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("hamming", hamming(col("l.code"), col("r.code")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+  }
+}

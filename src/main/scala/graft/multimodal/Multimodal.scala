@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with typed metadata, and per-item decode /
+  * feature-extraction runs as a partition-mapped batch operator.
+  *
+  * The actual codec work is STUBBED (this container ships no image or
+  * audio libraries): `decodeStub` derives deterministic fake features
+  * from the payload bytes. Everything Spark-side — the schema, the
+  * Dataset encoders, the mapPartitions batch shape (one decoder
+  * context per partition, NOT per row), and the partitioning contract
+  * — is real and tested, so a real decoder drops in by replacing one
+  * function.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed envelope metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      fmt: String, // png | jpg | wav | ...
+      payload: Array[Byte])
+
+  /** Extracted features (what a real decode would yield). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      fmt: String,
+      byte_len: Int,
+      width: Int, // stub: derived from payload bytes
+      height: Int,
+      checksum: String)
+
+  /** Attach payloads from a string column (testdata has no binary
+    * table; text bytes stand in for media bytes). */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      element_at(array(lit("png"), lit("jpg"), lit("webp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+      col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** The decode stub: deterministic pseudo-features from the bytes.
+    * A real implementation opens one decoder context per PARTITION
+    * (the expensive part) and streams rows through it — which is why
+    * this is mapPartitions and not a per-row UDF. */
+  def decodeStub(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // one "decoder" per partition — a real codec would init here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val digest = md.digest(r.payload)
+        val hex = digest.map("%02x".format(_)).mkString
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          fmt = r.fmt,
+          byte_len = r.payload.length,
+          width = 64 + (digest(0) & 0x0f),
+          height = 64 + ((digest(0) >> 4) & 0x0f),
+          checksum = hex)
+      }
+    }
+  }
+
+  /** Frame-sample stub for video-kind rows: emit every `stride`-th
+    * byte offset as a "frame" — demonstrates the 1->N flatMap shape a
+    * real frame sampler uses. */
+  def frameSampleStub(rows: Dataset[MediaRow], stride: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      (0 until r.payload.length by stride).map(off =>
+        (r.media_id, off, r.payload(off).toInt & 0xff))
+    }.toDF("media_id", "frame_offset", "frame_byte")
+  }
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextStats
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), text
+  * analysis, ANN similarity search, and multimodal column plumbing.
+  *
+  * Oracle strategy: exact/deterministic variants get full DuckDB
+  * oracles; the LSH scale paths are rows-only here and are instead
+  * verified against their exact counterparts in ScalaTest (the LSH
+  * result must contain the exact top match — VERDICT r1 contract).
+  * Pair queries are bounded to fixed doc_id subsets so their cost is
+  * constant in scale factor by design, while the LSH variants run on
+  * the full table at any sf.
+  */
+object LlmPack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-aggregate on a content digest (never on raw
+    // text), keeper = min doc_id per group.
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dups"))
+        .orderBy(col("keeper"))
+    }),
+
+    // Text analysis: token counts, BPE-ish count, stopword ratio,
+    // mean token length, language-ID heuristic, fingerprint.
+    "q_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.tokenCount(t).as("n_tokens"),
+          TextStats.bpeishTokenCount(t).as("n_bpeish"),
+          TextStats.stopwordRatio(t).as("stop_ratio"),
+          TextStats.meanTokenLen(t).as("mean_tok_len"),
+          TextStats.langId(t).as("lang_guess"),
+          TextStats.fingerprint(t).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 16-bit SimHash per document (md5-nibble construction — engine
+    // and oracle recompute it independently).
+    "q_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("code"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram (bigram-shingle) Jaccard near-dup pairs on a FIXED
+    // doc_id<60 subset — constant work at any scale factor; the
+    // unbounded path is q_minhash_pairs.
+    "q_jaccard_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          Dedup.shingles(split(trim(col("text")), "\\s+"), 2).as("sh"))
+      val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, col("id_a") < col("id_b"))
+        .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jacc") >= 0.05)
+        .select(col("id_a"), col("id_b"), col("jacc"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash-LSH near-dup candidates over the FULL table — banded
+    // bucket join, no all-pairs plan. Rows-only check (verified vs
+    // exact Jaccard in ScalaTest).
+    "q_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs, bucketed by code prefix. Rows-only.
+    "q_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-3 neighbors (the ANN oracle): queries =
+    // vec_id<10 broadcast against all base vectors vec_id>=10.
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(queries, base, 3)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN over the same queries — the scale path
+    // (equi-join on (table, bucket)). Rows-only; ScalaTest asserts it
+    // contains the exact top-1 per query.
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annTopK(queries, base, dim = 64, k = 3,
+          nBits = 4, nTables = 8)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata,
+    // deterministic fake "decode" (real decode is a stubbed
+    // mapPartitions in graft.multimodal — image libs aren't in this
+    // container).
+    "q_multimodal_meta" -> ((s, d) => {
+      val payload = col("text").cast("binary")
+      val h = md5(payload)
+      def nib(i: Int) = (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(payload).as("byte_len"),
+          (lit(64) + nib(0)).cast("int").as("fake_w"),
+          (lit(64) + nib(1)).cast("int").as("fake_h"),
+          element_at(array(lit("png"), lit("jpg"), lit("webp")),
+            (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+          h.as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> list_contains(
+        |    ['the','a','an','of','and','to','in','is','it','that'], w))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> length(w))) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
+        |  CASE WHEN greatest(
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ein','nicht','ist','zu'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','a','in','is','that'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','que','en','los','un'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['le','la','de','et','les','des','un','une'], w)))) = 0
+        |    THEN 'und'
+        |    WHEN len(list_filter(string_split(text,' '), w -> list_contains(['le','la','de','et','les','des','un','une'], w))) = greatest(
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ein','nicht','ist','zu'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','a','in','is','that'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','que','en','los','un'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['le','la','de','et','les','des','un','une'], w)))) THEN 'fr'
+        |    WHEN len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','que','en','los','un'], w))) = greatest(
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ein','nicht','ist','zu'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','a','in','is','that'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','que','en','los','un'], w)))) THEN 'es'
+        |    WHEN len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','a','in','is','that'], w))) = greatest(
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['der','die','und','das','ein','nicht','ist','zu'], w))),
+        |      len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','a','in','is','that'], w)))) THEN 'en'
+        |    ELSE 'de' END AS lang_guess,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(word),1,1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(md5(word),2,1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(md5(word),3,1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(word),4,1)) - 1) AS wh
+        |  FROM w),
+        |b AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN (wh >> k) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS k) bits
+        |  GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN votes > 0 THEN 1 << k ELSE 0 END) AS INTEGER) AS code
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+        |    END) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE doc_id < 60))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, length(text) AS byte_len,
+        |  CAST(64 + strpos('0123456789abcdef', substr(md5(text),1,1)) - 1 AS INTEGER) AS fake_w,
+        |  CAST(64 + strpos('0123456789abcdef', substr(md5(text),2,1)) - 1 AS INTEGER) AS fake_h,
+        |  ['png','jpg','webp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -15,5 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
+
+  /** DuckDB oracle SQL per query name; omit names whose results are
+    * not SQL-expressible (they get a rows-only check + ScalaTest). */
   def oracles: Map[String, String]
 }

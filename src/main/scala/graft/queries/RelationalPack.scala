@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2 relational core, expressed over the driver's TPC-H-ish
+  * testdata with DuckDB oracles.
+  *
+  * Determinism rules (QueryPack scaladoc): total ORDER BY on a unique
+  * key; double sums routed through DECIMAL(18,2) then cast back to
+  * double so partial-agg order can't change low bits; aliases match
+  * the oracle exactly.
+  */
+object RelationalPack extends QueryPack {
+
+  /** Decimal-routed deterministic sum of a double column. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/O1/D4: the reference's flagship summary query
+    // (tests/test_ExtractCCLinks.py:236): counts + distinct counts per
+    // group, top-k by total. Hash aggregate + TakeOrderedAndProject.
+    "q_a2_top_domains" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("l_partkey")).as("parts"),
+          countDistinct(col("l_orderkey")).as("orders_d"))
+        .orderBy(desc("total"), asc("l_suppkey"))
+        .limit(100)
+    }),
+
+    // A10-style global aggregation with decimal-routed money sums.
+    "q_q1_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          // exact integer-cents math: price and discount are 2-decimal
+          // values, so price*(1-disc) sits ON .005 rounding boundaries
+          // where engines' double->decimal rounding modes disagree;
+          // cents*(100-disc_cents) is exact in int64 in any engine.
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .cast("double") / 10000.0).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // W1/D3: row_number dedupe — newest order per customer
+    // (mirror of util/loader/sql.py:171-182's last-wins dedupe).
+    "q_w1_newest_order" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("newest_orderkey"),
+          col("o_orderdate").as("newest_orderdate"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A5/W2: exact discrete percentile per group
+    // (util/popularity/sql.py:146-167).
+    "q_a5_percentile" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), col("value").as("__m"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile_disc(0.85) WITHIN GROUP (ORDER BY __m)").as("p85"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A6: newest-non-null collapse per key (migration replay,
+    // openledger_sql/02_migrate_to_new_image.sql) — 'error' events
+    // stand in for null-valued rows.
+    "q_a6_last_non_null" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+      val nn = ev.filter(col("event_type") =!= "error")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("ts")).as("latest_value"))
+      users.join(nn, Seq("user_id"), "left_outer").orderBy(col("user_id"))
+    }),
+
+    // J3/J8/A3: two broadcast equi-joins up a dim hierarchy + rollup.
+    "q_j3_region_rollup" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("members"), dsum("c_acctbal").as("acctbal_sum"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J4: containment theta join (jsonb `?` analog,
+    // util/loader/sql.py:513-527) — BroadcastNestedLoopJoin on an
+    // array_contains predicate against a tiny dim.
+    "q_j4_containment" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq("blue", "green", "hot", "red", "small").toDF("w")
+      Tables.part(s, d)
+        .join(broadcast(dim),
+          array_contains(split(col("p_name"), " "), col("w")))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("parts_n"), dsum("p_retailprice").as("retail_sum"))
+        .orderBy(col("w"))
+    }),
+
+    // U2: set difference, both directions
+    // (util/loader/smithsonian_unit_codes.py:57-76).
+    "q_u2_set_diff" -> ((s, d) => {
+      val ordered = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      ordered.except(building).withColumn("dir", lit("ordered_not_building"))
+        .union(building.except(ordered).withColumn("dir", lit("building_not_ordered")))
+        .orderBy(col("dir"), col("custkey"))
+    }),
+
+    // U3: bag UNION ALL then aggregate (TSV append semantics,
+    // Provider.py:317).
+    "q_u3_union_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F")
+        .unionAll(o.filter(col("o_totalprice") > 100000.0))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // P10: per-provider staleness expiration (util/loader/
+    // sql.py:636-645) with a fixed "now" for determinism.
+    "q_p10_expiration" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val now = lit("2024-04-01 00:00:00").cast("timestamp")
+      graft.maintain.Maintenance.expired(
+        Tables.events(s, d), "event_type", "ts",
+        Map("click" -> 30, "view" -> 45, "error" -> 10,
+          "purchase" -> 60, "signup" -> 90), now)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("expired_n"), max(col("ts")).as("newest_expired"))
+        .orderBy(col("event_type"))
+    }),
+
+    // D5/D6/U1: tag-set dedupe + sort + cap 20
+    // (Provider.py:107-116, flickr.py:367-381).
+    "q_d5_tag_norm" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(",",
+            slice(array_sort(array_distinct(split(col("text"), " "))), 1, 20))
+            .as("tags"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // O2: global sort desc + take(3) (tests/test_deeds.py:125-128).
+    "q_o2_top3" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(desc("s_acctbal"), asc("s_suppkey"))
+        .limit(3)
+    }),
+
+    // P11 + md5: hex-prefix range slice of a table
+    // (util/pg_cleaner.py:172-194).
+    "q_p11_md5_slice" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("h", md5(col("text")))
+        .filter(col("h") >= "0" && col("h") < "40")
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // O4: oldest-first pick via min_by (util/loader/paths.py:74-100).
+    "q_o4_oldest_order" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min_by(col("o_orderkey"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("oldest_orderkey"),
+          min(col("o_orderdate")).as("oldest_date"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A9 + §2.9 json `->>`: per-user page-merge-style collect —
+    // distinct event types (sorted canonical) and the sum of the
+    // JSON-extracted props.k metric (wikimedia_commons.py:214-222's
+    // globalusage accumulation + popularity's ->> reads).
+    "q_a9_json_collect" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("types"),
+          sum(col("k")).as("k_sum"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Date/time: 30-minute tumbling windows (flickr.py:95-122's
+    // half-hour windowing) as epoch buckets.
+    "q_windows_30min" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy((floor(unix_timestamp(col("ts")) / 1800) * 1800)
+          .cast("long").as("wstart"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("val_sum"))
+        .orderBy(col("wstart"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_a2_top_domains" ->
+      """SELECT l_suppkey, count(*) AS total, count(DISTINCT l_partkey) AS parts,
+        |  count(DISTINCT l_orderkey) AS orders_d
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY total DESC, l_suppkey LIMIT 100""".stripMargin,
+    "q_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_w1_newest_order" ->
+      """SELECT o_custkey, o_orderkey AS newest_orderkey, o_orderdate AS newest_orderdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_a5_percentile" ->
+      """SELECT event_type, quantile_disc(value, 0.85) AS p85
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_a6_last_non_null" ->
+      """SELECT u.user_id, nn.latest_value
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN (SELECT user_id, arg_max(value, ts) AS latest_value
+        |           FROM events WHERE event_type <> 'error' GROUP BY user_id) nn
+        |USING (user_id) ORDER BY u.user_id""".stripMargin,
+    "q_j3_region_rollup" ->
+      """SELECT r_name, count(*) AS members,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_j4_containment" ->
+      """SELECT w, count(*) AS parts_n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_sum
+        |FROM part, (SELECT unnest(['blue','green','hot','red','small']) AS w) dim
+        |WHERE list_contains(string_split(p_name, ' '), w)
+        |GROUP BY w ORDER BY w""".stripMargin,
+    "q_u2_set_diff" ->
+      """SELECT custkey, 'ordered_not_building' AS dir FROM
+        |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |   EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT custkey, 'building_not_ordered' AS dir FROM
+        |  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY dir, custkey""".stripMargin,
+    "q_u3_union_all" ->
+      """WITH u AS (
+        |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_totalprice > 100000.0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_p10_expiration" ->
+      """SELECT event_type, count(*) AS expired_n, max(ts) AS newest_expired
+        |FROM events e JOIN (VALUES ('click',30),('view',45),('error',10),
+        |  ('purchase',60),('signup',90)) d(et, days) ON e.event_type = d.et
+        |WHERE e.ts < TIMESTAMP '2024-04-01 00:00:00' - to_days(days)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_d5_tag_norm" ->
+      """SELECT doc_id, array_to_string(
+        |  list_sort(list_distinct(string_split(text, ' ')))[1:20], ',') AS tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_o2_top3" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 3""".stripMargin,
+    "q_p11_md5_slice" ->
+      """SELECT doc_id, md5(text) AS h FROM documents
+        |WHERE md5(text) >= '0' AND md5(text) < '40' ORDER BY doc_id""".stripMargin,
+    "q_o4_oldest_order" ->
+      """SELECT o_custkey, o_orderkey AS oldest_orderkey, oldest_date FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    min(o_orderdate) OVER (PARTITION BY o_custkey) AS oldest_date,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_a9_json_collect" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_windows_30min" ->
+      """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wstart,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
+  )
+}

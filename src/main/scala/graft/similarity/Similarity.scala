@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — correct for any data, used as
+  * the oracle. Scale path: random-hyperplane LSH bucketing so the
+  * candidate join is equi on (table, bucket) instead of a cross join;
+  * recall is tuned with more tables, not wider scans. At 100 TB the
+  * brute-force path is only ever used with a broadcast-small query
+  * side (BroadcastNestedLoopJoin, no shuffle of the base table).
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays, computed in double with a
+    * fixed left-to-right fold — bit-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k neighbors for each query vector.
+    *
+    * `queries` must be small (it is broadcast); `base` can be any
+    * size: the plan is broadcast-nested-loop + per-query window top-k,
+    * i.e. one pass over base with no base-side shuffle of vectors —
+    * only (qid, id, score) tuples shuffle for the window.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      k: Int): DataFrame = {
+    val scored = base.crossJoin(broadcast(queries))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` hyperplanes per table,
+    * `nTables` tables, components from a fixed-seed RNG generated on
+    * the driver and inlined as literals (broadcast with the plan). */
+  def hyperplanes(dim: Int, nBits: Int, nTables: Int, seed: Long = 42L)
+      : Seq[Seq[Array[Double]]] = {
+    val rng = new Random(seed)
+    Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Sign-bucket code of a vector for one table's hyperplanes. */
+  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, k) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via multi-table sign-LSH with multi-probe: candidates
+    * are base vectors sharing a (table, bucket) with the query's code
+    * OR any 1-bit flip of it (probing trades a few more equi-join
+    * rows for recall without widening buckets). Exact cosine re-rank
+    * inside the candidate set. The join is equi on (table, code) —
+    * hash-partitionable, never all-pairs.
+    */
+  def annTopK(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      dim: Int,
+      k: Int,
+      nBits: Int = 8,
+      nTables: Int = 4,
+      multiProbe: Boolean = true,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nBits, nTables, seed)
+    def coded(df: DataFrame, vecCol: String, idCols: Seq[String],
+        probe: Boolean): DataFrame = {
+      val tableCodes = planes.zipWithIndex.flatMap { case (tp, t) =>
+        val code = lshCode(col(vecCol), tp)
+        val probes =
+          if (probe) (0 until nBits).map(b => code.bitwiseXOR(lit(1L << b)))
+          else Nil
+        (code +: probes).map(c => struct(lit(t).as("tbl"), c.as("code")))
+      }
+      df.select(idCols.map(col) :+
+        explode(array(tableCodes: _*)).as("bk"): _*)
+        .select(idCols.map(col) :+ col("bk.tbl") :+ col("bk.code"): _*)
+    }
+    val qCoded = coded(queries, "qvec", Seq("qid", "qvec"), multiProbe)
+    val bCoded = coded(base, "vec", Seq("id", "vec"), probe = false)
+    val cand = bCoded.join(broadcast(qCoded), Seq("tbl", "code"))
+      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .dropDuplicates("qid", "id")
+    val scored = cand.withColumn("score", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+}

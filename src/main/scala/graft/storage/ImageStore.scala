@@ -1,0 +1,98 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.clean.Cleaning
+
+/** The 17-column image interchange relation and its preparation
+  * pipeline — the reference's buffered `ImageStore`
+  * (common/storage/image.py) re-expressed set-oriented: one projection
+  * cleans, enriches, and filters every row; the TSV boundary is
+  * graft.io.Tsv. Row buffering disappears under Spark's vectorized
+  * writers (SURVEY §2.1 S7).
+  */
+object ImageStore {
+
+  /** _IMAGE_TSV_COLUMNS (image.py:12-67): order is load-bearing for
+    * the TSV boundary. */
+  val schema: StructType = StructType.fromDDL(
+    """foreign_identifier STRING, foreign_landing_url STRING,
+      |image_url STRING, thumbnail_url STRING,
+      |width INT, height INT, filesize INT,
+      |license_ STRING, license_version STRING,
+      |creator STRING, creator_url STRING, title STRING,
+      |meta_data MAP<STRING,STRING>, tags ARRAY<STRUCT<name: STRING, provider: STRING>>,
+      |watermarked STRING, provider STRING, source STRING""".stripMargin
+      .replace("\n", " "))
+
+  /** image.py:76-81 TAG_BLACKLIST — exact-match bans. */
+  val tagBlacklist: Set[String] = Set("no person", "squareformat")
+
+  /** image.py:84-96 TAG_CONTAINS_BLACKLIST — substring bans. */
+  val tagContainsBlacklist: Seq[String] = Seq(
+    "flickriosapp", "uploaded", ":", "=", "cc0", "by", "by-nc", "by-nd",
+    "by-sa", "by-nc-nd", "by-nc-sa", "pdm")
+
+  /** P8 (image.py:356-369): a raw tag is dropped when exact-banned or
+    * containing a banned substring. Pure Column predicate. */
+  def tagBlacklisted(tag: Column): Column = {
+    val exact = tag.isin(tagBlacklist.toSeq: _*)
+    val contains = tagContainsBlacklist
+      .map(b => tag.contains(b))
+      .reduce(_ || _)
+    exact || contains
+  }
+
+  /** §2.9 tag enrichment (image.py:386-402): raw tag strings become
+    * {name, provider} structs after blacklist filtering; null tag
+    * arrays stay null. */
+  def enrichTags(rawTags: Column, provider: String): Column =
+    when(rawTags.isNull, lit(null))
+      .otherwise(transform(
+        filter(rawTags, t => !tagBlacklisted(t)),
+        t => struct(t.as("name"), lit(provider).as("provider"))))
+
+  /** §2.9 meta_data enrichment (image.py:371-384): inject license_url
+    * and raw_license_url keys (argument wins over existing map; null
+    * map becomes a fresh two-key map). */
+  def enrichMetaData(meta: Column, licenseUrl: Column, rawLicenseUrl: Column): Column = {
+    val injected = map(lit("license_url"), licenseUrl,
+      lit("raw_license_url"), rawLicenseUrl)
+    when(meta.isNull, injected)
+      .otherwise(map_zip_with(meta, injected, (_, o, n) => coalesce(n, o)))
+  }
+
+  /** The per-row preparation pipeline (image.py:240-320 add_item):
+    * string/URL/int/bool column prep via the Cleaning kernel with the
+    * reference's per-column sizes, then the required-field row drop
+    * (P7: foreign_landing_url, image_url, license_, license_version).
+    */
+  def prepare(df: DataFrame, provider: String): DataFrame = {
+    df.select(
+      Cleaning.enforceCharLimit(Cleaning.sanitizeString(col("foreign_identifier")),
+        3000, truncate = false).as("foreign_identifier"),
+      Cleaning.prepareUrl(col("foreign_landing_url"), 1000).as("foreign_landing_url"),
+      Cleaning.prepareUrl(col("image_url"), 3000).as("image_url"),
+      Cleaning.prepareUrl(col("thumbnail_url"), 3000).as("thumbnail_url"),
+      Cleaning.intCast(col("width")).as("width"),
+      Cleaning.intCast(col("height")).as("height"),
+      Cleaning.intCast(col("filesize")).as("filesize"),
+      Cleaning.enforceCharLimit(Cleaning.sanitizeString(col("license_")),
+        50, truncate = false).as("license_"),
+      Cleaning.enforceCharLimit(Cleaning.sanitizeString(col("license_version")),
+        25, truncate = false).as("license_version"),
+      Cleaning.prepareString(col("creator"), 2000).as("creator"),
+      Cleaning.prepareUrl(col("creator_url"), 2000).as("creator_url"),
+      Cleaning.prepareString(col("title"), 5000).as("title"),
+      enrichMetaData(col("meta_data"), col("license_url"), col("raw_license_url"))
+        .as("meta_data"),
+      enrichTags(col("tags"), provider).as("tags"),
+      Cleaning.boolCast(col("watermarked")).as("watermarked"),
+      lit(provider).as("provider"),
+      coalesce(col("source"), lit(provider)).as("source"))
+      .na.drop(Seq("foreign_landing_url", "image_url", "license_",
+        "license_version"))
+  }
+}

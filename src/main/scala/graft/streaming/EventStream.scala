@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming engine — its incremental semantics
+  * are micro-batched windows + idempotent upserts (SURVEY §2.10). We
+  * still expose the two streaming shapes a training-data pipeline
+  * needs: watermarked tumbling-window aggregation (the reference's
+  * half-hour ingestion windows, flickr.py:95-122, as true event-time
+  * windows) and stateful streaming dedupe (the D-family as a stream).
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling 30-minute event-time windows with a late-data
+    * watermark; emits (window_start, event_type, n, val_sum). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("val_sum"))
+
+  /** Stateful exact dedupe on a key column: first occurrence passes,
+    * repeats are dropped — flatMapGroupsWithState with a per-key seen
+    * bit. At production scale the state is bounded with a timeout
+    * (GroupStateTimeout.ProcessingTimeTimeout + setTimeoutDuration);
+    * here NoTimeout keeps micro-batches purely data-driven, since
+    * timeout evaluation spins empty batches on an always-available
+    * local trigger. */
+  def streamingDedupe(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id)
+      .flatMapGroupsWithState[Boolean, Event](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for training-data pipelines: token counting,
+  * quality heuristics, language-ID scoring, and document
+  * fingerprinting. Pure Column expression chains — everything stays in
+  * WholeStageCodegen and scales embarrassingly (per-row, no shuffle).
+  */
+object TextStats {
+
+  /** Whitespace tokens (collapsed runs, trimmed ends). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count letter runs, digits, and isolated
+    * punctuation separately — a cheap, deterministic stand-in for a
+    * real tokenizer's piece count. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stop.map(lit(_).cast("string")): _*)))
+    hits.cast("double") / size(toks).cast("double")
+  }
+
+  /** Fraction of non-space chars that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(regexp_count(text, lit("\\S")).cast("double"), lit(1.0))
+
+  /** Mean token length — short-token soup and URL-glue both move it. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs and
+    * moderate stopword presence, penalizes symbol soup. Deterministic
+    * arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(2.0), lit(1.0))
+    (lenScore * lit(0.5) + stopScore * lit(0.3) +
+      (lit(1.0) - punctPenalty) * lit(0.2))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive content identity (the "fingerprint dedupe" of
+    * data-cleaning pipelines). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: language ID at pipeline scale is a
+    * scoring pass, not a model. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht", "ist", "zu"),
+  )
+
+  /** Stopword-hit count for one language's list. */
+  def langHits(text: Column, lang: String): Column = {
+    val words = langStopwords(lang)
+    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
+  }
+
+  /** Predicted language: argmax of per-language hit counts, ties
+    * broken by fixed language order; all-zero -> "und". */
+  def langId(text: Column): Column = {
+    val langs = langStopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langHits(text, l).as("hits"), lit(l).as("lang")))
+    // array_max on struct compares (hits, lang) lexicographically; for
+    // equal hits the lexicographically LARGEST lang wins, so order ties
+    // deterministically. All-zero best -> "und".
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites — one JVM-wide SparkSession with the
+  * same semantics as Verify/Bench (graft.Sessions). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    // keep test parallelism modest; suites run in one JVM
+    if (sys.env.get("SPARK_GRAFT_CPUS").isEmpty)
+      System.setProperty("SPARK_GRAFT_CPUS_TEST", "8")
+    Sessions.local("graft-test")
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+}

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exactByContent keeps one row per content, min id, whitespace-insensitive") {
+    val df = Seq(
+      (1L, "hello  world"), (2L, "hello world"), (3L, "other doc"),
+      (4L, " hello world ")).toDF("id", "text")
+    val out = Dedup.exactByContent(df, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("shingles builds word n-grams; short docs collapse to one shingle") {
+    val toks = split(lit("a b c d"), " ")
+    val sh = Seq(1).toDF("x").select(Dedup.shingles(toks, 2).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh.toList == List("a b", "b c", "c d"))
+    val short = Seq(1).toDF("x")
+      .select(Dedup.shingles(split(lit("a"), " "), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(short.toList == List("a"))
+  }
+
+  test("minhash LSH finds planted near-duplicates and never misses exact dups") {
+    val base = (0 until 50).map(i =>
+      (i.toLong, s"unique doc number $i with words w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    val planted = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+    val df = (base ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L))) // identical: every band collides
+    assert(pairs.contains((100L, 102L)) || pairs.contains((101L, 102L)))
+    // no false positives among the unique docs
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L })
+  }
+
+  test("LSH candidates verified: every reported pair meets the Jaccard threshold") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.3).collect()
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.3))
+  }
+
+  test("simhash16 is stable and order-insensitive") {
+    val a = Seq("one two three").toDF("text")
+      .select(Dedup.simhash16(col("text"))).collect().head.getInt(0)
+    val b = Seq("three one two two").toDF("text")
+      .select(Dedup.simhash16(col("text"))).collect().head.getInt(0)
+    assert(a == b) // distinct-word set is identical
+    assert(a >= 0 && a < 65536)
+  }
+
+  test("simhash hamming: identical texts distance 0; pairs respects bound") {
+    val df = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine math is exact on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks an obvious nearest neighbor first") {
+    val q = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val base = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(q, base, 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("ANN LSH result contains the exact top-1 for every query (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exactTop1 = Similarity.bruteForceTopK(queries, base, 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    val annAll = Similarity.annTopK(queries, base, dim = 64, k = 3,
+        nBits = 4, nTables = 8)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    exactTop1.foreach { case (qid, top1) =>
+      assert(annAll.getOrElse(qid, Set.empty).contains(top1),
+        s"query $qid: ANN candidates ${annAll.get(qid)} miss exact top-1 $top1")
+    }
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    val a = Similarity.hyperplanes(4, 2, 2, seed = 7L)
+    val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)
+    assert(a.flatten.flatten == b.flatten.flatten)
+  }
+}

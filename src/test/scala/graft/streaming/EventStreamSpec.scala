@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** State-partition count = shuffle partitions at query start; this
+    * container has no libhadoop, so every state checkpoint rename
+    * shells out (readlink/stat) — with 32 state partitions the fork
+    * storm can wedge. One partition keeps streaming tests fast and
+    * hermetic. */
+  private def withFewPartitions[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("windowed counts aggregate 30-minute event-time windows with watermark") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:25:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 00:40:00"), 1, "view", 3.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the earlier windows
+    in.addData(Event(4, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getAs[Timestamp]("wstart").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("val_sum"))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 00:30:00.0", "view", 1L, 3.0)))
+    }
+  }
+
+  test("streaming dedupe emits each key once across batches") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.streamingDedupe(in.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:02:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts("2024-01-01 00:05:00"), 1, "click", 9.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+    q.stop()
+    assert(ids.sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+}
