@@ -49,11 +49,35 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum xxhash64 over the document's distinct shingles.
     * xxhash64(seed-literal, shingle) is Spark-native, codegen'd, and
-    * deterministic across the cluster. */
+    * deterministic across the cluster.
+    *
+    * NOTE: as a scalar Column this inlines `numHashes` passes over the
+    * shingle array per row; minhashSignatures (explode + one
+    * hash-aggregate) is the form the LSH pipeline uses — same values,
+    * one pass. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(array_distinct(shingleArr), s => xxhash64(lit(i), s)))
     }: _*)
+
+  /** Single-pass MinHash signatures for a whole table: explode
+    * distinct shingles to (id, shingle) rows, hash each shingle once
+    * per seed, take `numHashes` min-aggregates in ONE hash-aggregate.
+    * Returns (id, sig array). */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      shingleArr: Column,
+      numHashes: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingleArr)).as("sh"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-duplicate candidate pairs.
     *
@@ -70,28 +94,42 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 5000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingles(tokensOf(col(textCol)), shingleN)
-    val sigs = df.select(col(idCol).as("id"), sh.as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sigs.select(
-      col("id"), col("sh"),
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokensOf(col(textCol)), shingleN)).as("sh"))
+    val sigs = minhashSignatures(docs, "id", col("sh"), numHashes)
+    // one row per (doc, band): the banded shuffle carries (id, band,
+    // 8-byte band hash) — never the shingle arrays
+    val bandedAll = sigs.select(
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    val cand = l.join(r,
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    // skew guard: a bucket of n docs contributes n^2/2 candidate
+    // pairs; degenerate buckets (near-identical clusters, all-same
+    // boilerplate) are capped — exact-dup and smaller bands cover
+    // those, and at 100 TB an uncapped hot bucket is THE failure mode
+    // of LSH joins.
+    val bucketSizes = bandedAll.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val banded = bandedAll.join(bucketSizes, Seq("band", "bh"))
+      .select(col("id"), col("band"), col("bh"))
+    val cand = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // shingle arrays re-join only for the (small) candidate set
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -118,6 +156,32 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  /** Single-pass SimHash for a whole table: explode distinct tokens,
+    * hash each word ONCE, take the 16 per-bit vote sums in one
+    * hash-aggregate, assemble the code in the final projection. Same
+    * values as simhash16 (integer math, order-free), but per-word
+    * work is O(words) instead of O(16 x words) and the plan is one
+    * codegen'd aggregate. */
+  def simhashCodes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hexmap = "0123456789abcdef"
+    val words = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokensOf(col(textCol)))).as("w"))
+    val h = md5(col("w"))
+    def nib(i: Int): Column =
+      (instr(lit(hexmap), substring(h, i + 1, 1)) - 1).cast("int")
+    val wh = nib(0) * 4096 + nib(1) * 256 + nib(2) * 16 + nib(3)
+    val votes = (0 until 16).map(k =>
+      sum(when(shiftright(col("wh"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$k"))
+    val code = (0 until 16)
+      .map(k => when(col(s"v$k") > 0, lit(1 << k)).otherwise(lit(0)))
+      .reduce(_ + _)
+    words.select(col("id"), wh.as("wh"))
+      .groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), code.cast("int").as("code"))
+  }
+
   /** Hamming distance between two simhash codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -130,7 +194,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val coded = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("code"))
+    val coded = simhashCodes(df, idCol, textCol)
       .withColumn("bucket", shiftright(col("code"), 8))
     val l = coded.alias("l")
     val r = coded.alias("r")

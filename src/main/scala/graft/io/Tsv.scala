@@ -16,6 +16,11 @@ object Tsv {
 
   val NullMarker = "\\N"
 
+  // Boundary semantic: with quoting disabled an empty field is
+  // written as nothing and reads back as NULL (not ""). The reference
+  // distinguishes the two only via Postgres COPY; this engine
+  // canonicalizes empty -> null at the TSV boundary.
+
   def write(df: DataFrame, path: String, singleFile: Boolean = false,
       mode: String = "overwrite"): Unit = {
     val out = if (singleFile) df.coalesce(1) else df

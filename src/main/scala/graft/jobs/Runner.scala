@@ -1,0 +1,165 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.crawl.{Extractors, WarcStore, WatExtract}
+import graft.io.Tsv
+import graft.license.Licenses
+import graft.loadmerge.Merge
+import graft.popularity.Popularity
+import graft.storage.ImageStore
+
+/** Sequential orchestration of the reference's three lifecycles
+  * (SURVEY §3) as one Spark application — the stand-in for the
+  * reference's Airflow DAG wiring (§7.5 non-goal), demonstrating that
+  * the engine's pieces compose end-to-end:
+  *
+  *   phase A (3.1): WAT lines -> CC-link table -> parquet + summary
+  *   phase B (3.2): provider slice -> WARC point reads -> HTML
+  *                  extraction -> cleaning/enrichment -> TSV
+  *   phase C (3.3): TSV -> bounded load -> required-drop -> last-wins
+  *                  dedupe -> J1 merge into the canonical table
+  *   popularity:    percentile constants -> standardized score view
+  */
+object Runner {
+
+  final case class RunResult(
+      links: DataFrame,
+      topDomains: DataFrame,
+      extracted: DataFrame,
+      canonical: DataFrame,
+      imageView: DataFrame)
+
+  /** Phase A over WAT envelope lines. */
+  def phaseA(spark: SparkSession, watLines: Dataset[String], outDir: String)
+      : DataFrame = {
+    val links = WatExtract.extract(spark, watLines)
+    links.write.mode("overwrite").parquet(s"$outDir/cc_links")
+    spark.read.parquet(s"$outDir/cc_links")
+  }
+
+  /** Phase B: slice one provider, fetch WARC members, extract gallery
+    * rows, clean + enrich into the 17-col relation, write TSV. */
+  def phaseB(
+      spark: SparkSession,
+      links: DataFrame,
+      providerDomain: String,
+      provider: String,
+      warcRoot: String,
+      outDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = WatExtract.providerSlice(links, providerDomain)
+    val refs = slice.select(
+        col("url"), col("warc_path").as("warcPath"),
+        col("content_offset").as("offset"),
+        col("deflate_length").as("deflateLength"))
+      .as[WarcStore.WarcRef]
+    val pages = WarcStore.fetchPages(refs, warcRoot)
+    val rows = Extractors.extractAll(pages, new Extractors.GalleryExtractor(provider))
+    val (lic, ver) = Licenses.licenseFromPath(col("license_path"))
+    val raw = rows.toDF()
+      .select(
+        col("foreign_identifier"), col("foreign_landing_url"),
+        col("image_url"),
+        lit(null).cast("string").as("thumbnail_url"),
+        lit(null).cast("string").as("width"),
+        lit(null).cast("string").as("height"),
+        lit(null).cast("string").as("filesize"),
+        lic.as("license_"), ver.as("license_version"),
+        lit(null).cast("string").as("creator"),
+        lit(null).cast("string").as("creator_url"),
+        col("title"),
+        lit(null).cast("map<string,string>").as("meta_data"),
+        col("tags"),
+        lit(null).cast("string").as("watermarked"),
+        lit(null).cast("string").as("source"),
+        concat(lit("https://creativecommons.org"), col("license_path"))
+          .as("license_url"),
+        concat(lit("https://creativecommons.org"), col("license_path"))
+          .as("raw_license_url"))
+    val prepared = ImageStore.prepare(raw, provider)
+      .withColumn("meta_data_json", to_json(col("meta_data")))
+      .withColumn("tags_json", to_json(col("tags")))
+      .drop("meta_data", "tags")
+    Tsv.write(prepared, s"$outDir/tsv/$provider", singleFile = true)
+    prepared
+  }
+
+  /** Phase C: TSV -> clean -> dedupe -> merge into canonical table. */
+  def phaseC(
+      spark: SparkSession,
+      tsvDir: String,
+      canonicalDir: String,
+      now: org.apache.spark.sql.Column): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      """foreign_identifier STRING, foreign_landing_url STRING,
+        |image_url STRING, thumbnail_url STRING, width STRING,
+        |height STRING, filesize STRING, license_ STRING,
+        |license_version STRING, creator STRING, creator_url STRING,
+        |title STRING, watermarked STRING, provider STRING,
+        |source STRING, meta_data_json STRING, tags_json STRING""".stripMargin
+        .replace("\n", " "))
+    val loaded = Tsv.readBounded(spark, tsvDir, schema, maxBad = 10)
+      .withColumn("meta_data",
+        from_json(col("meta_data_json"), lit("map<string,string>")))
+      .withColumn("tags", from_json(col("tags_json"),
+        lit("array<struct<name:string,provider:string>>")))
+      .drop("meta_data_json", "tags_json")
+      .withColumn("__ord", monotonically_increasing_id())
+    val cleaned = Merge.dedupeLastWins(
+      Merge.dropRequiredNull(loaded,
+        Seq("image_url", "license_", "foreign_landing_url", "foreign_identifier")),
+      "provider", "foreign_identifier", "__ord").drop("__ord")
+    val spec = Merge.MergeSpec(
+      provider = "provider", foreignId = "foreign_identifier",
+      scalarCols = Seq("foreign_landing_url", "image_url", "thumbnail_url",
+        "width", "height", "filesize", "license_", "license_version",
+        "creator", "creator_url", "title", "watermarked", "source"),
+      mapCols = Seq("meta_data"), arrayCols = Seq("tags"),
+      createdOn = Some("created_on"), updatedOn = Some("updated_on"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      cleaned.schema
+        .add("created_on", "timestamp").add("updated_on", "timestamp"))
+    val target =
+      try spark.read.parquet(canonicalDir)
+      catch { case _: Throwable => empty }
+    val merged = Merge.upsertMerge(target,
+      cleaned.withColumn("created_on", now).withColumn("updated_on", now),
+      spec, now)
+    merged.write.mode("overwrite").parquet(s"$canonicalDir.next")
+    // recompute-and-swap snapshot (the matview stand-in, SURVEY §4)
+    val fresh = spark.read.parquet(s"$canonicalDir.next")
+    fresh.write.mode("overwrite").parquet(canonicalDir)
+    spark.read.parquet(canonicalDir)
+  }
+
+  /** Popularity refresh (SURVEY §3 honorable-mention lifecycle). */
+  def popularityView(canonical: DataFrame, metric: org.apache.spark.sql.Column,
+      percentile: Double): DataFrame = {
+    val consts = Popularity.percentileConstants(
+      canonical, "provider", metric, percentile)
+    Popularity.standardized(canonical, "provider", metric, consts)
+  }
+
+  /** The whole pipeline over local fixtures. */
+  def run(
+      spark: SparkSession,
+      watLines: Dataset[String],
+      providerDomain: String,
+      provider: String,
+      warcRoot: String,
+      workDir: String): RunResult = {
+    val links = phaseA(spark, watLines, workDir)
+    val top = WatExtract.topDomains(links)
+    val extracted = phaseB(spark, links, providerDomain, provider, warcRoot, workDir)
+    val canonical = phaseC(spark, s"$workDir/tsv/$provider",
+      s"$workDir/image", lit("2024-06-01 00:00:00").cast("timestamp"))
+    // metric must be non-null per row: the TSV boundary reads empty
+    // unquoted fields back as null (title of an alt-less image), and
+    // standardized popularity null-propagates by contract
+    val view = popularityView(canonical, length(col("image_url")).cast("double"), 0.5)
+    RunResult(links, top, extracted.toDF(), canonical, view)
+  }
+}

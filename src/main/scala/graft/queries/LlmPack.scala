@@ -48,10 +48,10 @@ object LlmPack extends QueryPack {
     }),
 
     // 16-bit SimHash per document (md5-nibble construction — engine
-    // and oracle recompute it independently).
+    // and oracle recompute it independently; single-pass explode+agg).
     "q_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash16(col("text")).as("code"))
+      Dedup.simhashCodes(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("code"))
         .orderBy(col("doc_id"))
     }),
 

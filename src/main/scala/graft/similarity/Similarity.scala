@@ -25,7 +25,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composable higher-order-function cosine (any numeric arrays). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused-loop cosine for float vectors (graft.plans
+    * .CosineSimilarity, codegen'd) — bit-identical to cosineHof on
+    * float input, one pass, no intermediate array. The hot scoring
+    * path uses this. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
 
   /** Brute-force top-k neighbors for each query vector.
     *

@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(a >= 0 && a < 65536)
   }
 
+  test("simhashCodes (single-pass) equals the scalar simhash16 on real docs") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val scalar = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bulk = Dedup.simhashCodes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bulk == scalar)
+  }
+
   test("simhash hamming: identical texts distance 0; pairs respects bound") {
     val df = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),
       (3L, "zz yy xx ww vv")).toDF("doc_id", "text")

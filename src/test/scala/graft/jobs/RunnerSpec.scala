@@ -1,0 +1,90 @@
+package graft.jobs
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+
+/** The full lifecycle (SURVEY §3.1 -> §3.2 -> §3.3 -> popularity) on
+  * local fixtures: WAT lines reference a real local WARC file whose
+  * gzip members hold gallery HTML; the pipeline must extract, fetch,
+  * parse, clean, TSV-roundtrip, merge, and score without manual
+  * stitching. */
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gzip(s: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(s.getBytes("UTF-8")); g.close()
+    bos.toByteArray
+  }
+
+  private def galleryHtml(n: Int): String =
+    s"""<html><a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC</a>
+       |<a class="image" href="https://gallery.example.org/pages/$n"><img src="https://img.example.org/$n.jpg" alt="Work $n"></a>
+       |<a class="image" href="https://gallery.example.org/pages/${n + 100}"><img src="https://img.example.org/${n + 100}.jpg"></a>
+       |</html>""".stripMargin
+
+  test("full pipeline: WAT -> WARC fetch -> extract -> clean -> merge -> popularity") {
+    val work = Files.createTempDirectory("runner").toString
+    val warcDir = Files.createTempDirectory("warcroot").toString
+
+    // two gzip members in one WARC file
+    val m1 = gzip(galleryHtml(1))
+    val m2 = gzip(galleryHtml(2))
+    new java.io.File(s"$warcDir/seg-1/warc").mkdirs()
+    val f = new FileOutputStream(s"$warcDir/seg-1/warc/f1.warc.gz")
+    f.write(m1); f.write(m2); f.close()
+
+    def watLine(path: String, off: Long, len: Long): String =
+      s"""{"Container": {"Filename": "seg-1/wat/f1.warc.gz", "Offset": "$off",
+         | "Gzip-Metadata": {"Deflate-Length": "$len"}},
+         | "Envelope": {"WARC-Header-Metadata":
+         |  {"WARC-Type": "response", "WARC-Target-URI": "https://gallery.example.org$path"},
+         | "Payload-Metadata": {"Actual-Content-Type": "application/json",
+         |  "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+         |   {"url": "https://creativecommons.org/licenses/by/4.0/", "path": "A@/href"}]}}}}}"""
+        .stripMargin.replace("\n", "")
+
+    val wat = spark.createDataset(Seq(
+      watLine("/g/1", 0, m1.length),
+      watLine("/g/2", m1.length, m2.length)))
+
+    val result = Runner.run(spark, wat, "gallery.example.org", "gallery",
+      warcDir, work)
+
+    // phase A: two pages, one CC link each
+    assert(result.links.count() == 2)
+    assert(result.topDomains.collect().head
+      .getAs[String]("provider_domain") == "gallery.example.org")
+
+    // phase B: 2 pages x 2 gallery blocks = 4 extracted, cleaned rows
+    assert(result.extracted.count() == 4)
+
+    // phase C: canonical table has 3 distinct works (pages 1,2 plus
+    // 101,102 -> 4 fids; page-1 html also yields 101, page-2 yields
+    // 102... all distinct) with license resolved
+    val canon = result.canonical.collect()
+    assert(canon.length == 4)
+    assert(canon.forall(_.getAs[String]("license_") == "by"))
+    assert(canon.forall(_.getAs[String]("license_version") == "4.0"))
+    assert(canon.forall(_.getAs[java.sql.Timestamp]("created_on") != null))
+
+    // popularity view scores every row (checked before the
+    // idempotence re-run, whose snapshot swap replaces the files the
+    // first run's DataFrames are bound to)
+    assert(result.imageView.count() == 4)
+    assert(result.imageView.filter("standardized_popularity is not null").count() == 4)
+
+    // idempotence: re-running phase C with the same TSV changes nothing
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("foreign_identifier"), r.getAs[String]("image_url"),
+        r.getAs[String]("license_"), r.getAs[String]("title"))
+    val before = canon.map(key).sortBy(_._1).toSeq
+    val again = Runner.phaseC(spark, s"$work/tsv/gallery", s"$work/image",
+      org.apache.spark.sql.functions.lit("2024-06-01 00:00:00").cast("timestamp"))
+    assert(again.collect().map(key).sortBy(_._1).toSeq == before)
+  }
+}

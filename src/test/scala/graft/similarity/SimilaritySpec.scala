@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native cosine expression is bit-identical to the HOF form and SQL-callable") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(5))
+    val both = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"),
+      expr("cosine_sim(a, b)").as("sqlfn")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bitwise equal
+      assert(r.getDouble(0) == r.getDouble(2))
+    }
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 2, 2, seed = 7L)
     val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)
