@@ -18,6 +18,11 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up outside the timed region: session init, codegen
+    // compiler, parquet footer reads — otherwise the alphabetically
+    // first query absorbs ~5s of one-time cost.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -92,4 +92,65 @@ object Extractors {
     import pages.sparkSession.implicits._
     pages.flatMap(p => ex.extract(p.url, p.html))
   }
+
+  /** Smithsonian-style creator-type ranking (smithsonian.py:42-101):
+    * among (type, name) candidate pairs, the creator with the
+    * lowest-preference type wins; unknown types never win over known
+    * ones. Column-level via array_sort on (rank, order, name)
+    * structs. `creatorTypes` is the static preference map. */
+  val creatorTypePreference: Map[String, Int] = Map(
+    "artist" -> 0, "author" -> 0, "creator" -> 0, "photographer" -> 0,
+    "architect" -> 1, "designer" -> 1, "illustrator" -> 1, "sculptor" -> 1,
+    "maker" -> 2, "engraver" -> 2, "producer" -> 2, "cartographer" -> 2,
+    "painter" -> 3, "inventor" -> 3, "lithographer" -> 3,
+    "manufacturer" -> 4, "publisher" -> 4, "editor" -> 4,
+    "patentee" -> 5, "collector" -> 6)
+
+  def preferredCreator(candidates: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    // candidates: array<struct<ctype: string, name: string>>
+    val rankMap = map(creatorTypePreference.toSeq
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val ranked = filter(
+      transform(candidates, c =>
+        struct(element_at(rankMap, c.getField("ctype")).as("rank"),
+          c.getField("name").as("name"))),
+      r => r.getField("rank").isNotNull)
+    when(size(ranked) > 0, array_min(ranked).getField("name"))
+      .otherwise(lit(null))
+  }
+
+  /** Behance-style popularity-metric scrape (Behance.py:157-170) +
+    * FloraOn-style watermark flag (FloraOn.py:49): thumbnails carry
+    * likes/views/comments counters into meta_data and are always
+    * watermarked. Regex HTML variant of the metrics extraction. */
+  final class MetricsExtractor(val provider: String) extends PageExtractor {
+    private val linkRe = """<a[^>]*rel="license"[^>]*href="([^"]+)"""".r
+    private val imgRe = """<img[^>]*src="([^"]+)"""".r
+    private def metric(html: String, cls: String): Option[String] = {
+      s"""class="beicons-pre-$cls"[^>]*>([0-9,]+)<""".r
+        .findFirstMatchIn(html).map(_.group(1).replace(",", ""))
+    }
+    def extract(pageUrl: String, html: String): Seq[ExtractedImage] =
+      // chunk per thumbnail block: each chunk runs to the next block
+      // (or end of page), so nested divs can't truncate the scope
+      html.split("""class="thumbnail"""").drop(1).toSeq
+        .zipWithIndex.flatMap { case (inner, i) =>
+        imgRe.findFirstMatchIn(inner).map { img =>
+          val metrics = Seq("thumb" -> "likes", "eye" -> "views",
+            "comment" -> "comments").flatMap { case (cls, name) =>
+            metric(inner, cls).map(v => s"$name=$v")
+          }
+          ExtractedImage(
+            foreign_identifier = s"$pageUrl#$i",
+            foreign_landing_url = pageUrl,
+            image_url = img.group(1),
+            license_path = linkRe.findFirstMatchIn(inner).map { l =>
+              l.group(1).replaceFirst("^https?://creativecommons\\.org", "")
+            }.getOrElse(""),
+            title = "",
+            tags = metrics :+ "watermarked=t")
+        }
+      }
+  }
 }

@@ -74,6 +74,43 @@ class WarcExtractorsSpec extends SparkSpec {
       List("apple", "mango", "zebra"))
   }
 
+  test("creator-type preference: lowest rank wins, unknown types never win (O5)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Seq(("publisher", "P"), ("artist", "A"), ("maker", "M")),
+      Seq(("collector", "C"), ("painter", "Q")),
+      Seq(("unknown-type", "U")),
+      Seq.empty[(String, String)])
+      .toDF("raw")
+      .select(transform(col("raw"), t =>
+        struct(t.getField("_1").as("ctype"), t.getField("_2").as("name")))
+        .as("cands"))
+    val out = df.select(Extractors.preferredCreator(col("cands")).as("c")).collect()
+    assert(out(0).getString(0) == "A") // artist rank 0 beats publisher 4
+    assert(out(1).getString(0) == "Q") // painter 3 beats collector 6
+    assert(out(2).isNullAt(0)) // unknown type -> no creator
+    assert(out(3).isNullAt(0))
+  }
+
+  test("metrics extractor scrapes popularity counters + watermark flag") {
+    val html =
+      """<div class="thumbnail"><a rel="license" href="https://creativecommons.org/licenses/by/2.0/">L</a>
+        |<img src="https://img.x/1.jpg">
+        |<div class="beicons-pre-thumb">1,234</div>
+        |<div class="beicons-pre-eye">9876</div>
+        |</div>""".stripMargin
+    val ex = new Extractors.MetricsExtractor("behance")
+    val rows = ex.extract("https://behance.example/g", html)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.image_url == "https://img.x/1.jpg")
+    assert(r.license_path == "/licenses/by/2.0/")
+    assert(r.tags.contains("likes=1234"))
+    assert(r.tags.contains("views=9876"))
+    assert(!r.tags.exists(_.startsWith("comments=")))
+    assert(r.tags.contains("watermarked=t"))
+  }
+
   test("replayNewestNonNull collapses history so later non-nulls win (J7/A6)") {
     import graft.loadmerge.Merge
     val hist = Seq(
