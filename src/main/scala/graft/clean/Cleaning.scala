@@ -60,6 +60,20 @@ object Cleaning {
   def prepareString(c: Column, limit: Int): Column =
     enforceCharLimit(sanitizeString(c), limit, truncate = true)
 
+  /** Reference `JSONColumn._sanitize_json_values` (columns.py:131-173):
+    * recursively sanitize every leaf string of a semi-structured
+    * value. Typed-column variants (the engine's jsonb carriers are
+    * MAP<STRING,STRING> and ARRAY<STRING>/ARRAY<STRUCT>): sanitize
+    * every value in place; empty containers -> null like the
+    * reference's falsy check. */
+  def sanitizeJsonMap(m: Column): Column =
+    when(m.isNull || size(map_keys(m)) === 0, lit(null))
+      .otherwise(transform_values(m, (_, v) => sanitizeString(v)))
+
+  def sanitizeJsonArray(a: Column): Column =
+    when(a.isNull || size(a) === 0, lit(null))
+      .otherwise(transform(a, v => sanitizeString(v)))
+
   /** Reference `URLColumn.prepare_string` (columns.py:225-243): URLs
     * are *never* truncated — over-limit or invalid -> null. The
     * sanitize-changed-it test means any char the sanitizer would touch

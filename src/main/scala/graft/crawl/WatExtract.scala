@@ -30,6 +30,16 @@ object WatExtract {
       deflate_length: Long,
       html_metadata: String)
 
+  /** S1: the WAT-paths manifest (ExtractCCLinks.py:64-95) — a
+    * (possibly gzipped) text file of archive keys. spark.read.text
+    * decompresses .gz transparently; blank lines dropped. The
+    * reference pulls this over HTTP and parallelizes the list; the
+    * engine reads it as a one-column Dataset that seeds the scan. */
+  def loadManifest(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(path).filter(_.trim.nonEmpty)
+  }
+
   /** P1: record filter — WAT envelopes only (JSON content, response
     * records with HTML link metadata), then per-page link extraction.
     * Implemented over a parsed WAT JSON DataFrame. */

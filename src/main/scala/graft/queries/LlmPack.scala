@@ -75,8 +75,12 @@ object LlmPack extends QueryPack {
     // bucket join, no all-pairs plan. Rows-only check (verified vs
     // exact Jaccard in ScalaTest).
     "q_minhash_pairs" -> ((s, d) => {
+      // trigram shingles: the synthetic corpus draws from a 31-word
+      // vocabulary, so bigram overlap is near-universal and floods
+      // the candidate stage; 3-gram shingles keep candidate volume
+      // proportional to genuine near-duplication
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.3)
+          shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -80,6 +80,20 @@ class CleaningSpec extends SparkSpec {
     }
   }
 
+  test("JSON sanitize: leaf strings cleaned recursively, empties null out (columns.py:131-173)") {
+    val m = Seq(Map("k" -> "a  \"b\"", "k2" -> "ok")).toDF("m")
+      .select(Cleaning.sanitizeJsonMap(col("m"))).collect().head
+      .getAs[Map[String, String]](0)
+    assert(m == Map("k" -> "a 'b'", "k2" -> "ok"))
+    val empty = Seq(Map.empty[String, String]).toDF("m")
+      .select(Cleaning.sanitizeJsonMap(col("m"))).collect().head
+    assert(empty.isNullAt(0))
+    val arr = Seq(Seq("x\ty", "z")).toDF("a")
+      .select(Cleaning.sanitizeJsonArray(col("a"))).collect().head
+      .getSeq[String](0)
+    assert(arr.toList == List("x y", "z"))
+  }
+
   test("add_url_scheme strips existing scheme and trailing slash (urls.py:80-95)") {
     val cases = Seq(
       "example.com/x/" -> "https://example.com/x",

@@ -79,6 +79,16 @@ class WatExtractSpec extends SparkSpec {
     assert(r.getAs[Long]("distinct_paths") == 2L)
   }
 
+  test("manifest loader reads gzipped path lists, drops blanks (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/wat.paths.gz"))
+    gz.write("seg-1/wat/a.warc.wat.gz\n\nseg-2/wat/b.warc.wat.gz\n".getBytes)
+    gz.close()
+    val paths = WatExtract.loadManifest(spark, s"$dir/wat.paths.gz").collect()
+    assert(paths.toSeq == Seq("seg-1/wat/a.warc.wat.gz", "seg-2/wat/b.warc.wat.gz"))
+  }
+
   test("provider slice rebuilds URLs, suffix-matches domain, dedupes (P5/D1)") {
     val slice = WatExtract.providerSlice(links, "example.org").collect()
     assert(slice.length == 2) // two distinct page urls
