@@ -28,8 +28,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = table(s, d, "events")
+    // integer `div`, NOT `/`: epoch-ns values (~1.7e18) exceed double
+    // precision, so float division can land one microsecond off
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -117,6 +117,39 @@ object CleaningPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // J2: overwrite-update — matched rows take source data verbatim,
+    // unmatched kept, source-only rows NOT inserted (sql.py:274-316).
+    "q_j2_overwrite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_type").as("provider"),
+          col("event_id").cast("string").as("fid"),
+          col("value").as("val"), col("user_id"))
+      val src = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_type").as("provider"),
+          col("event_id").cast("string").as("fid"),
+          (col("value") * 2).as("val"), col("user_id"))
+      Merge.overwriteUpdate(t, src,
+          Merge.MergeSpec(provider = "provider", foreignId = "fid",
+            scalarCols = Seq("val", "user_id")))
+        .select(col("fid").cast("long").as("event_id"), col("provider"),
+          col("val"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J7/A6: migration replay — per key, each column takes its last
+    // non-null value in ts order, one windowed pass instead of the
+    // reference's 12-bucket loop (02_migrate_to_new_image.sql).
+    "q_j7_replay" -> ((s, d) => {
+      val hist = Tables.events(s, d)
+        .select(col("event_type").as("provider"),
+          col("user_id").cast("string").as("fid"), col("ts"),
+          when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")).as("v"))
+      Merge.replayNewestNonNull(hist, "provider", "fid", "ts", Seq("v"))
+        .orderBy(col("provider"), col("fid"))
+    }),
+
     // A7/U1: jsonb-array union-distinct merge (sql.py:206-214) over
     // adjacent documents' tag sets.
     "q_a7_tag_union" -> ((s, d) => {
@@ -257,6 +290,27 @@ object CleaningPack extends QueryPack {
         |FROM t FULL OUTER JOIN s
         |  ON t.provider = s.provider AND md5(t.fid) = md5(s.fid)
         |ORDER BY event_id""".stripMargin,
+    "q_j2_overwrite" ->
+      """WITH t AS (SELECT event_type AS provider, CAST(event_id AS VARCHAR) AS fid,
+        |    value AS val, user_id FROM events WHERE event_id % 2 = 0),
+        |  s AS (SELECT event_type AS provider, CAST(event_id AS VARCHAR) AS fid,
+        |    value * 2 AS val, user_id FROM events WHERE event_id % 3 = 0)
+        |SELECT CAST(t.fid AS BIGINT) AS event_id, t.provider,
+        |  CASE WHEN s.fid IS NOT NULL THEN s.val ELSE t.val END AS val,
+        |  CASE WHEN s.fid IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id
+        |FROM t LEFT JOIN s ON t.provider = s.provider AND md5(t.fid) = md5(s.fid)
+        |ORDER BY event_id""".stripMargin,
+    "q_j7_replay" ->
+      """WITH base AS (SELECT event_type AS provider,
+        |    CAST(user_id AS VARCHAR) AS fid, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT g.provider, g.fid, g.ts, nn.v
+        |FROM (SELECT provider, fid, max(ts) AS ts FROM base GROUP BY 1, 2) g
+        |LEFT JOIN (SELECT provider, fid, arg_max(v, ts) AS v FROM base
+        |           WHERE v IS NOT NULL GROUP BY 1, 2) nn
+        |USING (provider, fid)
+        |ORDER BY provider, fid""".stripMargin,
     "q_a7_tag_union" ->
       """SELECT d1.doc_id, array_to_string(list_sort(list_distinct(
         |    list_concat(string_split(d1.text, ' '), string_split(d2.text, ' ')))),

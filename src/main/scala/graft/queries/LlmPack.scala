@@ -119,6 +119,16 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Multimodal frame sampling: the 1->N generator shape a video
+    // frame sampler uses, as an oracle-checkable explode.
+    "q_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Multimodal.frameSampleStub(
+          graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)),
+          stride = 50)
+        .orderBy(col("media_id"), col("frame_offset"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata,
     // deterministic fake "decode" (real decode is a stubbed
     // mapPartitions in graft.multimodal — image libs aren't in this
@@ -216,6 +226,11 @@ object LlmPack extends QueryPack {
         |  FROM embeddings q, embeddings b
         |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_frames" ->
+      """SELECT doc_id AS media_id, CAST(u AS INTEGER) AS frame_offset,
+        |  ascii(substr(text, CAST(u AS INTEGER) + 1, 1)) AS frame_byte
+        |FROM documents, unnest(range(0, length(text), 50)) t(u)
+        |ORDER BY media_id, frame_offset""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, length(text) AS byte_len,
         |  CAST(64 + strpos('0123456789abcdef', substr(md5(text),1,1)) - 1 AS INTEGER) AS fake_w,

@@ -189,6 +189,30 @@ object RelationalPack extends QueryPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // D1: plain distinct projection (Provider.py:264's URL dedupe).
+    "q_d1_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // O5: creator-type preference order (smithsonian.py:42-101) —
+    // lowest-rank creator wins among synthesized candidates.
+    "q_o5_creator_pref" -> ((s, d) => {
+      val ctype1 = element_at(
+        array(lit("artist"), lit("publisher"), lit("unknown")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val ctype2 = element_at(array(lit("maker"), lit("collector")),
+        (col("doc_id") % 2 + 1).cast("int"))
+      val cands = array(
+        struct(ctype1.as("ctype"), lit("n1").as("name")),
+        struct(ctype2.as("ctype"), lit("n2").as("name")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.crawl.Extractors.preferredCreator(cands).as("creator"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A9 + §2.9 json `->>`: per-user page-merge-style collect —
     // distinct event types (sorted canonical) and the sum of the
     // JSON-extracted props.k metric (wikimedia_commons.py:214-222's
@@ -298,6 +322,16 @@ object RelationalPack extends QueryPack {
         |      ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_d1_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_o5_creator_pref" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'n1'
+        |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 'n2'
+        |       WHEN doc_id % 3 = 1 THEN 'n1'
+        |       ELSE 'n2' END AS creator
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_a9_json_collect" ->
       """SELECT user_id,
         |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
