@@ -4,15 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Readers for the driver-provided synthetic tables (TESTDATA.md).
   *
-  * All engine queries read Parquet through here so that schema
-  * expectations live in one place. At cluster scale these would be
-  * directory-partitioned external tables; locally they are single
-  * Parquet files per table, so we rely on Catalyst's native parquet
-  * source for column pruning + predicate pushdown.
+  * All engine queries read Parquet through here: paths AND declared
+  * schemas (graft.Schemas) live in one place, and every read is
+  * validated so parquet drift fails at the source. At cluster scale
+  * these would be directory-partitioned external tables; locally they
+  * are single Parquet files per table, so we rely on Catalyst's
+  * native parquet source for column pruning + predicate pushdown.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") Schemas.validate(name, df.schema)
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -30,9 +34,12 @@ object Tables {
     val raw = table(s, d, "events")
     // integer `div`, NOT `/`: epoch-ns values (~1.7e18) exceed double
     // precision, so float division can land one microsecond off
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    val fixed =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    Schemas.validate("events", fixed.schema)
+    fixed
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
