@@ -119,6 +119,30 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
+    // cosine verify >= 0.35 (99.9th pct of random-pair cosine is
+    // ~0.38 on this corpus). Rows-only; SimilaritySpec proves every
+    // reported pair is genuine against brute force.
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.cosineNearDupPairs(emb, threshold = 0.35, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF ANN: k-means coarse quantizer + nProbe cell search — the
+    // second scale path next to sign-LSH. Rows-only.
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(queries, base, k = 3, nLists = 16, nProbe = 8)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Multimodal frame sampling: the 1->N generator shape a video
     // frame sampler uses, as an oracle-checkable explode.
     "q_frames" -> ((s, d) => {

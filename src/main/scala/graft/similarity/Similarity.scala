@@ -72,6 +72,82 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (same sign-LSH tables as annTopK), exact cosine
+    * verify >= threshold. Never an all-pairs plan: pairs only form
+    * inside (table, code) buckets. */
+  def cosineNearDupPairs(
+      df: DataFrame, // (id, vec)
+      threshold: Double,
+      dim: Int,
+      nBits: Int = 6,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nBits, nTables, seed)
+    val coded = df.select(col("id"), col("vec"),
+      explode(array(planes.zipWithIndex.map { case (tp, t) =>
+        struct(lit(t).as("tbl"), lshCode(col("vec"), tp).as("code"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.tbl"), col("bk.code"))
+    val cand = coded.alias("l").join(coded.alias("r"),
+        col("l.tbl") === col("r.tbl") && col("l.code") === col("r.code") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed)
+    * partitions the base vectors into `nLists` cells; each query
+    * searches only its `nProbe` nearest cells, with exact cosine
+    * re-rank inside. The classic inverted-file index expressed as two
+    * joins: base->cell assignment is precomputed (one pass), query->
+    * probe-cells is a broadcast of the (tiny) centroid table. */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = base.sparkSession
+    val baseVec = base.withColumn("features",
+      array_to_vector(col("vec").cast("array<double>")))
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(baseVec)
+    val assigned = model.transform(baseVec)
+      .select(col("id"), col("vec"), col("cell"))
+
+    // centroid table: tiny, broadcast to score query->cell distances
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "cvec")
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
+      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cand.withColumn("score", cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** ANN top-k via multi-table sign-LSH with multi-probe: candidates
     * are base vectors sharing a (table, bucket) with the query's code
     * OR any 1-bit flip of it (probing trades a few more equi-join

@@ -60,6 +60,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup pairs: every reported pair is genuine (vs brute force)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val reported = Similarity.cosineNearDupPairs(emb, threshold = 0.3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(reported.nonEmpty)
+    // brute-force ground truth on the same table
+    val l = emb.select(col("id").as("id_a"), col("vec").as("va"))
+    val r = emb.select(col("id").as("id_b"), col("vec").as("vb"))
+    val truth = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    reported.foreach { case (a, b, c) =>
+      assert(c >= 0.3)
+      assert(truth.contains((a, b)), s"pair ($a,$b) not in ground truth")
+    }
+  }
+
+  test("IVF ANN contains the exact top-1 for every query (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exactTop1 = Similarity.bruteForceTopK(queries, base, 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    val ivf = Similarity.ivfTopK(queries, base, k = 3, nLists = 16, nProbe = 8)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    exactTop1.foreach { case (qid, top1) =>
+      assert(ivf.getOrElse(qid, Set.empty).contains(top1),
+        s"query $qid: IVF candidates miss exact top-1 $top1")
+    }
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 2, 2, seed = 7L)
     val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)
