@@ -30,4 +30,17 @@ object Reingestion {
   def reingestionDates(base: LocalDate, tiers: Seq[(Int, Int)] = flickrTiers)
       : Seq[LocalDate] =
     dayShiftTiers(tiers).flatten.map(d => base.minusDays(d.toLong))
+
+  /** flickr.py:95-122: one UTC day split into 48 half-hour epoch
+    * windows [(start, end)), as a Column over a date column — the
+    * ingestion-window generator expressed with sequence/transform so
+    * it can seed a per-window batch loop or an explode. */
+  def halfHourWindows(dayStart: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val base = unix_timestamp(dayStart.cast("timestamp"))
+    transform(sequence(lit(0), lit(47)), i =>
+      struct((base + i.cast("long") * 1800L).as("win_start"),
+        (base + (i.cast("long") + 1L) * 1800L).as("win_end")))
+  }
 }

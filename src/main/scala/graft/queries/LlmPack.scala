@@ -119,6 +119,15 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Quality scoring: the composite heuristic as an oracle-checked
+    // query (identical IEEE op order mirrored in the SQL).
+    "q_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
     // cosine verify >= 0.35 (99.9th pct of random-pair cosine is
     // ~0.38 on this corpus). Rows-only; SimilaritySpec proves every
@@ -250,6 +259,16 @@ object LlmPack extends QueryPack {
         |  FROM embeddings q, embeddings b
         |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), 1.0) * 0.5 +
+        |  least((CAST(len(list_filter(string_split(text, ' '), w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','that'], w))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 4.0, 1.0) * 0.3 +
+        |  (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / greatest(CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE), 1.0)) * 2.0,
+        |    1.0)) * 0.2 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_frames" ->
       """SELECT doc_id AS media_id, CAST(u AS INTEGER) AS frame_offset,
         |  ascii(substr(text, CAST(u AS INTEGER) + 1, 1)) AS frame_byte

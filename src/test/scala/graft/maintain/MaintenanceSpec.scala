@@ -41,6 +41,23 @@ class ReingestionSpec extends AnyFunSuite {
     assert(tiers == Seq(Seq(1, 2, 3), Seq(5, 7)))
   }
 
+  test("half-hour window generator emits 48 contiguous windows (flickr.py:95-122)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wins = Seq("2024-01-01").toDF("d")
+      .select(Reingestion.halfHourWindows(col("d")).as("w"))
+      .select(explode(col("w")).as("win"))
+      .select(col("win.win_start"), col("win.win_end"))
+      .collect()
+    assert(wins.length == 48)
+    assert(wins.head.getLong(0) == java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+    wins.foreach(w => assert(w.getLong(1) - w.getLong(0) == 1800))
+    wins.sliding(2).foreach(p =>
+      assert(p(0).getLong(1) == p(1).getLong(0)))
+  }
+
   test("production schedule yields 103 distinct backfill dates") {
     val dates = Reingestion.reingestionDates(LocalDate.of(2024, 6, 1))
     assert(dates.length == 7 + 12 + 20 + 24 + 24 + 16)
