@@ -43,7 +43,13 @@ object Cleaning {
     */
   def intCast(c: Column): Column = {
     val d = c.cast("double")
-    when(d.isNull || isnan(d), lit(null)).otherwise(d.cast("long").cast("int"))
+    // beyond-int-range doubles (and ±Infinity) must null out, not wrap
+    // via long->int truncation to garbage — the reference's
+    // int(float(v)) raises/overflows visibly, never silently wrong.
+    when(d.isNull || isnan(d) ||
+        d > lit(Int.MaxValue.toDouble) || d < lit(Int.MinValue.toDouble),
+      lit(null))
+      .otherwise(d.cast("long").cast("int"))
   }
 
   /** Reference `BooleanColumn.prepare_string` (columns.py:99-118):

@@ -24,21 +24,29 @@ object WarcStore {
 
   final case class FetchedPage(url: String, html: String)
 
-  /** Seek-read one gzip member and inflate it. */
-  def fetchOne(root: String, ref: WarcRef): Array[Byte] = {
-    val raf = new RandomAccessFile(s"$root/${ref.warcPath}", "r")
-    try {
-      raf.seek(ref.offset)
-      val buf = new Array[Byte](ref.deflateLength.toInt)
-      raf.readFully(buf)
-      val in = new GZIPInputStream(new ByteArrayInputStream(buf))
-      try in.readAllBytes()
-      finally in.close()
-    } finally raf.close()
+  /** Seek-read one gzip member from an already-open handle. */
+  private def readMember(raf: RandomAccessFile, offset: Long, len: Long)
+      : Array[Byte] = {
+    raf.seek(offset)
+    val buf = new Array[Byte](len.toInt)
+    raf.readFully(buf)
+    val in = new GZIPInputStream(new ByteArrayInputStream(buf))
+    try in.readAllBytes()
+    finally in.close()
   }
 
-  /** Distributed point-read: partition by file so each task touches
-    * few archives, then fetch within partitions. */
+  /** Seek-read one gzip member and inflate it (single-shot: opens and
+    * closes the file; the batch path is fetchPages). */
+  def fetchOne(root: String, ref: WarcRef): Array[Byte] = {
+    val raf = new RandomAccessFile(s"$root/${ref.warcPath}", "r")
+    try readMember(raf, ref.offset, ref.deflateLength)
+    finally raf.close()
+  }
+
+  /** Distributed point-read: partition by file, sort by (file, offset)
+    * within partitions, and keep ONE open handle across consecutive
+    * rows of the same archive — sequential-ish IO per file instead of
+    * an open/seek/close syscall storm per row. */
   def fetchPages(refs: Dataset[WarcRef], root: String): Dataset[FetchedPage] = {
     import refs.sparkSession.implicits._
     refs
@@ -46,8 +54,30 @@ object WarcStore {
         $"warcPath")
       .sortWithinPartitions($"warcPath", $"offset")
       .mapPartitions { it =>
-        it.map { ref =>
-          FetchedPage(ref.url, new String(fetchOne(root, ref), "UTF-8"))
+        var curPath: String = null
+        var raf: RandomAccessFile = null
+        def handleFor(path: String): RandomAccessFile = {
+          if (path != curPath) {
+            if (raf != null) raf.close()
+            raf = new RandomAccessFile(s"$root/$path", "r")
+            curPath = path
+          }
+          raf
+        }
+        val mapped = it.map { ref =>
+          val page = FetchedPage(ref.url,
+            new String(readMember(handleFor(ref.warcPath), ref.offset,
+              ref.deflateLength), "UTF-8"))
+          page
+        }
+        // close the live handle once the partition is exhausted
+        new Iterator[FetchedPage] {
+          override def hasNext: Boolean = {
+            val more = mapped.hasNext
+            if (!more && raf != null) { raf.close(); raf = null }
+            more
+          }
+          override def next(): FetchedPage = mapped.next()
         }
       }
   }

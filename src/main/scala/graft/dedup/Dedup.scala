@@ -185,20 +185,62 @@ object Dedup {
   /** Hamming distance between two simhash codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the code's high byte (so
-    * comparisons stay within buckets), then keep pairs within
-    * `maxHamming`. For recall across the split boundary, production
-    * runs multi-probe with rotated codes; this keeps one probe. */
+  /** SimHash near-dup pairs via pigeonhole banding: the 16-bit code is
+    * split into `maxHamming + 1` segments; two codes within hamming
+    * distance `maxHamming` differ in at most `maxHamming` bits, so at
+    * least one segment is bit-identical (pigeonhole) — bucketing on
+    * every (segment-id, segment-bits) therefore has GUARANTEED recall
+    * for pairs within the bound. Pairs form only inside buckets (equi
+    * shuffle on (seg, bits), never all-pairs), then an exact hamming
+    * re-check filters band-collision false positives.
+    *
+    * Skew guard: like minhashLshPairs, buckets larger than `maxBucket`
+    * are dropped — a boilerplate-heavy corpus collapsing to few codes
+    * would otherwise turn a bucket into an n² stage. Exact dedupe
+    * covers the identical-text mass those buckets hold.
+    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 5000): DataFrame = {
+    val nSeg = maxHamming + 1
+    // segment boundaries spread 16 bits as evenly as possible
+    val bounds = (0 to nSeg).map(i => i * 16 / nSeg)
     val coded = simhashCodes(df, idCol, textCol)
-      .withColumn("bucket", shiftright(col("code"), 8))
-    val l = coded.alias("l")
-    val r = coded.alias("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+    val banded = coded.select(col("id"), col("code"),
+      explode(array((0 until nSeg).map { s =>
+        val lo = bounds(s)
+        val mask = (1 << (bounds(s + 1) - lo)) - 1
+        struct(lit(s).as("seg"),
+          shiftright(col("code"), lo).bitwiseAND(lit(mask)).as("sb"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("code"), col("bk.seg"), col("bk.sb"))
+    val bucketSizes = banded.groupBy(col("seg"), col("sb"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val kept = banded.join(bucketSizes.select("seg", "sb"), Seq("seg", "sb"))
+    val cand = kept.alias("l").join(kept.alias("r"),
+        col("l.seg") === col("r.seg") && col("l.sb") === col("r.sb") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.code").as("ca"), col("r.code").as("cb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("hamming", hamming(col("ca"), col("cb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Brute-force hamming pairs — O(n²), test oracle ONLY. Used by
+    * DedupSpec to prove simhashPairs' pigeonhole recall guarantee. */
+  def simhashPairsBruteForce(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    val coded = simhashCodes(df, idCol, textCol)
+    coded.alias("l").join(coded.alias("r"), col("l.id") < col("r.id"))
       .withColumn("hamming", hamming(col("l.code"), col("r.code")))
       .filter(col("hamming") <= maxHamming)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))

@@ -54,7 +54,7 @@ object Tsv {
       path: String,
       schema: StructType,
       maxBad: Int = 10): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit}
     val withCorrupt = schema.add("_corrupt_record", "string")
     val df = spark.read
       .schema(withCorrupt)
@@ -65,12 +65,22 @@ object Tsv {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      .cache()
-    val bad = df.filter(col("_corrupt_record").isNotNull).count()
+    // Corruption is only detected for columns the scan actually
+    // parses, so the check must force a FULL parse — and referencing
+    // the real columns also defeats the corrupt-only-scan restriction.
+    // This tautology (Catalyst can't fold it) anchors every declared
+    // column without caching the whole load in memory (the old
+    // `.cache()` pinned the dataset — wrong posture for a big load).
+    val anchor = schema.fields
+      .map(f => length(coalesce(col(f.name).cast("string"), lit(""))))
+      .reduce(_ + _) >= 0
+    // bounded first pass: stop scanning once the bound is exceeded
+    val bad = df.filter(col("_corrupt_record").isNotNull && anchor)
+      .limit(maxBad + 1).count()
     if (bad > maxBad)
       throw new IllegalStateException(
-        s"$bad malformed rows in $path exceeds the $maxBad-row bound")
-    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+        s">$maxBad malformed rows in $path exceeds the $maxBad-row bound")
+    df.filter(col("_corrupt_record").isNull && anchor).drop("_corrupt_record")
   }
 
   /** The 17->18 column schema-evolution shim

@@ -122,16 +122,39 @@ object Runner {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       cleaned.schema
         .add("created_on", "timestamp").add("updated_on", "timestamp"))
+    // ONLY a missing path means "first run": any other failure
+    // (corrupt footer, permissions, transient IO) must abort, or the
+    // merge would run against an empty target and the swap below would
+    // silently discard the existing canonical data.
     val target =
       try spark.read.parquet(canonicalDir)
-      catch { case _: Throwable => empty }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getMessage.contains("Path does not exist") =>
+          empty
+      }
     val merged = Merge.upsertMerge(target,
       cleaned.withColumn("created_on", now).withColumn("updated_on", now),
       spec, now)
     merged.write.mode("overwrite").parquet(s"$canonicalDir.next")
-    // recompute-and-swap snapshot (the matview stand-in, SURVEY §4)
-    val fresh = spark.read.parquet(s"$canonicalDir.next")
-    fresh.write.mode("overwrite").parquet(canonicalDir)
+    // Recompute-and-swap snapshot (the matview stand-in, SURVEY §4).
+    // The swap is rename-based: retire current -> .old, promote .next
+    // -> current, then drop .old. A crash at any point leaves at least
+    // one complete copy on disk (.next, .old, or current) — never the
+    // rewrite-in-place window where current is half-written.
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    val cur = Paths.get(canonicalDir)
+    val nxt = Paths.get(s"$canonicalDir.next")
+    val old = Paths.get(s"$canonicalDir.old")
+    rmTree(old)
+    if (Files.exists(cur)) Files.move(cur, old)
+    Files.move(nxt, cur)
+    rmTree(old)
     spark.read.parquet(canonicalDir)
   }
 

@@ -25,8 +25,13 @@ object Skew {
       saltBuckets: Int,
       partialAggs: Seq[Column],
       finalAggs: Seq[Column]): DataFrame = {
+    // Salt from a hash of the row's own columns: deterministic under
+    // task retry (monotonically_increasing_id / spark_partition_id
+    // change when a lost task re-runs, which can double-count rows
+    // mid-shuffle). Identical rows sharing a salt is harmless for
+    // associative partial aggregates.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
     val partial = salted.groupBy(col(keyCol), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial.groupBy(col(keyCol))
@@ -45,7 +50,7 @@ object Skew {
       key: String,
       saltBuckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(saltBuckets.toLong)))
     val explodedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

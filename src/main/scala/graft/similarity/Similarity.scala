@@ -75,21 +75,28 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (same sign-LSH tables as annTopK), exact cosine
     * verify >= threshold. Never an all-pairs plan: pairs only form
-    * inside (table, code) buckets. */
+    * inside (table, code) buckets.
+    *
+    * Skew guard: buckets larger than `maxBucket` are dropped before
+    * the self-join — real corpora carry masses of duplicated or
+    * zero-ish embeddings whose bucket would otherwise be an n² stage.
+    * Exact dedupe (on a vector digest) is the right tool for that
+    * mass; use [[oversizedCodeBuckets]] to count/inspect what was
+    * skipped. */
   def cosineNearDupPairs(
       df: DataFrame, // (id, vec)
       threshold: Double,
       dim: Int,
       nBits: Int = 6,
       nTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, nBits, nTables, seed)
-    val coded = df.select(col("id"), col("vec"),
-      explode(array(planes.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("tbl"), lshCode(col("vec"), tp).as("code"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("vec"), col("bk.tbl"), col("bk.code"))
-    val cand = coded.alias("l").join(coded.alias("r"),
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val coded = signCoded(df, dim, nBits, nTables, seed)
+    val bucketSizes = coded.groupBy(col("tbl"), col("code"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val kept = coded.join(bucketSizes.select("tbl", "code"), Seq("tbl", "code"))
+    val cand = kept.alias("l").join(kept.alias("r"),
         col("l.tbl") === col("r.tbl") && col("l.code") === col("r.code") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -98,6 +105,32 @@ object Similarity {
     cand.withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** (tbl, code, size) of the LSH buckets cosineNearDupPairs would
+    * DROP at the given cap — the monitoring companion to the skew
+    * guard (run it when pair counts look low; each row is a cluster
+    * exact-dedupe should own). */
+  def oversizedCodeBuckets(
+      df: DataFrame,
+      dim: Int,
+      nBits: Int = 6,
+      nTables: Int = 4,
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame =
+    signCoded(df, dim, nBits, nTables, seed)
+      .groupBy(col("tbl"), col("code"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+
+  private def signCoded(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
+      seed: Long): DataFrame = {
+    val planes = hyperplanes(dim, nBits, nTables, seed)
+    df.select(col("id"), col("vec"),
+      explode(array(planes.zipWithIndex.map { case (tp, t) =>
+        struct(lit(t).as("tbl"), lshCode(col("vec"), tp).as("code"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.tbl"), col("bk.code"))
   }
 
   /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed)
@@ -122,7 +155,21 @@ object Similarity {
       array_to_vector(col("vec").cast("array<double>")))
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(baseVec)
+    // Fit the coarse quantizer on a bounded SAMPLE, not the full base:
+    // at 100 TB a full-table k-means fit is 10 scans of everything,
+    // while centroid quality saturates at a few thousand points per
+    // list. Assignment (model.transform) still covers every base row
+    // in one pass.
+    val fitCap = math.max(nLists * 2000, 20000)
+    val approxRows = baseVec.select(col("id")).count()
+    val fitDf =
+      if (approxRows <= fitCap) baseVec
+      else baseVec.sample(withReplacement = false,
+        fraction = math.min(1.0, fitCap.toDouble / approxRows), seed = seed)
+    fitDf.persist()
+    val model =
+      try km.fit(fitDf)
+      finally fitDf.unpersist()
     val assigned = model.transform(baseVec)
       .select(col("id"), col("vec"), col("cell"))
 

@@ -45,12 +45,25 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
       override def close(): Unit = if (!done) {
         done = true
         out.close()
-        if (!overwriteIfPossible && Files.exists(target)) {
-          Files.deleteIfExists(tmp)
-          throw new java.nio.file.FileAlreadyExistsException(target.toString)
+        if (overwriteIfPossible) {
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } else {
+          // Fencing path: CheckpointFileManager relies on fail-if-exists
+          // so a zombie driver loses the race instead of clobbering the
+          // winner's batch file. POSIX rename (Files.move) silently
+          // replaces, and exists-then-move is a check-then-act race —
+          // link(2) is the atomic create-new primitive: it FAILS with
+          // EEXIST if the target appeared concurrently.
+          try {
+            Files.createLink(target, tmp)
+            Files.deleteIfExists(tmp)
+          } catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              throw e
+          }
         }
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

@@ -77,4 +77,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("simhashPairs pigeonhole banding has EXACT parity with brute-force " +
+      "hamming pairs (sf0.001)") {
+    // the pigeonhole guarantee: hamming <= maxHamming means at most
+    // maxHamming differing bits across maxHamming+1 segments, so one
+    // segment is identical and the pair shares a bucket. With no
+    // bucket over the cap at this sf, recall must be 100% — the old
+    // high-byte bucketing FAILS this test (cross-boundary misses).
+    val docs = Tables.documents(spark, sf)
+    for (maxH <- Seq(1, 3)) {
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = Dedup.simhashPairsBruteForce(docs, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute,
+        s"maxHamming=$maxH: banded ${banded.size} pairs vs brute ${brute.size}")
+    }
+  }
+
+  test("simhashPairs bucket cap drops degenerate buckets instead of going n²") {
+    // 500 identical docs: every (seg, bits) bucket holds all 500 rows.
+    // With maxBucket below that, the capped plan must return NO pairs
+    // (exact dedupe owns identical text) — and quickly.
+    val df = (0 until 500).map(i => (i.toLong, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucket = 100)
+    assert(pairs.count() == 0L)
+  }
 }

@@ -96,6 +96,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupPairs hot bucket: 1000 identical vectors are capped, " +
+      "not paired quadratically") {
+    // all 1000 rows land in the SAME (tbl, code) bucket in every
+    // table; with the cap below 1000 the self-join sees zero rows —
+    // no quadratic stage, empty result (exact dedupe owns this mass).
+    val vec = Seq.fill(8)(0.5f)
+    val df = (0L until 1000L).map(i => (i, vec)).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.9, dim = 8,
+      maxBucket = 500)
+    assert(pairs.count() == 0L)
+    // the monitoring companion reports exactly what was dropped
+    val dropped = Similarity.oversizedCodeBuckets(df, dim = 8, maxBucket = 500)
+      .collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(_.getAs[Long]("bsz") == 1000L))
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 2, 2, seed = 7L)
     val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)
