@@ -80,6 +80,53 @@ object Cleaning {
     when(a.isNull || size(a) === 0, lit(null))
       .otherwise(transform(a, v => sanitizeString(v)))
 
+  /** Scala-side twin of [[sanitizeString]] for leaf values inside
+    * nested JSON (same replacements, same order). */
+  def sanitizeStringScala(s: String): String =
+    if (s == null) null
+    else s.replace("\"", "'")
+      .replaceAll("\\x08", "")
+      .replace("\\", "\\\\")
+      .replaceAll("\\s+", " ")
+      .trim
+
+  /** Reference `JSONColumn._sanitize_json_values` (columns.py:146-172):
+    * recursively sanitize every leaf STRING of a JSON document,
+    * depth-capped at `maxDepth` (the reference's recursion_limit=100).
+    * Structure, numbers, booleans and nulls pass through; non-JSON
+    * input degrades to a sanitized plain string (the reference's
+    * non-dict/list branch). This is deliberately a small Scala
+    * function applied at the to_json boundary only — the flat typed
+    * carriers (MAP/ARRAY columns) keep the pure-Column
+    * [[sanitizeJsonMap]]/[[sanitizeJsonArray]] path. */
+  def sanitizeJsonValuesScala(json: String, maxDepth: Int = 100): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def walk(v: JValue, depth: Int): JValue = v match {
+      case JString(s) => JString(sanitizeStringScala(s))
+      case JObject(fields) if depth > 0 =>
+        JObject(fields.map { case (k, x) => (k, walk(x, depth - 1)) })
+      case JArray(items) if depth > 0 => JArray(items.map(walk(_, depth - 1)))
+      // at the cap, remaining subtrees serialize as-is (reference
+      // stringifies them; either way recursion stops)
+      case other => other
+    }
+    if (json == null) null
+    else {
+      try JsonMethods.compact(JsonMethods.render(
+        walk(JsonMethods.parse(json), maxDepth)))
+      catch { case _: Throwable => sanitizeStringScala(json) }
+    }
+  }
+
+  private val sanitizeJsonUdf =
+    org.apache.spark.sql.functions.udf((s: String, d: Int) =>
+      sanitizeJsonValuesScala(s, d))
+
+  /** Column form of [[sanitizeJsonValuesScala]]. */
+  def sanitizeJsonString(c: Column, maxDepth: Int = 100): Column =
+    sanitizeJsonUdf(c, lit(maxDepth))
+
   /** Reference `URLColumn.prepare_string` (columns.py:225-243): URLs
     * are *never* truncated — over-limit or invalid -> null. The
     * sanitize-changed-it test means any char the sanitizer would touch

@@ -78,13 +78,63 @@ object Runner {
           .as("license_url"),
         concat(lit("https://creativecommons.org"), col("license_path"))
           .as("raw_license_url"))
+    // D2 (Provider.py:310-314): the dual pre-sink dedupe — first on
+    // (provider, image_url), then on (provider, foreign_identifier) —
+    // so one crawl batch never carries two rows for the same image or
+    // the same foreign id into the TSV.
+    // jsonb columns cross the TSV boundary as JSON strings with every
+    // leaf sanitized recursively (columns.py:131-173) — nested objects
+    // inside meta_data values included, which the flat map sanitize
+    // cannot reach
     val prepared = ImageStore.prepare(raw, provider)
-      .withColumn("meta_data_json", to_json(col("meta_data")))
-      .withColumn("tags_json", to_json(col("tags")))
+      .dropDuplicates("provider", "image_url")
+      .dropDuplicates("provider", "foreign_identifier")
+      .withColumn("meta_data_json",
+        graft.clean.Cleaning.sanitizeJsonString(to_json(col("meta_data"))))
+      .withColumn("tags_json",
+        graft.clean.Cleaning.sanitizeJsonString(to_json(col("tags"))))
       .drop("meta_data", "tags")
     Tsv.write(prepared, s"$outDir/tsv/$provider", singleFile = true)
     prepared
   }
+
+  private val loadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """foreign_identifier STRING, foreign_landing_url STRING,
+      |image_url STRING, thumbnail_url STRING, width STRING,
+      |height STRING, filesize STRING, license_ STRING,
+      |license_version STRING, creator STRING, creator_url STRING,
+      |title STRING, watermarked STRING, provider STRING,
+      |source STRING, meta_data_json STRING, tags_json STRING""".stripMargin
+      .replace("\n", " "))
+
+  /** The phase-C load step: bounded TSV read, typed jsonb columns,
+    * required-field drop, last-wins dedupe. */
+  def loadCleaned(spark: SparkSession, tsvDir: String): DataFrame = {
+    val loaded = Tsv.readBounded(spark, tsvDir, loadSchema, maxBad = 10)
+      .withColumn("meta_data",
+        from_json(col("meta_data_json"), lit("map<string,string>")))
+      .withColumn("tags", from_json(col("tags_json"),
+        lit("array<struct<name:string,provider:string>>")))
+      .drop("meta_data_json", "tags_json")
+      .withColumn("__ord", monotonically_increasing_id())
+    Merge.dedupeLastWins(
+      Merge.dropRequiredNull(loaded,
+        Seq("image_url", "license_", "foreign_landing_url", "foreign_identifier")),
+      "provider", "foreign_identifier", "__ord").drop("__ord")
+  }
+
+  private def canonicalSpec(joinOnRawKey: Boolean) = Merge.MergeSpec(
+    provider = "provider", foreignId = "foreign_identifier",
+    scalarCols = Seq("foreign_landing_url", "image_url", "thumbnail_url",
+      "width", "height", "filesize", "license_", "license_version",
+      "creator", "creator_url", "title", "watermarked", "source"),
+    mapCols = Seq("meta_data"), arrayCols = Seq("tags"),
+    createdOn = Some("created_on"), updatedOn = Some("updated_on"),
+    joinOnRawKey = joinOnRawKey)
+
+  /** The bucketed-merge spec, exposed so plan tests can reproduce the
+    * exact join phaseCBucketed runs. */
+  def canonicalSpecForTest: Merge.MergeSpec = canonicalSpec(joinOnRawKey = true)
 
   /** Phase C: TSV -> clean -> dedupe -> merge into canonical table. */
   def phaseC(
@@ -92,32 +142,8 @@ object Runner {
       tsvDir: String,
       canonicalDir: String,
       now: org.apache.spark.sql.Column): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      """foreign_identifier STRING, foreign_landing_url STRING,
-        |image_url STRING, thumbnail_url STRING, width STRING,
-        |height STRING, filesize STRING, license_ STRING,
-        |license_version STRING, creator STRING, creator_url STRING,
-        |title STRING, watermarked STRING, provider STRING,
-        |source STRING, meta_data_json STRING, tags_json STRING""".stripMargin
-        .replace("\n", " "))
-    val loaded = Tsv.readBounded(spark, tsvDir, schema, maxBad = 10)
-      .withColumn("meta_data",
-        from_json(col("meta_data_json"), lit("map<string,string>")))
-      .withColumn("tags", from_json(col("tags_json"),
-        lit("array<struct<name:string,provider:string>>")))
-      .drop("meta_data_json", "tags_json")
-      .withColumn("__ord", monotonically_increasing_id())
-    val cleaned = Merge.dedupeLastWins(
-      Merge.dropRequiredNull(loaded,
-        Seq("image_url", "license_", "foreign_landing_url", "foreign_identifier")),
-      "provider", "foreign_identifier", "__ord").drop("__ord")
-    val spec = Merge.MergeSpec(
-      provider = "provider", foreignId = "foreign_identifier",
-      scalarCols = Seq("foreign_landing_url", "image_url", "thumbnail_url",
-        "width", "height", "filesize", "license_", "license_version",
-        "creator", "creator_url", "title", "watermarked", "source"),
-      mapCols = Seq("meta_data"), arrayCols = Seq("tags"),
-      createdOn = Some("created_on"), updatedOn = Some("updated_on"))
+    val cleaned = loadCleaned(spark, tsvDir)
+    val spec = canonicalSpec(joinOnRawKey = false)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       cleaned.schema
@@ -156,6 +182,51 @@ object Runner {
     Files.move(nxt, cur)
     rmTree(old)
     spark.read.parquet(canonicalDir)
+  }
+
+  /** Phase C, bucketed: the canonical table lives in the catalog
+    * BUCKETED BY (provider, foreign_identifier), so every repeated
+    * daily load merges WITHOUT shuffling the canonical side — at
+    * 100 TB the big table never moves, only the day's increment is
+    * hash-partitioned into the bucket layout (BucketingSpec proves the
+    * Exchange-free plan; RunnerSpec asserts it end-to-end here).
+    * The snapshot swap is a catalog rename: `<name>__next` is written
+    * complete, the old table dropped, the new one renamed in — at any
+    * crash point one complete table exists. */
+  def phaseCBucketed(
+      spark: SparkSession,
+      tsvDir: String,
+      tableName: String,
+      now: org.apache.spark.sql.Column,
+      buckets: Int = 0): DataFrame = {
+    // Bucket count must be >= the shuffle parallelism or the planner
+    // judges the 'free' bucketed distribution under-parallel and
+    // re-shuffles BOTH sides (DisableUnnecessaryBucketedScan). Size
+    // buckets to the cluster's partition budget, not a small constant.
+    val nBuckets =
+      if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val cleaned = loadCleaned(spark, tsvDir)
+    val spec = canonicalSpec(joinOnRawKey = true)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      cleaned.schema
+        .add("created_on", "timestamp").add("updated_on", "timestamp"))
+    val target =
+      if (spark.catalog.tableExists(tableName)) spark.table(tableName)
+      else empty
+    val merged = Merge.upsertMerge(target,
+      cleaned.withColumn("created_on", now).withColumn("updated_on", now),
+      spec, now)
+    val next = s"${tableName}__next"
+    spark.sql(s"DROP TABLE IF EXISTS $next")
+    merged.write
+      .bucketBy(nBuckets, "provider", "foreign_identifier")
+      .sortBy("provider", "foreign_identifier")
+      .saveAsTable(next)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"ALTER TABLE $next RENAME TO $tableName")
+    spark.table(tableName)
   }
 
   /** Popularity refresh (SURVEY §3 honorable-mention lifecycle). */

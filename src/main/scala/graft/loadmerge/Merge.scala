@@ -30,6 +30,13 @@ object Merge {
       updatedOn: Option[String] = None,
       lastSynced: Option[String] = None,
       removed: Option[String] = None,
+      // Join on the raw foreign id instead of md5(foreign id). Same
+      // result set (md5 equality == fid equality for the loader's
+      // bounded ids); the raw key is what lets a table BUCKETED BY
+      // (provider, fid) merge without shuffling the big side — a
+      // derived md5 key would discard the bucketing. The md5 default
+      // mirrors the reference's functional index (sql.py:251).
+      joinOnRawKey: Boolean = false,
   )
 
   /** Postgres `jsonb_strip_nulls(old) || jsonb_strip_nulls(new)` with
@@ -71,9 +78,13 @@ object Merge {
       now: Column = current_timestamp()): DataFrame = {
     val t = target.alias("old")
     val s = source.alias("new")
-    val joinCond =
-      col(s"old.${spec.provider}") === col(s"new.${spec.provider}") &&
+    val fidEq =
+      if (spec.joinOnRawKey)
+        col(s"old.${spec.foreignId}") === col(s"new.${spec.foreignId}")
+      else
         md5(col(s"old.${spec.foreignId}")) === md5(col(s"new.${spec.foreignId}"))
+    val joinCond =
+      col(s"old.${spec.provider}") === col(s"new.${spec.provider}") && fidEq
     val joined = t.join(s, joinCond, "full_outer")
 
     val sourcePresent = col(s"new.${spec.foreignId}").isNotNull

@@ -29,6 +29,25 @@ object CleaningPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.9 recursive nested-JSON sanitize (columns.py:131-173): leaf
+    // strings inside a nested object are sanitized through the
+    // depth-capped walker; the leaves are read back out so the oracle
+    // compares sanitized VALUES, not serialization details.
+    "q_sanitize_nested" -> ((s, d) => {
+      val dirtyLeaf = concat(lit("  \""), substring(col("text"), 1, 30),
+        lit("\"  tail  "))
+      val nested = to_json(struct(
+        struct(dirtyLeaf.as("t"), col("lang").as("lang")).as("inner"),
+        col("source").as("src")))
+      val clean = Cleaning.sanitizeJsonString(nested)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          get_json_object(clean, "$.inner.t").as("clean_t"),
+          get_json_object(clean, "$.inner.lang").as("clean_lang"),
+          get_json_object(clean, "$.src").as("src_out"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.9 casts (columns.py:70-118): best-int-approx + bool mapping.
     "q_casts" -> ((s, d) => {
       val numStr = concat(col("user_id").cast("string"), lit("."),
@@ -232,6 +251,16 @@ object CleaningPack extends QueryPack {
         |    '\s+', ' ', 'g')) AS cleaned,
         |  CASE WHEN length(text) > 50 THEN substr(text, 1, 50) ELSE text END AS capped,
         |  CASE WHEN length(text) > 50 THEN NULL ELSE text END AS strict
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sanitize_nested" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(
+        |      '  "' || substr(text, 1, 30) || '"  tail  ',
+        |      '"', ''''), chr(8), ''), '\', '\\'),
+        |    '\s+', ' ', 'g')) AS clean_t,
+        |  lang AS clean_lang,
+        |  source AS src_out
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_casts" ->
       """SELECT event_id,

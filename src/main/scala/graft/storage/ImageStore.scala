@@ -68,9 +68,21 @@ object ImageStore {
     * string/URL/int/bool column prep via the Cleaning kernel with the
     * reference's per-column sizes, then the required-field row drop
     * (P7: foreign_landing_url, image_url, license_, license_version).
+    *
+    * P9: when `imageMediatypes` is set and the input carries a
+    * `mediatype` column, rows of any other mediatype are dropped
+    * before preparation (wikimedia_commons.py:58,259-269's
+    * IMAGE_MEDIATYPES gate). The column is consumed by the filter and
+    * does not reach the 17-column relation.
     */
-  def prepare(df: DataFrame, provider: String): DataFrame = {
-    df.select(
+  def prepare(df: DataFrame, provider: String,
+      imageMediatypes: Option[Seq[String]] = None): DataFrame = {
+    val gated = imageMediatypes match {
+      case Some(types) if df.columns.contains("mediatype") =>
+        df.filter(col("mediatype").isin(types: _*))
+      case _ => df
+    }
+    gated.select(
       Cleaning.enforceCharLimit(Cleaning.sanitizeString(col("foreign_identifier")),
         3000, truncate = false).as("foreign_identifier"),
       Cleaning.prepareUrl(col("foreign_landing_url"), 1000).as("foreign_landing_url"),

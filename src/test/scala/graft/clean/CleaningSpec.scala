@@ -36,6 +36,37 @@ class CleaningSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("nested-JSON sanitize: leaf strings inside nested objects and " +
+      "arrays are sanitized (columns.py:131-173)") {
+    val in = """{"a":"say \"hi\"","deep":{"b":"x\\y","arr":["  p  q ","c\bd"]},""" +
+      """"n":7,"t":true,"z":null}"""
+    val out = Cleaning.sanitizeJsonValuesScala(in)
+    // every leaf: quotes swapped, backslash doubled, backspace gone,
+    // whitespace collapsed; numbers/booleans/null untouched
+    assert(out.contains(""""a":"say 'hi'""""))
+    assert(out.contains(""""b":"x\\\\y"""")) // raw x\y -> x\\y, JSON-escaped
+    assert(out.contains(""""arr":["p q","cd"]"""))
+    assert(out.contains(""""n":7"""))
+    assert(out.contains(""""t":true"""))
+    assert(out.contains(""""z":null"""))
+  }
+
+  test("nested-JSON sanitize: depth cap stops recursion; non-JSON input " +
+      "degrades to a sanitized string; null passes through") {
+    // depth 1: top-level leaves sanitized, deeper subtree untouched
+    val in = """{"top":"has \"q\"","deep":{"inner":"keep \"q\""}}"""
+    val shallow = Cleaning.sanitizeJsonValuesScala(in, maxDepth = 1)
+    assert(shallow.contains(""""top":"has 'q'""""))
+    assert(shallow.contains("""keep \"q\"""")) // beyond the cap: untouched
+    assert(Cleaning.sanitizeJsonValuesScala("""not  "json""") == "not 'json")
+    assert(Cleaning.sanitizeJsonValuesScala(null) == null)
+    // the Column form matches the Scala form
+    val viaCol = Seq("""{"k":"a  \"b\""}""").toDF("j")
+      .select(Cleaning.sanitizeJsonString(col("j")).as("r"))
+      .collect().head.getString(0)
+    assert(viaCol == """{"k":"a 'b'"}""")
+  }
+
   test("char limit: truncate vs null-out (test_columns.py limits)") {
     val df = Seq("abcdef").toDF("v")
     assert(df.select(Cleaning.enforceCharLimit(col("v"), 3, truncate = true))

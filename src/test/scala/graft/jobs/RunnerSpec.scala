@@ -4,6 +4,8 @@ import java.io.{ByteArrayOutputStream, FileOutputStream}
 import java.nio.file.Files
 import java.util.zip.GZIPOutputStream
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** The full lifecycle (SURVEY §3.1 -> §3.2 -> §3.3 -> popularity) on
@@ -86,5 +88,98 @@ class RunnerSpec extends SparkSpec {
     val again = Runner.phaseC(spark, s"$work/tsv/gallery", s"$work/image",
       org.apache.spark.sql.functions.lit("2024-06-01 00:00:00").cast("timestamp"))
     assert(again.collect().map(key).sortBy(_._1).toSeq == before)
+  }
+
+  test("phaseCBucketed: repeated loads merge with NO shuffle on the " +
+      "canonical side, and results match plain phaseC semantics") {
+    val work = Files.createTempDirectory("runner-bkt").toString
+    val now = org.apache.spark.sql.functions
+      .lit("2024-06-01 00:00:00").cast("timestamp")
+    // a small TSV load via the same boundary phaseB uses
+    val rows = (1 to 50).map(i => (s"f$i", s"https://ok.example.com/$i",
+      s"https://img.example.com/$i.jpg", "by", "4.0", "gallery", "gallery"))
+      .toDF("foreign_identifier", "foreign_landing_url", "image_url",
+        "license_", "license_version", "provider", "source")
+      .withColumn("thumbnail_url", lit(null).cast("string"))
+      .withColumn("width", lit(null).cast("string"))
+      .withColumn("height", lit(null).cast("string"))
+      .withColumn("filesize", lit(null).cast("string"))
+      .withColumn("creator", lit(null).cast("string"))
+      .withColumn("creator_url", lit(null).cast("string"))
+      .withColumn("title", lit(null).cast("string"))
+      .withColumn("watermarked", lit(null).cast("string"))
+      .withColumn("meta_data_json", lit(null).cast("string"))
+      .withColumn("tags_json", lit(null).cast("string"))
+      .select("foreign_identifier", "foreign_landing_url", "image_url",
+        "thumbnail_url", "width", "height", "filesize", "license_",
+        "license_version", "creator", "creator_url", "title", "watermarked",
+        "provider", "source", "meta_data_json", "tags_json")
+    graft.io.Tsv.write(rows, s"$work/tsv", singleFile = true)
+
+    spark.sql("DROP TABLE IF EXISTS canon_bkt")
+    spark.sql("DROP TABLE IF EXISTS canon_bkt__next")
+    // stale managed-table dirs from a previous JVM survive the in-memory
+    // catalog; clear them so saveAsTable can claim the location
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("canon_bkt", "canon_bkt__next").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val first = Runner.phaseCBucketed(spark, s"$work/tsv", "canon_bkt", now)
+    assert(first.count() == 50)
+
+    // the repeated-load merge: canonical side is the bucketed table —
+    // its scan must feed the join with NO Exchange above it
+    val target = spark.table("canon_bkt")
+    val load = Runner.loadCleaned(spark, s"$work/tsv")
+      .withColumn("created_on", now).withColumn("updated_on", now)
+    val merged = graft.loadmerge.Merge.upsertMerge(target, load,
+      Runner.canonicalSpecForTest, now)
+    val plan = merged.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(plan.contains("Bucketed: true"),
+      s"canonical scan should be bucketed:\n$plan")
+    assert(exchanges <= 1,
+      s"only the load side may shuffle (found $exchanges):\n$plan")
+
+    // re-running the full bucketed phase is idempotent
+    val second = Runner.phaseCBucketed(spark, s"$work/tsv", "canon_bkt", now)
+    assert(second.count() == 50)
+    spark.sql("DROP TABLE IF EXISTS canon_bkt")
+  }
+
+  test("phaseB dual dedupe: re-crawled pages never emit duplicate " +
+      "(provider, url) or (provider, fid) rows (D2, Provider.py:310-314)") {
+    val work = Files.createTempDirectory("runner-d2").toString
+    val warcDir = Files.createTempDirectory("warcroot-d2").toString
+    val m1 = gzip(galleryHtml(1))
+    new java.io.File(s"$warcDir/seg-1/warc").mkdirs()
+    val f = new FileOutputStream(s"$warcDir/seg-1/warc/f1.warc.gz")
+    f.write(m1); f.close()
+
+    def watLine(path: String): String =
+      s"""{"Container": {"Filename": "seg-1/wat/f1.warc.gz", "Offset": "0",
+         | "Gzip-Metadata": {"Deflate-Length": "${m1.length}"}},
+         | "Envelope": {"WARC-Header-Metadata":
+         |  {"WARC-Type": "response", "WARC-Target-URI": "https://gallery.example.org$path"},
+         | "Payload-Metadata": {"Actual-Content-Type": "application/json",
+         |  "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+         |   {"url": "https://creativecommons.org/licenses/by/4.0/", "path": "A@/href"}]}}}}}"""
+        .stripMargin.replace("\n", "")
+
+    // the same member crawled under two URIs: without D2 phaseB would
+    // write each gallery row twice
+    val wat = spark.createDataset(Seq(watLine("/g/1"), watLine("/g/1-alias")))
+    val links = Runner.phaseA(spark, wat, work)
+    assert(links.count() == 2)
+    val extracted = Runner.phaseB(spark, links, "gallery.example.org",
+      "gallery", warcDir, work)
+    assert(extracted.count() == 2) // 2 blocks, not 4
+    val fids = extracted.collect().map(_.getAs[String]("foreign_identifier"))
+    assert(fids.distinct.length == fids.length)
   }
 }

@@ -33,6 +33,65 @@ class MaintenanceSpec extends SparkSpec {
     assert(a + b == 200)
     assert(a > 0 && b > 0)
   }
+
+  // The three sub-provider acceptance rows, mirrored from the
+  // reference's loader tests with the REAL dictionaries.
+
+  test("flickr sub-provider update: NASA photostream reassigns, others " +
+      "keep provider source (test_sql.py:1272)") {
+    implicit val s = spark
+    val images = Seq(
+      ("a", "https://www.flickr.com/photos/29988733@N04", "flickr", "flickr"),
+      ("b", "https://www.flickr.com/photos/other_user", "flickr", "flickr"))
+      .toDF("foreign_identifier", "creator_url", "provider", "source")
+    val out = Maintenance.updateFlickrSubProviders(images)
+      .orderBy("foreign_identifier").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("source") == "nasa") // NASA Johnson NSID
+    assert(out(1).getAs[String]("source") == "flickr")
+  }
+
+  test("europeana sub-provider update: Wellcome Collection in the " +
+      "dataProvider array reassigns, others keep source (test_sql.py:1332)") {
+    val images = Seq(
+      ("a", Map("dataProvider" -> """["Wellcome Collection"]""",
+        "description" -> "A"), "europeana", "europeana"),
+      ("b", Map("dataProvider" -> """["Other Collection"]""",
+        "description" -> "B"), "europeana", "europeana"))
+      .toDF("foreign_identifier", "meta_data", "provider", "source")
+    val out = Maintenance.updateEuropeanaSubProviders(images)
+      .orderBy("foreign_identifier").collect()
+    assert(out(0).getAs[String]("source") == "wellcome_collection")
+    assert(out(1).getAs[String]("source") == "europeana")
+  }
+
+  test("smithsonian sub-provider update: unit codes map to museum " +
+      "sources; already-updated rows untouched (test_sql.py:1398)") {
+    val images = Seq(
+      ("a", Map("unit_code" -> "SIA"), "smithsonian", "smithsonian"),
+      ("b", Map("unit_code" -> "NMNHBIRDS"), "smithsonian", "smithsonian"),
+      ("c", Map("unit_code" -> "SIA"), "smithsonian", "already_done"),
+      ("d", Map("unit_code" -> "SIA"), "flickr", "flickr"))
+      .toDF("foreign_identifier", "meta_data", "provider", "source")
+    val out = Maintenance.updateSmithsonianSubProviders(images)
+      .orderBy("foreign_identifier").collect()
+    assert(out.map(_.getAs[String]("source")).toSeq == Seq(
+      "smithsonian_institution_archives",
+      "smithsonian_national_museum_of_natural_history",
+      "already_done", "flickr"))
+  }
+
+  test("smithsonian sub-provider update raises on an unknown unit code " +
+      "(sql.py:603-605)") {
+    val images = Seq(
+      ("a", Map("unit_code" -> "NOPE"), "smithsonian", "smithsonian"))
+      .toDF("foreign_identifier", "meta_data", "provider", "source")
+    val e = intercept[Exception] {
+      Maintenance.updateSmithsonianSubProviders(images).collect()
+    }
+    assert(e.getMessage.contains("unknown unit code") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown unit code")))
+  }
 }
 
 class ReingestionSpec extends AnyFunSuite {

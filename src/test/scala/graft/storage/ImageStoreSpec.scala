@@ -49,6 +49,37 @@ class ImageStoreSpec extends SparkSpec {
     assert(m1("license_url") == "https://l2")
   }
 
+  test("prepare: mediatype gate drops non-image rows when enabled (P9, " +
+      "wikimedia_commons.py:259-269)") {
+    val rows = Seq(
+      ("f1", "BITMAP"), ("f2", "AUDIO"), ("f3", "DRAWING"))
+      .toDF("foreign_identifier", "mediatype")
+      .withColumn("foreign_landing_url", lit("https://ok.example.com/x"))
+      .withColumn("image_url", lit("https://img.example.com/x.jpg"))
+      .withColumn("thumbnail_url", lit(null).cast("string"))
+      .withColumn("width", lit(null).cast("string"))
+      .withColumn("height", lit(null).cast("string"))
+      .withColumn("filesize", lit(null).cast("string"))
+      .withColumn("license_", lit("by"))
+      .withColumn("license_version", lit("4.0"))
+      .withColumn("creator", lit(null).cast("string"))
+      .withColumn("creator_url", lit(null).cast("string"))
+      .withColumn("title", lit(null).cast("string"))
+      .withColumn("meta_data", lit(null).cast("map<string,string>"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .withColumn("watermarked", lit(null).cast("string"))
+      .withColumn("source", lit(null).cast("string"))
+      .withColumn("license_url", lit("https://l"))
+      .withColumn("raw_license_url", lit(null).cast("string"))
+    val gated = ImageStore.prepare(rows, "wikimedia",
+      imageMediatypes = Some(Seq("BITMAP", "DRAWING")))
+    assert(gated.collect().map(_.getAs[String]("foreign_identifier")).sorted
+      .toSeq == Seq("f1", "f3"))
+    assert(!gated.columns.contains("mediatype")) // consumed by the gate
+    // default: no gate, all three survive
+    assert(ImageStore.prepare(rows, "wikimedia").count() == 3)
+  }
+
   test("prepare: cleans, enriches, drops rows missing required fields (P7)") {
     val rows = Seq(
       // valid row
