@@ -157,29 +157,43 @@ object Dedup {
   }
 
   /** Single-pass SimHash for a whole table: explode distinct tokens,
-    * hash each word ONCE, take the 16 per-bit vote sums in one
-    * hash-aggregate, assemble the code in the final projection. Same
-    * values as simhash16 (integer math, order-free), but per-word
-    * work is O(words) instead of O(16 x words) and the plan is one
-    * codegen'd aggregate. */
-  def simhashCodes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * hash each word ONCE, take the per-bit vote sums in one
+    * hash-aggregate, assemble the code in the final projection. At
+    * the default `bits = 16` this is value-identical to the scalar
+    * simhash16 (integer math, order-free), but per-word work is
+    * O(words) instead of O(bits x words) and the plan is one
+    * codegen'd aggregate.
+    *
+    * `bits` widens the fingerprint (more md5 nibbles per word, up to
+    * 32): a wider code is what makes banded pair-generation scale —
+    * 16 bits split into 4 pigeonhole segments leaves only 16 bucket
+    * values per segment, degenerating to ~n²/16 comparisons, while 32
+    * bits gives 256 values per segment. */
+  def simhashCodes(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits >= 4 && bits <= 32,
+      s"bits must be a multiple of 4 in [4,32], got $bits")
+    val nNib = bits / 4
     val hexmap = "0123456789abcdef"
     val words = df.select(col(idCol).as("id"),
       explode(array_distinct(tokensOf(col(textCol)))).as("w"))
     val h = md5(col("w"))
     def nib(i: Int): Column =
-      (instr(lit(hexmap), substring(h, i + 1, 1)) - 1).cast("int")
-    val wh = nib(0) * 4096 + nib(1) * 256 + nib(2) * 16 + nib(3)
-    val votes = (0 until 16).map(k =>
+      (instr(lit(hexmap), substring(h, i + 1, 1)) - 1).cast("long")
+    val wh = (0 until nNib)
+      .map(i => nib(i) * lit(1L << (4 * (nNib - 1 - i))))
+      .reduce(_ + _)
+    val votes = (0 until bits).map(k =>
       sum(when(shiftright(col("wh"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$k"))
-    val code = (0 until 16)
-      .map(k => when(col(s"v$k") > 0, lit(1 << k)).otherwise(lit(0)))
+    val code = (0 until bits)
+      .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
+    val typed = if (bits <= 16) code.cast("int") else code
     words.select(col("id"), wh.as("wh"))
       .groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
-      .select(col("id"), code.cast("int").as("code"))
+      .select(col("id"), typed.as("code"))
   }
 
   /** Hamming distance between two simhash codes. */
@@ -204,11 +218,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000,
+      bits: Int = 16): DataFrame = {
     val nSeg = maxHamming + 1
-    // segment boundaries spread 16 bits as evenly as possible
-    val bounds = (0 to nSeg).map(i => i * 16 / nSeg)
-    val coded = simhashCodes(df, idCol, textCol)
+    // segment boundaries spread the code bits as evenly as possible
+    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+    val coded = simhashCodes(df, idCol, textCol, bits)
     val banded = coded.select(col("id"), col("code"),
       explode(array((0 until nSeg).map { s =>
         val lo = bounds(s)
@@ -238,8 +253,9 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
-    val coded = simhashCodes(df, idCol, textCol)
+      maxHamming: Int,
+      bits: Int = 16): DataFrame = {
+    val coded = simhashCodes(df, idCol, textCol, bits)
     coded.alias("l").join(coded.alias("r"), col("l.id") < col("r.id"))
       .withColumn("hamming", hamming(col("l.code"), col("r.code")))
       .filter(col("hamming") <= maxHamming)

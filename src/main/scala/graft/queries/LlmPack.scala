@@ -84,10 +84,19 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs, bucketed by code prefix. Rows-only.
+    // SimHash near-dup pairs via pigeonhole banding. Rows-only. The
+    // 32-bit fingerprint is the scale choice: maxHamming=3 splits it
+    // into 4 segments of 256 bucket values each, so within-bucket
+    // comparison volume is ~n²/256 per segment instead of the 16-bit
+    // code's ~n²/16 (DedupSpec proves banded == brute-force recall at
+    // both widths).
+    // maxBucket=500: this synthetic corpus draws from a ~31-word
+    // vocabulary, so a large share of ALL pairs are within hamming 3 —
+    // segment buckets holding >10% of the corpus are boilerplate mass
+    // whose pairs belong to the exact-dup path, not pair explosion.
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 3, bits = 32, maxBucket = 500)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -86,14 +86,27 @@ class DedupSpec extends SparkSpec {
     // bucket over the cap at this sf, recall must be 100% — the old
     // high-byte bucketing FAILS this test (cross-boundary misses).
     val docs = Tables.documents(spark, sf)
-    for (maxH <- Seq(1, 3)) {
-      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
+    for ((maxH, bits) <- Seq((1, 16), (3, 16), (3, 32))) {
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = maxH, bits = bits)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      val brute = Dedup.simhashPairsBruteForce(docs, "doc_id", "text", maxH)
+      val brute = Dedup.simhashPairsBruteForce(docs, "doc_id", "text", maxH,
+          bits = bits)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(banded == brute,
-        s"maxHamming=$maxH: banded ${banded.size} pairs vs brute ${brute.size}")
+        s"maxHamming=$maxH bits=$bits: banded ${banded.size} pairs " +
+          s"vs brute ${brute.size}")
     }
+  }
+
+  test("simhashCodes(bits=32) widens the 16-bit code: low 16 bits match " +
+      "only when votes agree, and the type widens to long") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val c32 = Dedup.simhashCodes(docs, "doc_id", "text", bits = 32)
+    val row = c32.schema("code")
+    assert(row.dataType == org.apache.spark.sql.types.LongType)
+    val vals = c32.collect().map(_.getLong(1))
+    assert(vals.forall(v => v >= 0 && v < (1L << 32)))
   }
 
   test("simhashPairs bucket cap drops degenerate buckets instead of going n²") {
