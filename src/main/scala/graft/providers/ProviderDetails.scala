@@ -34,6 +34,16 @@ object ProviderDetails {
   val europeanaSubProviders: Map[String, String] = Map(
     "wellcome_collection" -> "Wellcome Collection")
 
+  val FinnishDefaultProvider = "finnish_museums"
+
+  /** provider_details.py:28-33 — Finnish museum sub-providers by
+    * building facet value. */
+  val finnishSubProviders: Map[String, String] = Map(
+    "national_museum_of_finland" -> "0/Suomen kansallismuseo/",
+    "finnish_heritage_agency" -> "0/Museovirasto/",
+    "finnish_satakunnan_museum" -> "0/SATMUSEO/",
+    "finnish_military_museum" -> "0/SA-kuva/")
+
   /** provider_details.py:64-132 — Smithsonian sub-providers by museum
     * unit code. */
   val smithsonianSubProviders: Map[String, Set[String]] = Map(
