@@ -38,6 +38,36 @@ object Dedup {
 
   private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Decontamination — the test-set-overlap pass of a training-data
+    * pipeline: count, per corpus document, the DISTINCT word n-grams
+    * it shares with any benchmark document. Corpus docs with zero
+    * overlap don't appear (filter the result against the corpus for
+    * the keep-set).
+    *
+    * Scale shape: both sides reduce to (id, md5(gram)) rows — 16-byte
+    * digests, never raw text, distinct-ed per document before the
+    * join. The benchmark side (a test set: thousands of docs, not
+    * billions) aggregates to a distinct digest set and is broadcast,
+    * so the corpus pass is one scan + one map-side join + one
+    * hash-aggregate, with no corpus-sized shuffle of gram rows. */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(tokensOf(col(textCol)), n)))
+          .as("g"))
+        .select(col("id"), md5(col("g")).as("gh"))
+    val bench = grams(benchmark).select(col("gh")).distinct()
+    grams(corpus)
+      .join(broadcast(bench), "gh")
+      .groupBy(col("id"))
+      .agg(count(col("gh")).as("n_hits")) // per-doc grams already distinct
+  }
+
   /** Jaccard similarity of two string arrays (as distinct sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -47,6 +47,29 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination: corpus docs (doc_id >= 20) sharing any word
+    // 5-gram with the benchmark set (doc_id < 20). Benchmark digests
+    // broadcast; join runs on md5(gram), never raw text.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text",
+        docs.filter(col("doc_id") < 20), n = 5)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals: duplicated-word fraction and
+    // most-frequent-bigram mass. Pure row-local column math.
+    "q_repetition" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.dupWordRatio(t).as("dup_word_ratio"),
+          TextStats.topBigramFraction(t).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 16-bit SimHash per document (md5-nibble construction — engine
     // and oracle recompute it independently; single-pass explode+agg).
     "q_simhash" -> ((s, d) => {
@@ -225,6 +248,38 @@ object LlmPack extends QueryPack {
         |    ELSE 'de' END AS lang_guess,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(sp) < 5
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp) - 3),
+        |        i -> array_to_string(list_slice(sp, i, i + 4), ' '))
+        |    END)) AS gram
+        |  FROM toks)
+        |SELECT c.doc_id AS doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, gram FROM g WHERE doc_id >= 20) c
+        |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 20) b
+        |  USING (gram)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |g AS (
+        |  SELECT doc_id, sp, CASE WHEN len(sp) < 2
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)),
+        |        i -> sp[i] || ' ' || sp[i+1])
+        |    END AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(sp)) AS DOUBLE) /
+        |    CAST(len(sp) AS DOUBLE) AS dup_word_ratio,
+        |  CAST(list_max(list_transform(list_distinct(grams),
+        |      x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) /
+        |    CAST(len(grams) AS DOUBLE) AS top_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word

@@ -51,6 +51,23 @@ object RelationalPack extends QueryPack {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Skew.saltedAgg under the oracle: the two-phase (key, salt) ->
+    // key aggregation must produce EXACTLY the plain GROUP BY totals.
+    // Sum routed through integer cents so partial re-aggregation
+    // order can't move a double ulp.
+    "q_salted_rollup" -> ((s, d) => {
+      graft.maintain.Skew.saltedAgg(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", saltBuckets = 8,
+        partialAggs = Seq(
+          count(lit(1)).as("c"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qc")),
+        finalAggs = Seq(
+          sum(col("c")).as("n_items"),
+          (sum(col("qc")).cast("double") / 100.0).as("sum_qty")))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // W1/D3: row_number dedupe — newest order per customer
     // (mirror of util/loader/sql.py:171-182's last-wins dedupe).
     "q_w1_newest_order" -> ((s, d) => {
@@ -246,6 +263,12 @@ object RelationalPack extends QueryPack {
         |  count(DISTINCT l_orderkey) AS orders_d
         |FROM lineitem GROUP BY l_suppkey
         |ORDER BY total DESC, l_suppkey LIMIT 100""".stripMargin,
+    "q_salted_rollup" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -32,6 +32,25 @@ object EventStream {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("val_sum"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension on `user_id = dimKey`, then count per (30-minute
+    * window, dim attribute). Stream-static equi-joins are STATELESS —
+    * with the dim broadcast, enrichment is a map-side operation on
+    * every micro-batch and only the windowed aggregate keeps state.
+    * This is the streaming form of the J3/J5 dim-lookup family. */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      dimKey: String,
+      dimAttr: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), "30 minutes"), col(dimAttr))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col(dimAttr), col("n"))
+
   /** Stateful exact dedupe on a key column: first occurrence passes,
     * repeats are dropped — flatMapGroupsWithState with a per-key seen
     * bit. At production scale the state is bounded with a timeout

@@ -76,6 +76,30 @@ object TextStats {
     size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
   }
 
+  /** Gopher-style repetition signal: fraction of word occurrences
+    * that are repeats of an earlier word (0 for all-distinct text).
+    * Pure row-local Column math — no shuffle. */
+  def dupWordRatio(text: Column): Column = {
+    val t = tokens(text)
+    lit(1.0) - size(array_distinct(t)).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Gopher-style repetition signal: the mass of the most frequent
+    * word bigram (most-frequent-bigram count / total bigrams). Texts
+    * shorter than two words collapse to one gram -> 1.0. Row-local:
+    * O(distinct x total) comparisons inside codegen, fine at document
+    * granularity. */
+  def topBigramFraction(text: Column): Column = {
+    val t = tokens(text)
+    val grams = when(size(t) < 2, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    array_max(counts).cast("double") / size(grams).cast("double")
+  }
+
   /** Predicted language: argmax of per-language hit counts, ties
     * broken by fixed language order; all-zero -> "und". */
   def langId(text: Column): Column = {

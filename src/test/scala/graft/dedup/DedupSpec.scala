@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpec {
     assert(vals.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("decontaminate flags exactly the corpus docs sharing an n-gram " +
+      "with the benchmark, counting distinct shared grams") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares 'quick brown fox jumps over' (and one more 5-gram)
+      (10L, "a quick brown fox jumps over the fence today"),
+      // no 5-gram overlap
+      (11L, "completely different text with no shared phrases at all"),
+      // contains the benchmark VERBATIM -> many hits
+      (12L, "prefix the quick brown fox jumps over the lazy dog suffix"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(11L))
+    assert(out(10L) == 2L) // 'quick brown fox jumps over', 'brown fox jumps over the'
+    assert(out(12L) == 5L) // all five 5-grams of the 9-word benchmark
+  }
+
   test("simhashPairs bucket cap drops degenerate buckets instead of going n²") {
     // 500 identical docs: every (seg, bits) bucket holds all 500 rows.
     // With maxBucket below that, the capped plan must return NO pairs

@@ -50,6 +50,35 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment joins a broadcast dim per micro-batch " +
+      "and windows on the dim attribute") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "EUROPE"), (2L, "ASIA")).toDF("u_key", "region")
+    val in = MemoryStream[Event]
+    val q = EventStream.enrichedWindowedCounts(
+      in.toDF(), dim, "u_key", "region")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
+      Event(3, ts("2024-01-01 00:20:00"), 2, "click", 1.0),
+      // user 3 has no dim row: inner join drops it
+      Event(4, ts("2024-01-01 00:25:00"), 3, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(5, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => (r.getAs[Timestamp]("wstart").toString,
+        r.getAs[String]("region"), r.getAs[Long]("n"))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00.0", "EUROPE", 2L)))
+    assert(rows.contains(("2024-01-01 00:00:00.0", "ASIA", 1L)))
+    assert(!rows.exists(_._2 == null))
+    }
+  }
+
   test("streaming dedupe emits each key once across batches") {
     withFewPartitions {
     implicit val sqlCtx = spark.sqlContext

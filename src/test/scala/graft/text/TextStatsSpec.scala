@@ -38,6 +38,20 @@ class TextStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("repetition signals: dup-word ratio and top-bigram mass") {
+    // all-distinct text: no repetition
+    assert(one[Double](TextStats.dupWordRatio(col("t")), "a b c d") == 0.0)
+    // 'a' appears 3x in 6 words -> 1 - 4/6
+    assert(math.abs(one[Double](TextStats.dupWordRatio(col("t")),
+      "a a a b c d") - (1.0 - 4.0 / 6.0)) < 1e-12)
+    // 'x y' repeated: grams of 'x y x y x y' = [x y, y x, x y, y x, x y]
+    // -> top gram 'x y' has 3 of 5
+    assert(math.abs(one[Double](TextStats.topBigramFraction(col("t")),
+      "x y x y x y") - 0.6) < 1e-12)
+    // single-word text collapses to one gram -> 1.0
+    assert(one[Double](TextStats.topBigramFraction(col("t")), "solo") == 1.0)
+  }
+
   test("quality score stays in [0,1] and prefers real prose over symbol soup") {
     val prose = one[Double](TextStats.qualityScore(col("t")),
       "the quick brown fox jumps over the lazy dog and runs into the field " * 5)
