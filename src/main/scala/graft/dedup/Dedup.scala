@@ -38,6 +38,61 @@ object Dedup {
 
   private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Connected components over near-dup pairs — the clustering step
+    * that turns pair lists (minhash/simhash/embedding) into one
+    * keeper per duplicate group: every node's cluster label converges
+    * to the smallest id reachable from it.
+    *
+    * Iterative min-label propagation: each round is one distributed
+    * join + aggregate (the driver only orchestrates, Pregel-style),
+    * stopping early at the first round with zero label changes.
+    * Near-dup clusters have tiny diameters (most are pairs or
+    * triangles), so convergence is 2-3 rounds in practice; `maxIter`
+    * bounds pathological chains.
+    *
+    * Each round's result is `localCheckpoint`ed, not merely cached:
+    * a cache cuts re-EXECUTION but leaves the logical plan growing —
+    * and since every round references the previous labels twice, the
+    * analyzed plan doubles per round (exponential Catalyst analysis
+    * time, the classic iterative-algorithm trap). Checkpointing
+    * truncates lineage to the materialized blocks. On a real cluster
+    * with lineage-based fault tolerance concerns, swap
+    * localCheckpoint for a reliable `checkpoint` directory — the
+    * algorithm is unchanged. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = sym.alias("e")
+        .join(labels.alias("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src").as("nid"))
+        .agg(min(col("l.lbl")).as("nbr_lbl"))
+      val next = labels.alias("l")
+        .join(nbrMin.alias("n"), col("l.id") === col("n.nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl")))
+            .as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.alias("a")
+        .join(labels.alias("b"), col("a.id") === col("b.id"))
+        .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   /** Decontamination — the test-set-overlap pass of a training-data
     * pipeline: count, per corpus document, the DISTINCT word n-grams
     * it shares with any benchmark document. Corpus docs with zero

@@ -94,6 +94,24 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup CLUSTERING: connected components over the bounded
+    // Jaccard pairs — the step that turns pair lists into one keeper
+    // per duplicate group. Oracle: recursive-CTE reachability closure.
+    "q_neardup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          Dedup.shingles(split(trim(col("text")), "\\s+"), 2).as("sh"))
+      val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = l.join(r, col("id_a") < col("id_b"))
+        .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jacc") >= 0.05)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dup candidates over the FULL table — banded
     // bucket join, no all-pairs plan. Rows-only check (verified vs
     // exact Jaccard in ScalaTest).
@@ -314,6 +332,28 @@ object LlmPack extends QueryPack {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+        |    END) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE doc_id < 60)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,

@@ -109,6 +109,18 @@ class DedupSpec extends SparkSpec {
     assert(vals.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("connectedComponents converges to min-id clusters, including " +
+      "a chain longer than one propagation hop") {
+    // components: {1,2,3,4} as a chain, {10,11}, and 20-21-22 as a
+    // triangle; chain 4->3->2->1 needs multiple rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("decontaminate flags exactly the corpus docs sharing an n-gram " +
       "with the benchmark, counting distinct shared grams") {
     val bench = Seq(
