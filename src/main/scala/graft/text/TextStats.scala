@@ -87,17 +87,30 @@ object TextStats {
 
   /** Gopher-style repetition signal: the mass of the most frequent
     * word bigram (most-frequent-bigram count / total bigrams). Texts
-    * shorter than two words collapse to one gram -> 1.0. Row-local:
-    * O(distinct x total) comparisons inside codegen, fine at document
-    * granularity. */
+    * shorter than two words collapse to one gram -> 1.0.
+    *
+    * Row-local O(n log n): sort the gram array and take the longest
+    * run of equal neighbors with one aggregate() scan. (The naive
+    * count-each-distinct-gram filter is O(distinct x total) string
+    * comparisons per document — 300+ s over sf0.1 vs ~2 s for this
+    * form.) */
   def topBigramFraction(text: Column): Column = {
     val t = tokens(text)
     val grams = when(size(t) < 2, array(concat_ws(" ", t)))
       .otherwise(transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", slice(t, i, lit(2)))))
-    val counts = transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g)))
-    array_max(counts).cast("double") / size(grams).cast("double")
+    val best = aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / size(grams).cast("double")
   }
 
   /** Predicted language: argmax of per-language hit counts, ties
