@@ -116,7 +116,21 @@ object Runner {
       .withColumn("tags", from_json(col("tags_json"),
         lit("array<struct<name:string,provider:string>>")))
       .drop("meta_data_json", "tags_json")
-      .withColumn("__ord", monotonically_increasing_id())
+      // Load order must be RETRY-STABLE: the last-wins tiebreak is the
+      // row's physical file position, not a partition-layout artifact
+      // (a bare monotonically_increasing_id changes winners when the
+      // scan is re-planned or a task retries). CSV scans expose no
+      // _metadata.row_index (parquet-only), so the stable total order
+      // is (file_path, file_block_start, within-block sequence):
+      // block starts are monotone in file offset and a block is read
+      // by exactly one task in file order, so comparing this struct
+      // ranks rows by absolute file position under ANY partition
+      // layout — matching the reference's physical-order ctid
+      // semantics (util/loader/sql.py last-insert-wins).
+      .withColumn("__ord", struct(
+        col("_metadata.file_path"),
+        col("_metadata.file_block_start"),
+        monotonically_increasing_id()))
     Merge.dedupeLastWins(
       Merge.dropRequiredNull(loaded,
         Seq("image_url", "license_", "foreign_landing_url", "foreign_identifier")),

@@ -20,17 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  /** One source weighted `w`, seed-deterministic. */
+  /** One source weighted `w`, seed-deterministic.
+    *
+    * Upsampling (w > 1) is ONE SCAN: each row explodes into
+    * ceil(w) copy indices and the last (fractional) copy is kept by a
+    * seeded content-hash Bernoulli — not floor(w) unionAll re-scans of
+    * the source, which at 100 TB is floor(w) full passes. The
+    * content-hash keep (xxhash64 over the row + seed) is deterministic
+    * under ANY partitioning or retry, stronger than sample()'s
+    * partition-seeded RNG; the one bias — byte-identical duplicate
+    * rows share a keep decision — is harmless for upsampling (dup
+    * rows are interchangeable) and exact dedupe runs upstream anyway. */
   def weighted(df: DataFrame, w: Double, seed: Long): DataFrame = {
     require(w >= 0, s"weight must be >= 0, got $w")
     val whole = math.floor(w).toInt
     val frac = w - whole
-    val copies = Seq.fill(whole)(df) ++
-      (if (frac > 1e-12) Seq(df.sample(withReplacement = false, frac, seed))
-       else Nil)
-    copies match {
-      case Nil => df.limit(0)
-      case head +: tail => tail.foldLeft(head)(_ unionAll _)
+    val hasFrac = frac > 1e-12
+    if (w < 1e-12) df.limit(0)
+    else if (whole == 0) df.sample(withReplacement = false, frac, seed)
+    else {
+      val n = whole + (if (hasFrac) 1 else 0)
+      val rowHash = xxhash64(struct(df.columns.map(col): _*), lit(seed))
+      val keepFrac = pmod(rowHash, lit(1000000L)) <
+        lit(math.round(frac * 1000000L))
+      df.withColumn("__copy", explode(sequence(lit(1), lit(n))))
+        .filter(col("__copy") <= whole || keepFrac)
+        .drop("__copy")
     }
   }
 

@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_bigram_frac"),
+      new ExpressionInfo(classOf[TopBigramFraction].getName, "top_bigram_frac"),
+      (children: Seq[Expression]) => TopBigramFraction(children.head)))
   }
 }

@@ -136,54 +136,82 @@ object Similarity {
   /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed)
     * partitions the base vectors into `nLists` cells; each query
     * searches only its `nProbe` nearest cells, with exact cosine
-    * re-rank inside. The classic inverted-file index expressed as two
-    * joins: base->cell assignment is precomputed (one pass), query->
-    * probe-cells is a broadcast of the (tiny) centroid table. */
+    * re-rank inside.
+    *
+    * Scale shape: the quantizer fits on a BOUNDED sample (no counting
+    * pass); base->cell assignment and query->probe selection are both
+    * a row-local argmax over the nLists centroid LITERALS (codegen'd
+    * cosine per centroid + a 16-element array sort — no ml.transform
+    * stage, no window shuffle); the candidate join is equi on cell
+    * with the query side broadcast.
+    *
+    * Recall levers, metric-consistent (cosine everywhere; k-means
+    * runs on L2-normalized vectors, where Euclidean and cosine orders
+    * coincide): `nProbe` widens the query's cell search, and
+    * `nAssign` spills each base vector into its nAssign nearest cells
+    * (redundant inverted lists — nAssign x index size). On corpora
+    * with weak cluster structure, single-assignment IVF loses
+    * neighbors whose one cell the query ranks low; dual assignment
+    * recovers most of that recall for 2x list storage. */
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       base: DataFrame, // (id, vec)
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+      seed: Long = 42L,
+      nAssign: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val spark = base.sparkSession
-    val baseVec = base.withColumn("features",
-      array_to_vector(col("vec").cast("array<double>")))
+    // L2-normalize the quantizer's feature space: fitting on raw
+    // magnitudes splits cells by vector length, which cosine search
+    // doesn't care about, and costs recall.
+    val unitVec = transform(col("vec"),
+      x => x.cast("double") /
+        sqrt(aggregate(transform(col("vec"),
+          y => y.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)))
+    val baseVec = base.withColumn("features", array_to_vector(unitVec))
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    // Fit the coarse quantizer on a bounded SAMPLE, not the full base:
-    // at 100 TB a full-table k-means fit is 10 scans of everything,
-    // while centroid quality saturates at a few thousand points per
-    // list. Assignment (model.transform) still covers every base row
-    // in one pass.
+    // Fit the coarse quantizer on a bounded sample WITHOUT a counting
+    // pass: the old exact count() was one full extra scan of base
+    // before any work. A fixed fraction with a hard row cap bounds
+    // the fit the same way — LocalLimit stops each scan task once it
+    // has its rows, so the fit reads at most ~2x fitCap rows per
+    // task. If the cap undershoots on a tiny base, MLlib's k-means
+    // just returns fewer than nLists centers and every cell gets
+    // probed — still correct, verified empirically.
+    // (GlobalLimit funnels to one partition — re-spread the <= fitCap
+    // fit rows so the k-means iterations run parallel, not 1-threaded)
     val fitCap = math.max(nLists * 2000, 20000)
-    val approxRows = baseVec.select(col("id")).count()
-    val fitDf =
-      if (approxRows <= fitCap) baseVec
-      else baseVec.sample(withReplacement = false,
-        fraction = math.min(1.0, fitCap.toDouble / approxRows), seed = seed)
+    val fitDf = baseVec
+      .sample(withReplacement = false, fraction = 0.5, seed = seed)
+      .limit(fitCap)
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
     fitDf.persist()
     val model =
       try km.fit(fitDf)
       finally fitDf.unpersist()
-    val assigned = model.transform(baseVec)
-      .select(col("id"), col("vec"), col("cell"))
 
-    // centroid table: tiny, broadcast to score query->cell distances
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "cvec")
-    val qCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -cosine(col("qvec"), col("cvec")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cell"))
+    // Centroids inline as literals (tiny, they ship with the plan):
+    // each side picks its nearest cells with one row-local
+    // sorted-array scan — same metric both sides, no shuffle.
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    def nearestCells(vecCol: Column, n: Int): Column = {
+      val scored = array(cents.map { case (i, c) =>
+        struct(cosine(vecCol, array(c.map(lit(_)): _*)).as("s"),
+          lit(i).as("cell"))
+      }: _*)
+      transform(slice(sort_array(scored, asc = false), 1, n),
+        s => s.getField("cell"))
+    }
+    val assigned = base.select(col("id"), col("vec"),
+      explode(nearestCells(col("vec"), nAssign)).as("cell"))
+    val qCells = queries.select(col("qid"), col("qvec"),
+      explode(nearestCells(col("qvec"), nProbe)).as("cell"))
 
     val cand = assigned.join(broadcast(qCells), Seq("cell"))
       .select(col("qid"), col("qvec"), col("id"), col("vec"))

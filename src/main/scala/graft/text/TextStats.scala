@@ -89,12 +89,22 @@ object TextStats {
     * word bigram (most-frequent-bigram count / total bigrams). Texts
     * shorter than two words collapse to one gram -> 1.0.
     *
-    * Row-local O(n log n): sort the gram array and take the longest
-    * run of equal neighbors with one aggregate() scan. (The naive
-    * count-each-distinct-gram filter is O(distinct x total) string
-    * comparisons per document — 300+ s over sf0.1 vs ~2 s for this
-    * form.) */
-  def topBigramFraction(text: Column): Column = {
+    * Backed by the codegen'd graft.plans.TopBigramFraction expression
+    * (one compiled intern+sort+longest-run pass per row). The previous
+    * composable form — array_sort(grams) + an aggregate() longest-run
+    * scan — was already row-local O(n log n), but Spark evaluates
+    * higher-order functions interpreted per element, and that one
+    * kernel was 15% of the whole bench suite; the native expression
+    * computes the identical value inside WholeStageCodegen. Still zero
+    * shuffle. [[topBigramFractionHof]] keeps the composable form as
+    * the parity oracle. */
+  def topBigramFraction(text: Column): Column =
+    graft.plans.TopBigramFraction(text)
+
+  /** The pure-Column composable form of [[topBigramFraction]] —
+    * value-identical; retained as the ScalaTest parity oracle for the
+    * native expression (and for sessions without GraftExtensions). */
+  def topBigramFractionHof(text: Column): Column = {
     val t = tokens(text)
     val grams = when(size(t) < 2, array(concat_ws(" ", t)))
       .otherwise(transform(sequence(lit(1), size(t) - 1),

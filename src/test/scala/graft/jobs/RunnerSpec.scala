@@ -182,4 +182,41 @@ class RunnerSpec extends SparkSpec {
     val fids = extracted.collect().map(_.getAs[String]("foreign_identifier"))
     assert(fids.distinct.length == fids.length)
   }
+
+  test("loadCleaned last-wins order is retry/layout-stable: winners " +
+      "are file-position-determined, identical under perturbed scans") {
+    val dir = Files.createTempDirectory("loadord").toString
+    // 17-col TSV rows; only key fields and title vary
+    def row(fid: String, title: String): String =
+      (Seq(fid, "https://x/f", s"https://i/$fid.jpg", "\\N", "\\N", "\\N",
+        "\\N", "by", "4.0", "\\N", "\\N", title, "\\N", "prov", "\\N",
+        "\\N", "\\N")).mkString("\t")
+    // K1 duplicated across files (later FILE must win), K2 duplicated
+    // within one file (later ROW in file order must win)
+    Files.write(java.nio.file.Paths.get(s"$dir/part-a.tsv"),
+      Seq(row("K1", "a1"), row("K2", "first"), row("K1", "a2"),
+        row("K2", "last")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/part-b.tsv"),
+      (row("K1", "winner") + "\n").getBytes("UTF-8"))
+
+    def winners(): Map[String, String] =
+      Runner.loadCleaned(spark, dir)
+        .select("foreign_identifier", "title").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val plain = winners()
+    // perturb the scan layout: force many tiny file splits so block
+    // boundaries and partition count change completely
+    val perturbed =
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        winners()
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    assert(plain == Map("K1" -> "winner", "K2" -> "last"))
+    assert(perturbed == plain)
+  }
 }

@@ -36,6 +36,26 @@ class MixingSpec extends SparkSpec {
     assert(zero.count() == 0 && zero.columns.toSeq == base.columns.toSeq)
   }
 
+  test("upsampling is ONE scan of the source, not floor(w) re-scans, " +
+      "and is deterministic under repartitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("mixscan").toString
+    docs(1000, "a").write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val up = Mixing.weighted(base, 3.7, seed = 5L)
+    // plan-level: exactly one relation scan feeds the whole upsample
+    val scans = up.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+    val n = up.count()
+    assert(n > 3500 && n < 3900, s"got $n")
+    // content-hash keep decision: identical result regardless of the
+    // source's partitioning (stronger than sample()'s partition RNG)
+    val perturbed = Mixing.weighted(base.repartition(7), 3.7, seed = 5L)
+    assert(up.exceptAll(perturbed).count() == 0 &&
+      perturbed.exceptAll(up).count() == 0)
+  }
+
   test("mix unions weighted sources; stratified balances per-key " +
       "fractions") {
     val mixed = Mixing.mix(Seq(

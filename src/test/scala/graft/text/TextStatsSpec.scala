@@ -52,6 +52,33 @@ class TextStatsSpec extends SparkSpec {
     assert(one[Double](TextStats.topBigramFraction(col("t")), "solo") == 1.0)
   }
 
+  test("native top_bigram_frac expression has exact parity with the " +
+      "composable HOF form (sf0.001 documents + edge strings)") {
+    // real corpus: every document must agree bit-for-bit
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatch = docs.select(col("doc_id"),
+        TextStats.topBigramFraction(col("text")).as("native"),
+        TextStats.topBigramFractionHof(col("text")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(mismatch.count() == 0)
+    // edge strings: empties, single token, tabs, trailing whitespace,
+    // repeated grams
+    val edges = Seq("", "solo", "x y x y x y", "a  b\tc", " padded out ",
+      "tab\tend\t", "a a a a")
+    val edgeMismatch = edges.toDF("t")
+      .select(TextStats.topBigramFraction(col("t")).as("native"),
+        TextStats.topBigramFractionHof(col("t")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(edgeMismatch.count() == 0)
+    // null in -> null out for the native form. (The HOF form under
+    // non-ANSI sessions folds null to 1.0 — an accident of legacy
+    // size(null) = -1 — which the native expression deliberately does
+    // NOT reproduce.)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(TextStats.topBigramFraction(col("t")).as("native")).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
   test("quality score stays in [0,1] and prefers real prose over symbol soup") {
     val prose = one[Double](TextStats.qualityScore(col("t")),
       "the quick brown fox jumps over the lazy dog and runs into the field " * 5)
