@@ -141,6 +141,20 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The BANDED pairing logic under the hard driver-checked oracle:
+    // on a bounded subset with the bucket cap disabled, pigeonhole
+    // banding guarantees EXACT recall <= maxHamming and the hamming
+    // re-check kills band collisions, so the banded output must equal
+    // a brute-force hamming self-join over the (SQL-recomputable)
+    // md5-nibble 16-bit codes. q_simhash_pairs stays the full-table
+    // scale path; this row pins its pairing machinery.
+    "q_simhash_pairs_exact" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d).filter(col("doc_id") < 60),
+          "doc_id", "text", maxHamming = 3, maxBucket = Int.MaxValue,
+          bits = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Brute-force cosine top-3 neighbors (the ANN oracle): queries =
     // vec_id<10 broadcast against all base vectors vec_id>=10.
     "q_ann_bruteforce" -> ((s, d) => {
@@ -317,6 +331,31 @@ object LlmPack extends QueryPack {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN votes > 0 THEN 1 << k ELSE 0 END) AS INTEGER) AS code
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs_exact" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents WHERE doc_id < 60),
+        |h AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(word),1,1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(md5(word),2,1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(md5(word),3,1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(word),4,1)) - 1) AS wh
+        |  FROM w),
+        |b AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN (wh >> k) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS k) bits
+        |  GROUP BY doc_id, k),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN votes > 0 THEN 1 << k ELSE 0 END) AS INTEGER) AS code
+        |  FROM b GROUP BY doc_id)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  CAST(bit_count(xor(l.code, r.code)) AS INTEGER) AS hamming
+        |FROM c l JOIN c r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.code, r.code)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2

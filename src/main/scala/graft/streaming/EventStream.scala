@@ -72,4 +72,36 @@ object EventStream {
           }
       }
   }
+
+  /** BOUNDED-state streaming dedupe: same first-occurrence-wins
+    * semantics, but each key's seen-bit expires after `stateTTL` of
+    * processing time with no arrivals (idle TTL — the timeout is
+    * re-armed on every access, since Spark clears a group's timeout
+    * whenever the function is invoked for it). This is the production
+    * shape: the NoTimeout variant's state grows with every distinct
+    * key ever seen, which at 100 TB/day of events is unbounded; with
+    * a TTL the state size is bounded by the key arrival rate x TTL,
+    * trading exactness for "dedupe within the TTL horizon" — the
+    * standard trade, made explicit. After expiry the key is admitted
+    * (and counted) again. */
+  def streamingDedupe(events: Dataset[Event], stateTTL: String): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id)
+      .flatMapGroupsWithState[Boolean, Event](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(stateTTL)
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(stateTTL)
+            rows.take(1)
+          }
+      }
+  }
 }

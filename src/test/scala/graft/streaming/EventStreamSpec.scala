@@ -98,4 +98,53 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq(1L, 2L))
     }
   }
+
+  test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
+      "so an expired key is admitted again") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // A registered ProcessingTimeTimeout makes the engine schedule a
+    // no-data batch on EVERY trigger (timeouts must re-evaluate as the
+    // clock advances), so noNewData is never latched and
+    // processAllAvailable would block forever. The test therefore
+    // POLLS the memory sink with a deadline, and the interval trigger
+    // keeps the no-data batches from hot-spinning.
+    val q = EventStream.streamingDedupe(in.toDS(), stateTTL = "4 seconds")
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    def ids(): Seq[Long] = spark.table("dedup_ttl_out").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    def awaitIds(expect: Seq[Long], deadlineMs: Long = 60000): Unit = {
+      val t0 = System.nanoTime()
+      while (ids() != expect) {
+        assert((System.nanoTime() - t0) / 1e6 < deadlineMs,
+          s"timeout waiting for $expect, sink has ${ids()}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      // keys 1 and 2 pass, the in-batch repeat of 1 is dropped
+      in.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 2, "view", 2.0))
+      awaitIds(Seq(1L, 2L))
+      // within the TTL: key 1 is still deduped (key 3 in the same
+      // batch proves the batch itself was processed)
+      in.addData(
+        Event(1, ts("2024-01-01 00:03:00"), 1, "click", 3.0),
+        Event(3, ts("2024-01-01 00:04:00"), 3, "view", 4.0))
+      awaitIds(Seq(1L, 2L, 3L))
+      // let the idle TTL lapse; timeout batches remove expired state
+      Thread.sleep(6000)
+      // key 1's state expired -> admitted (and emitted) AGAIN
+      in.addData(Event(1, ts("2024-01-01 00:11:00"), 1, "click", 5.0))
+      awaitIds(Seq(1L, 1L, 2L, 3L))
+    } finally q.stop()
+    }
+  }
 }
