@@ -72,7 +72,9 @@ object Runner {
         col("title"),
         lit(null).cast("map<string,string>").as("meta_data"),
         col("tags"),
-        lit(null).cast("string").as("watermarked"),
+        // add_item's watermarked DEFAULT is the string 'f', not null
+        // (image.py:147) — providers that never set it emit `f`
+        lit("f").as("watermarked"),
         lit(null).cast("string").as("source"),
         concat(lit("https://creativecommons.org"), col("license_path"))
           .as("license_url"),
@@ -81,30 +83,27 @@ object Runner {
     // D2 (Provider.py:310-314): the dual pre-sink dedupe — first on
     // (provider, image_url), then on (provider, foreign_identifier) —
     // so one crawl batch never carries two rows for the same image or
-    // the same foreign id into the TSV.
-    // jsonb columns cross the TSV boundary as JSON strings with every
-    // leaf sanitized recursively (columns.py:131-173) — nested objects
-    // inside meta_data values included, which the flat map sanitize
-    // cannot reach
-    val prepared = ImageStore.prepare(raw, provider)
-      .dropDuplicates("provider", "image_url")
-      .dropDuplicates("provider", "foreign_identifier")
-      .withColumn("meta_data_json",
-        graft.clean.Cleaning.sanitizeJsonString(to_json(col("meta_data"))))
-      .withColumn("tags_json",
-        graft.clean.Cleaning.sanitizeJsonString(to_json(col("tags"))))
-      .drop("meta_data", "tags")
+    // the same foreign id into the TSV. The sink relation
+    // (ImageStore.toTsv) carries the reference's load-bearing column
+    // ORDER with jsonb cells recursively leaf-sanitized.
+    val prepared = ImageStore.toTsv(
+      ImageStore.prepare(raw, provider)
+        .dropDuplicates("provider", "image_url")
+        .dropDuplicates("provider", "foreign_identifier"))
     Tsv.write(prepared, s"$outDir/tsv/$provider", singleFile = true)
     prepared
   }
 
+  // _IMAGE_TSV_COLUMNS order (image.py:12-67) — the same 17-column
+  // order ImageStore.toTsv writes; the load boundary reads jsonb cells
+  // as strings (suffix _json) before typing them.
   private val loadSchema = org.apache.spark.sql.types.StructType.fromDDL(
     """foreign_identifier STRING, foreign_landing_url STRING,
       |image_url STRING, thumbnail_url STRING, width STRING,
       |height STRING, filesize STRING, license_ STRING,
       |license_version STRING, creator STRING, creator_url STRING,
-      |title STRING, watermarked STRING, provider STRING,
-      |source STRING, meta_data_json STRING, tags_json STRING""".stripMargin
+      |title STRING, meta_data_json STRING, tags_json STRING,
+      |watermarked STRING, provider STRING, source STRING""".stripMargin
       .replace("\n", " "))
 
   /** The phase-C load step: bounded TSV read, typed jsonb columns,

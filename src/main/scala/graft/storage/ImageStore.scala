@@ -64,6 +64,25 @@ object ImageStore {
       .otherwise(map_zip_with(meta, injected, (_, o, n) => coalesce(n, o)))
   }
 
+  /** The TSV SINK relation: [[prepare]]'s typed output as the exact
+    * 17-column string relation the reference's loader COPYs
+    * (image.py:12-67 — the column ORDER is load-bearing; meta_data
+    * and tags sit at positions 13-14, NOT appended last). jsonb
+    * columns cross as JSON strings with every leaf sanitized
+    * recursively (columns.py:131-173); booleans are already the
+    * `t`/`f` strings of columns.py:89-118 (Cleaning.boolCast); ints
+    * render as plain digits; nulls become `\N` in graft.io.Tsv. */
+  def toTsv(prepared: DataFrame): DataFrame =
+    prepared.select(
+      col("foreign_identifier"), col("foreign_landing_url"),
+      col("image_url"), col("thumbnail_url"),
+      col("width"), col("height"), col("filesize"),
+      col("license_"), col("license_version"),
+      col("creator"), col("creator_url"), col("title"),
+      Cleaning.sanitizeJsonString(to_json(col("meta_data"))).as("meta_data"),
+      Cleaning.sanitizeJsonString(to_json(col("tags"))).as("tags"),
+      col("watermarked"), col("provider"), col("source"))
+
   /** The per-row preparation pipeline (image.py:240-320 add_item):
     * string/URL/int/bool column prep via the Cleaning kernel with the
     * reference's per-column sizes, then the required-field row drop

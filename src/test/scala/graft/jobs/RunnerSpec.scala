@@ -112,8 +112,8 @@ class RunnerSpec extends SparkSpec {
       .withColumn("tags_json", lit(null).cast("string"))
       .select("foreign_identifier", "foreign_landing_url", "image_url",
         "thumbnail_url", "width", "height", "filesize", "license_",
-        "license_version", "creator", "creator_url", "title", "watermarked",
-        "provider", "source", "meta_data_json", "tags_json")
+        "license_version", "creator", "creator_url", "title",
+        "meta_data_json", "tags_json", "watermarked", "provider", "source")
     graft.io.Tsv.write(rows, s"$work/tsv", singleFile = true)
 
     spark.sql("DROP TABLE IF EXISTS canon_bkt")
@@ -186,11 +186,12 @@ class RunnerSpec extends SparkSpec {
   test("loadCleaned last-wins order is retry/layout-stable: winners " +
       "are file-position-determined, identical under perturbed scans") {
     val dir = Files.createTempDirectory("loadord").toString
-    // 17-col TSV rows; only key fields and title vary
+    // 17-col TSV rows in _IMAGE_TSV_COLUMNS order; only key fields
+    // and title vary
     def row(fid: String, title: String): String =
       (Seq(fid, "https://x/f", s"https://i/$fid.jpg", "\\N", "\\N", "\\N",
-        "\\N", "by", "4.0", "\\N", "\\N", title, "\\N", "prov", "\\N",
-        "\\N", "\\N")).mkString("\t")
+        "\\N", "by", "4.0", "\\N", "\\N", title, "\\N", "\\N", "\\N",
+        "prov", "\\N")).mkString("\t")
     // K1 duplicated across files (later FILE must win), K2 duplicated
     // within one file (later ROW in file order must win)
     Files.write(java.nio.file.Paths.get(s"$dir/part-a.tsv"),

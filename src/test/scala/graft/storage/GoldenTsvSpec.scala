@@ -1,0 +1,146 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+import graft.io.Tsv
+
+/** Full-row golden comparisons against the reference's own
+  * expected-output TSVs — the one test shape that pins column order,
+  * `\N` nulls, and `t`/`f` booleans at the SINK simultaneously
+  * (provider_api_scripts/tests/resources: the example_output TSVs and
+  * wikimedia/exec_job_expect_output.tsv).
+  *
+  * Two layers:
+  *  - BYTE round-trips: each golden file read through Tsv.read and
+  *    re-written through Tsv.write must reproduce the reference's
+  *    bytes exactly — any quoting, reordering, null-marker, boolean,
+  *    or JSON-cell mangling in the sink breaks it.
+  *  - END-TO-END derivation (wikimedia): the reference's own raw API
+  *    fixtures (response_large_0/1.json) pushed through
+  *    Wikimedia.extract -> license resolution -> ImageStore.prepare ->
+  *    toTsv -> Tsv.write must match the golden per CELL. Two cells
+  *    diverge BY DESIGN and are excluded with citations: the golden
+  *    predates the removal of thumbnail_url from the wmc script (the
+  *    current wikimedia_commons.py:225-247 passes no thumbnail) and
+  *    predates meta_data enrichment (image.py:294-297,371-384 now
+  *    injects license_url/raw_license_url; wikimedia_commons.py:330-352
+  *    adds global_usage_count etc.), so meta_data is compared on the
+  *    shared `description` key instead.
+  *
+  * (The flickr golden's source fixture no longer exists upstream —
+  * its fids match no fixture JSON in the tree — so flickr is pinned
+  * at the byte-round-trip layer only.)
+  */
+class GoldenTsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val res =
+    "/root/reference/src/cc_catalog_airflow/dags/provider_api_scripts/" +
+      "tests/resources"
+
+  // the 17-column sink relation, all strings: a round-trip must not
+  // reinterpret any cell
+  private val sinkSchema = StructType.fromDDL(
+    """foreign_identifier STRING, foreign_landing_url STRING,
+      |image_url STRING, thumbnail_url STRING, width STRING,
+      |height STRING, filesize STRING, license_ STRING,
+      |license_version STRING, creator STRING, creator_url STRING,
+      |title STRING, meta_data STRING, tags STRING,
+      |watermarked STRING, provider STRING, source STRING""".stripMargin
+      .replace("\n", " "))
+
+  private def writtenBytes(df: org.apache.spark.sql.DataFrame): String = {
+    val out = Files.createTempDirectory("golden").toString + "/out"
+    Tsv.write(df, out, singleFile = true)
+    val part = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.head
+    new String(Files.readAllBytes(part), "UTF-8")
+  }
+
+  private def roundTrip(golden: String): Unit = {
+    assume(Files.exists(Paths.get(golden)), s"golden $golden missing")
+    val got = writtenBytes(Tsv.read(spark, golden, sinkSchema))
+    val want = new String(Files.readAllBytes(Paths.get(golden)), "UTF-8")
+    assert(got == want)
+  }
+
+  test("flickr_truncated.tsv byte round-trip: the sink reproduces the " +
+      "reference's exact bytes (column order, \\N, t/f, JSON cells)") {
+    roundTrip(s"$res/example_output/flickr_truncated.tsv")
+  }
+
+  test("wikimedia exec_job_expect_output.tsv byte round-trip") {
+    roundTrip(s"$res/wikimedia/exec_job_expect_output.tsv")
+  }
+
+  test("wikimedia END-TO-END: raw continuation fixtures -> extract -> " +
+      "prepare -> sink matches the reference's expected TSV per cell") {
+    val golden = s"$res/wikimedia/exec_job_expect_output.tsv"
+    assume(Files.exists(Paths.get(golden)), "golden missing")
+    // The golden-era fixtures predate the mediatype prop, which the
+    // modern P9 gate (wikimedia_commons.py:259-269) requires — the
+    // live API always returns it for these files. Reconstruct the
+    // modern response shape by tagging each imageinfo entry BITMAP.
+    def fix(name: String): String =
+      Files.readString(Paths.get(s"$res/wikimedia/$name"))
+        .replace("{\"user\":", "{\"mediatype\": \"BITMAP\", \"user\":")
+    val raw = Seq((0L, fix("response_large_0.json")),
+      (1L, fix("response_large_1.json"))).toDF("seq", "json")
+    val rows = graft.providers.Wikimedia.extract(raw, "seq", "json")
+    val info = graft.license.Licenses.getLicenseInfoUdf(
+      col("license_url"), lit(null).cast("string"), lit(null).cast("string"))
+    val prepared = ImageStore.prepare(
+      rows.select(
+        col("foreign_identifier"), col("foreign_landing_url"),
+        col("image_url"),
+        lit(null).cast("string").as("thumbnail_url"),
+        col("width").cast("string"), col("height").cast("string"),
+        lit(null).cast("string").as("filesize"),
+        info.getField("_1").as("license_"),
+        info.getField("_2").as("license_version"),
+        col("creator"), col("creator_url"), col("title"),
+        map(lit("description"), col("meta_description")).as("meta_data"),
+        lit(null).cast("array<string>").as("tags"),
+        // add_item's watermarked default is the string 'f' (image.py:147)
+        lit("f").as("watermarked"),
+        lit(null).cast("string").as("source"),
+        info.getField("_3").as("license_url"),
+        col("license_url").as("raw_license_url")),
+      "wikimedia")
+    val got = writtenBytes(ImageStore.toTsv(prepared)
+      .orderBy(col("foreign_identifier").cast("long")))
+      .stripLineEnd.split("\n").map(_.split("\t", -1))
+    val want = new String(Files.readAllBytes(Paths.get(golden)), "UTF-8")
+      .stripLineEnd.split("\n").map(_.split("\t", -1))
+    assert(got.length == want.length, "row count")
+    // cells 3 (thumbnail_url) and 12 (meta_data) diverge by design —
+    // see the class scaladoc; every other cell must be byte-equal
+    val strictCells = (0 until 17).filterNot(i => i == 3 || i == 12)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), r) =>
+      strictCells.foreach { i =>
+        // the modern _cleanse_url forces https for the commons host
+        // (wikimedia_commons.py:355-368); the golden predates it
+        val wi =
+          if (i == 10) w(i).replace("http://commons.wikimedia.org",
+            "https://commons.wikimedia.org")
+          else w(i)
+        assert(g(i) == wi, s"row $r cell $i: got '${g(i)}' want '$wi'")
+      }
+      // meta_data: the shared description key must match, and the
+      // modern enrichment keys must be present
+      val gd = g(12)
+      val wd = w(12)
+      val wantDesc = wd.replaceAll(""".*"description": "([^"]*)".*""", "$1")
+      assert(gd.contains(s""""description":"$wantDesc""""),
+        s"row $r meta_data description: got '$gd' want desc '$wantDesc'")
+      assert(gd.contains("\"license_url\":"), s"row $r missing license_url")
+    }
+  }
+}
