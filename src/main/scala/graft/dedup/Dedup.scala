@@ -123,6 +123,50 @@ object Dedup {
       .agg(count(col("gh")).as("n_hits")) // per-doc grams already distinct
   }
 
+  /** Duplicated-passage detection (the passage-level exact dedupe of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better", applied at fixed word-window granularity): slide a
+    * `winLen`-word window with `stride` over every document, hash
+    * each window, and report the windows whose text occurs in MORE
+    * THAN ONE document — the spans a passage-level dedupe would cut.
+    *
+    * Returns (id, win_idx, n_docs): document, window ordinal (0-based
+    * by stride), and how many distinct documents share that window's
+    * text. Scale shape: one explode + one hash-aggregate on the
+    * 16-byte md5 digest (never raw text), then an equi join back —
+    * the same digest-not-text posture as [[decontaminate]]. Windows
+    * shorter than `winLen` (document tails) are skipped: a short tail
+    * is not a passage. */
+  def duplicatedPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 10,
+      stride: Int = 10): DataFrame = {
+    require(winLen > 0 && stride > 0, "winLen and stride must be > 0")
+    val toks = tokensOf(col(textCol))
+    // window ordinals i = 0.., window i covers tokens [i*stride+1,
+    // i*stride+winLen] (1-based slice); emit only complete windows
+    val nWins = greatest(
+      floor((size(toks) - winLen).cast("double") / stride).cast("int") + 1,
+      lit(0))
+    // sequence(0, n-1) DESCENDS when n = 0 — guard with an empty array
+    // so too-short documents contribute no windows
+    val winArr = when(nWins > 0,
+      transform(sequence(lit(0), nWins - 1),
+        i => struct(i.as("win_idx"),
+          md5(concat_ws(" ", slice(toks, i * stride + 1, lit(winLen))))
+            .as("wh"))))
+      .otherwise(array().cast("array<struct<win_idx:int,wh:string>>"))
+    val wins = df.select(col(idCol).as("id"), explode(winArr).as("w"))
+      .select(col("id"), col("w.win_idx"), col("w.wh"))
+    val shared = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    wins.join(shared, "wh")
+      .select(col("id"), col("win_idx"), col("n_docs"))
+  }
+
   /** Jaccard similarity of two string arrays (as distinct sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

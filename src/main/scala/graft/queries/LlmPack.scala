@@ -155,6 +155,28 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Duplicated-passage spans: fixed 10-word windows shared by more
+    // than one document (the passage-level exact-dedupe signal).
+    // Digest-only shuffle; oracle recomputes the same windows in SQL.
+    "q_dup_passages" -> ((s, d) => {
+      Dedup.duplicatedPassages(Tables.documents(s, d), "doc_id", "text",
+          winLen = 10, stride = 10)
+        .select(col("id").as("doc_id"), col("win_idx"), col("n_docs"))
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
+    // Shard packing: assign documents to fixed-token-budget training
+    // shards by exclusive prefix sum of token counts in doc_id order.
+    // The engine runs the DISTRIBUTED prefix sum (range repartition +
+    // per-partition running sums + tiny offset table), never a
+    // single-partition global window; the oracle is the equivalent
+    // one-window SQL.
+    "q_pack_shards" -> ((s, d) => {
+      graft.text.Packing.packShards(Tables.documents(s, d), "doc_id",
+          TextStats.tokenCount(col("text")), budget = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
     // Brute-force cosine top-3 neighbors (the ANN oracle): queries =
     // vec_id<10 broadcast against all base vectors vec_id>=10.
     "q_ann_bruteforce" -> ((s, d) => {
@@ -393,6 +415,28 @@ object LlmPack extends QueryPack {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_dup_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(u AS INTEGER) AS win_idx,
+        |    md5(array_to_string(list_slice(sp, CAST(u AS INTEGER) * 10 + 1,
+        |      CAST(u AS INTEGER) * 10 + 10), ' ')) AS wh
+        |  FROM t, unnest(range(CAST(greatest(floor((len(sp) - 10) / 10.0) + 1, 0)
+        |    AS BIGINT))) s(u)),
+        |shared AS (
+        |  SELECT wh, count(DISTINCT doc_id) AS n_docs
+        |  FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, win_idx, n_docs
+        |FROM w JOIN shared USING (wh)
+        |ORDER BY doc_id, win_idx""".stripMargin,
+    "q_pack_shards" ->
+      """SELECT doc_id,
+        |  CAST(floor(COALESCE(SUM(len(string_split(text, ' ')))
+        |      OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048) AS INTEGER) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,

@@ -150,4 +150,20 @@ class DedupSpec extends SparkSpec {
       maxHamming = 3, maxBucket = 100)
     assert(pairs.count() == 0L)
   }
+
+  test("duplicatedPassages flags exactly the planted shared window, " +
+      "skips short tails, and counts sharing documents") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ") // one window
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val other = (1 to 10).map(i => s"g$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$passage $filler"), // window 0 = passage, window 1 unique
+      (2L, s"$other $passage"), // window 1 = passage
+      (3L, s"$passage short tail"), // window 0 = passage; 2-word tail skipped
+      (4L, "nothing shared here at all by anyone ever once more"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedPassages(df, "doc_id", "text", 10, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 0) -> 3L, (2L, 1) -> 3L, (3L, 0) -> 3L))
+  }
 }
