@@ -155,6 +155,32 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Gopher-style composite document filter: every rule's verdict
+    // plus the composite pass bit, as 0/1 ints (stable hash compare).
+    "q_gopher_filter" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.gopherFilter(t).cast("int").as("pass"),
+          (TextStats.tokenCount(t) >= 50).cast("int").as("len_ok"),
+          (TextStats.meanTokenLen(t) >= 3.0 &&
+            TextStats.meanTokenLen(t) <= 10.0).cast("int").as("mean_ok"),
+          (TextStats.dupWordRatio(t) <= 0.3).cast("int").as("dup_ok"),
+          (TextStats.topBigramFraction(t) <= 0.18).cast("int").as("bigram_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level term document frequency (the vocabulary/df table a
+    // tokenizer-training or idf-weighting step starts from). One
+    // explode of per-doc DISTINCT terms + one hash aggregate.
+    "q_term_df" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(array_distinct(
+          split(trim(col("text")), "\\s+"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("term"))
+    }),
+
     // Duplicated-passage spans: fixed 10-word windows shared by more
     // than one document (the passage-level exact-dedupe signal).
     // Digest-only shuffle; oracle recomputes the same windows in SQL.
@@ -415,6 +441,45 @@ object LlmPack extends QueryPack {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
+        |g AS (
+        |  SELECT doc_id, sp, text, CASE WHEN len(sp) < 2
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+        |    END AS grams
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(sp) AS n,
+        |    CAST(list_sum(list_transform(sp, w -> length(w))) AS DOUBLE)
+        |      / len(sp) AS meanlen,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+        |      greatest(CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE), 1.0)
+        |      AS punct,
+        |    len(list_intersect(list_distinct(sp),
+        |      ['the','a','an','of','and','to','in','is','it','that'])) AS stops,
+        |    1.0 - CAST(len(list_distinct(sp)) AS DOUBLE)
+        |      / CAST(len(sp) AS DOUBLE) AS dupr,
+        |    CAST(list_max(list_transform(list_distinct(grams),
+        |        x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+        |      / CAST(len(grams) AS DOUBLE) AS bigr
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST((n >= 50 AND n <= 100000 AND meanlen >= 3.0 AND meanlen <= 10.0
+        |    AND punct <= 0.1 AND stops >= 2 AND dupr <= 0.3 AND bigr <= 0.18)
+        |    AS INTEGER) AS pass,
+        |  CAST(n >= 50 AS INTEGER) AS len_ok,
+        |  CAST((meanlen >= 3.0 AND meanlen <= 10.0) AS INTEGER) AS mean_ok,
+        |  CAST(dupr <= 0.3 AS INTEGER) AS dup_ok,
+        |  CAST(bigr <= 0.18 AS INTEGER) AS bigram_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_term_df" ->
+      """WITH w AS (
+        |  SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df FROM w GROUP BY term ORDER BY term""".stripMargin,
     "q_dup_passages" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),

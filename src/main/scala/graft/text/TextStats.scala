@@ -123,6 +123,37 @@ object TextStats {
     best.cast("double") / size(grams).cast("double")
   }
 
+  /** Gopher-style composite document filter (the rule set of Rae et
+    * al.'s Gopher paper, §A1.1, at our corpus's scale): a document
+    * passes when its word count, mean word length, symbol ratio,
+    * distinct-stopword presence, and repetition signals all sit
+    * inside the configured bounds. Pure row-local Column math over
+    * the existing signals — one codegen'd projection, no shuffle;
+    * every sub-rule is independently SQL-mirrorable so the composite
+    * is oracle-checkable. */
+  def gopherFilter(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minDistinctStopwords: Int = 2,
+      maxDupWordRatio: Double = 0.3,
+      maxTopBigramFrac: Double = 0.18): Column = {
+    val n = tokenCount(text)
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(text)),
+      array(defaultStopwords.map(lit(_)): _*)))
+    (n >= minWords) && (n <= maxWords) &&
+      (meanTokenLen(text) >= minMeanLen) &&
+      (meanTokenLen(text) <= maxMeanLen) &&
+      (punctRatio(text) <= maxSymbolRatio) &&
+      (stopHits >= minDistinctStopwords) &&
+      (dupWordRatio(text) <= maxDupWordRatio) &&
+      (topBigramFraction(text) <= maxTopBigramFrac)
+  }
+
   /** Predicted language: argmax of per-language hit counts, ties
     * broken by fixed language order; all-zero -> "und". */
   def langId(text: Column): Column = {

@@ -79,6 +79,20 @@ class TextStatsSpec extends SparkSpec {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("gopherFilter passes long varied prose, rejects short docs " +
+      "and repetition soup") {
+    // 60 words, mostly distinct, seeded with two stopword types (a
+    // paragraph repeated verbatim would rightly FAIL the dup-word rule)
+    val prose = (1 to 60).map { i =>
+      if (i % 10 == 0) "the" else if (i % 10 == 5) "and" else s"word$i"
+    }.mkString(" ")
+    assert(one[Boolean](TextStats.gopherFilter(col("t")), prose))
+    // too short
+    assert(!one[Boolean](TextStats.gopherFilter(col("t")), "the cat sat"))
+    // 60 words but one bigram repeated throughout -> repetition rules
+    assert(!one[Boolean](TextStats.gopherFilter(col("t")), "buy now " * 30))
+  }
+
   test("quality score stays in [0,1] and prefers real prose over symbol soup") {
     val prose = one[Double](TextStats.qualityScore(col("t")),
       "the quick brown fox jumps over the lazy dog and runs into the field " * 5)
