@@ -155,6 +155,30 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // PII redaction: regex scrub of emails / IPv4 / long digit runs,
+    // RE2-safe patterns so the oracle runs the IDENTICAL regexes.
+    // Applied to text seeded with synthetic PII so the rules fire.
+    "q_redact_pii" -> ((s, d) => {
+      val seeded = concat(col("text"),
+        lit(" contact bob.smith+x@example.org or 10.0.42.7 ring 415-555-0199 x"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.Redaction.redactPii(seeded).as("clean"),
+          (length(seeded) - length(graft.text.Redaction.redactPii(seeded)))
+            .as("removed_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic content-hash train/valid split: md5-bucket
+    // permille assignment — reproducible on any cluster/partitioning.
+    "q_train_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.mix.Splits.bucket(col("doc_id")).as("bucket"),
+          graft.mix.Splits.assign(col("doc_id"), 100).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style composite document filter: every rule's verdict
     // plus the composite pass bit, as 0/1 ints (stable hash compare).
     "q_gopher_filter" -> ((s, d) => {
@@ -201,6 +225,25 @@ object LlmPack extends QueryPack {
       graft.text.Packing.packShards(Tables.documents(s, d), "doc_id",
           TextStats.tokenCount(col("text")), budget = 2048)
         .orderBy(col("doc_id"))
+    }),
+
+    // Shard MATERIALIZATION: concatenate each shard's documents in id
+    // order into one packed text (the write-the-shard-files step).
+    // Per-shard state is bounded by the token budget by construction,
+    // so the collect_list aggregate can never blow up a partition.
+    "q_pack_concat" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shards = graft.text.Packing.packShards(docs, "doc_id",
+        TextStats.tokenCount(col("text")), budget = 2048)
+      docs.join(shards, "doc_id")
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("h"), count(lit(1)).as("n_docs"))
+        .select(col("shard"),
+          concat_ws(" ", transform(col("h"), x => x.getField("text")))
+            .as("packed"),
+          col("n_docs"))
+        .orderBy(col("shard"))
     }),
 
     // Brute-force cosine top-3 neighbors (the ANN oracle): queries =
@@ -441,6 +484,34 @@ object LlmPack extends QueryPack {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_redact_pii" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' contact bob.smith+x@example.org or 10.0.42.7 ring 415-555-0199 x' AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d[\d \-()]{7,}\d\b', '<NUMBER>', 'g') AS clean
+        |  FROM s)
+        |SELECT doc_id, clean,
+        |  CAST(length(t) - length(clean) AS INTEGER) AS removed_chars
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      """SELECT doc_id,
+        |  CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096 +
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256 +
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1)) % 1000
+        |    AS INTEGER) AS bucket,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096 +
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256 +
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1)) % 1000 < 100
+        |    THEN 'valid' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
@@ -480,6 +551,17 @@ object LlmPack extends QueryPack {
         |  SELECT unnest(list_distinct(string_split(text, ' '))) AS term
         |  FROM documents)
         |SELECT term, count(*) AS df FROM w GROUP BY term ORDER BY term""".stripMargin,
+    "q_pack_concat" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor(COALESCE(SUM(len(string_split(text, ' ')))
+        |        OVER (ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2048) AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, string_agg(text, ' ' ORDER BY doc_id) AS packed,
+        |  count(*) AS n_docs
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q_dup_passages" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
