@@ -88,7 +88,12 @@ object Cleaning {
       .replaceAll("\\x08", "")
       .replace("\\", "\\\\")
       .replaceAll("\\s+", " ")
-      .trim
+      // strip SPACES only (after the \s+ collapse the edges can only
+      // hold plain spaces or non-\s control chars): Java's
+      // String.trim would also eat control chars <= 0x20, which
+      // neither the Column form (Spark trim = spaces) nor the
+      // reference's Python .strip() does
+      .replaceAll("^ +| +$", "")
 
   /** Reference `JSONColumn._sanitize_json_values` (columns.py:146-172):
     * recursively sanitize every leaf STRING of a JSON document,
