@@ -72,6 +72,44 @@ object Multimodal {
     }
   }
 
+  /** REAL image-header metadata decode — no image library needed:
+    * PNG / GIF / BMP store their dimensions at fixed header offsets,
+    * so format sniffing and width/height extraction are pure byte
+    * math over the binary column (`substring` on binary + hex + conv
+    * — all codegen'd built-ins, no UDF, no shuffle). This is the
+    * piece of "decode" that IS implementable without codecs; pixel
+    * decode stays behind [[decodeStub]]'s mapPartitions seam.
+    *
+    * Returns struct(fmt, width, height); fmt null when the payload
+    * matches no known signature (then width/height are null too).
+    * BMP heights are stored signed (negative = top-down rows); the
+    * magnitude is returned.
+    */
+  def imageDims(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def byteAt(pos: Int) = conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
+    def be4(pos: Int) = conv(hex(substring(bin, pos, 4)), 16, 10).cast("int")
+    def le2(pos: Int) = byteAt(pos) + byteAt(pos + 1) * 256
+    def le4(pos: Int) =
+      byteAt(pos) + byteAt(pos + 1) * 256 +
+        byteAt(pos + 2) * 65536 + byteAt(pos + 3) * 16777216
+    val isPng = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = substring(bin, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    val isBmp = substring(bin, 1, 2).cast("string") === "BM"
+    // PNG: 8-byte signature, 4-byte length, "IHDR", then width/height
+    // as 4-byte big-endian at offsets 17/21 (1-based). GIF: logical
+    // screen width/height, 2-byte little-endian at 7/9. BMP
+    // (BITMAPINFOHEADER): 4-byte little-endian at 19/23, height
+    // signed.
+    when(isPng, struct(lit("png").as("fmt"),
+        be4(17).as("width"), be4(21).as("height")))
+      .when(isGif, struct(lit("gif").as("fmt"),
+        le2(7).as("width"), le2(9).as("height")))
+      .when(isBmp, struct(lit("bmp").as("fmt"),
+        le4(19).as("width"), abs(le4(23)).as("height")))
+      .otherwise(struct(lit(null).cast("string").as("fmt"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+  }
+
   /** Frame-sample stub for video-kind rows: emit every `stride`-th
     * byte offset as a "frame" — demonstrates the 1->N flatMap shape a
     * real frame sampler uses. */

@@ -317,6 +317,40 @@ object LlmPack extends QueryPack {
         .orderBy(col("media_id"), col("frame_offset"))
     }),
 
+    // REAL image-header decode: per doc, synthesize a PNG/GIF/BMP
+    // header whose dimensions are a closed form of doc_id, then parse
+    // format + width/height back out of the BINARY with
+    // Multimodal.imageDims (pure byte math, no image libs). The
+    // oracle is the closed-form inverse — the query only matches if
+    // signature sniffing and the BE/LE offset parsing are right.
+    "q_image_dims" -> ((s, d) => {
+      val w = (lit(100) + col("doc_id") % 900).cast("int")
+      val h = (lit(50) + col("doc_id") % 500).cast("int")
+      def hexByte(c: org.apache.spark.sql.Column, k: Int) =
+        lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le2(c: org.apache.spark.sql.Column) =
+        concat(hexByte(c, 0), hexByte(c, 1))
+      def le4(c: org.apache.spark.sql.Column) =
+        concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2), hexByte(c, 3))
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be4(w), be4(h), lit("0806000000"))
+      val gifHex = concat(lit("474946383961"), le2(w), le2(h), lit("F70000"))
+      val bmpHex = concat(
+        lit("424D" + "00000000" + "00000000" + "00000000" + "28000000"),
+        le4(w), le4(h), lit("0100"))
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, pngHex)
+          .when(col("doc_id") % 3 === 1, gifHex)
+          .otherwise(bmpHex))
+      val dims = graft.multimodal.Multimodal.imageDims(payload)
+      Tables.documents(s, d)
+        .select(col("doc_id"), dims.getField("fmt").as("fmt"),
+          dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata,
     // deterministic fake "decode" (real decode is a stubbed
     // mapPartitions in graft.multimodal — image libs aren't in this
@@ -608,6 +642,12 @@ object LlmPack extends QueryPack {
         |  ascii(substr(text, CAST(u AS INTEGER) + 1, 1)) AS frame_byte
         |FROM documents, unnest(range(0, length(text), 50)) t(u)
         |ORDER BY media_id, frame_offset""".stripMargin,
+    "q_image_dims" ->
+      """SELECT doc_id,
+        |  ['png','gif','bmp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+        |  CAST(100 + doc_id % 900 AS INTEGER) AS width,
+        |  CAST(50 + doc_id % 500 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, length(text) AS byte_len,
         |  CAST(64 + strpos('0123456789abcdef', substr(md5(text),1,1)) - 1 AS INTEGER) AS fake_w,

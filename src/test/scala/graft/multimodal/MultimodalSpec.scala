@@ -32,4 +32,34 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.length == 5)
     counts.foreach(r => assert(r.getAs[Long]("count") >= 1))
   }
+
+  test("imageDims parses real PNG/GIF/BMP header bytes (incl. a " +
+      "top-down negative-height BMP) and nulls unknown formats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hx(s: String): Array[Byte] = s.grouped(2)
+      .map(b => Integer.parseInt(b, 16).toByte).toArray
+    // real headers: 1x1 PNG IHDR; 3x2 GIF89a; 4x5 BMP; -5 height BMP
+    // (top-down, magnitude expected); then junk
+    val rows = Seq(
+      ("png11", hx("89504E470D0A1A0A0000000D49484452" +
+        "00000001" + "00000001" + "0806000000")),
+      ("gif32", hx("474946383961" + "0300" + "0200" + "F70000")),
+      ("bmp45", hx("424D" + "0000000000000000" + "00000000" + "28000000" +
+        "04000000" + "05000000" + "0100")),
+      ("bmpneg", hx("424D" + "0000000000000000" + "00000000" + "28000000" +
+        "04000000" + "FBFFFFFF" + "0100")), // height -5 LE
+      ("junk", "not an image at all".getBytes("UTF-8")))
+      .toDF("name", "payload")
+    val out = rows.select(col("name"),
+        Multimodal.imageDims(col("payload")).as("d"))
+      .select(col("name"), col("d.fmt"), col("d.width"), col("d.height"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("png11") == ((Some("png"), Some(1), Some(1))))
+    assert(out("gif32") == ((Some("gif"), Some(3), Some(2))))
+    assert(out("bmp45") == ((Some("bmp"), Some(4), Some(5))))
+    assert(out("bmpneg") == ((Some("bmp"), Some(4), Some(5))))
+    assert(out("junk") == ((None, None, None)))
+  }
 }
