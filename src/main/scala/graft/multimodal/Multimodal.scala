@@ -110,6 +110,30 @@ object Multimodal {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }
 
+  /** Audio twin of [[imageDims]]: WAV (RIFF) header metadata at fixed
+    * offsets — "RIFF" at 1, "WAVE" at 9, the fmt chunk's channel
+    * count (LE2 at 23), sample rate (LE4 at 25), and bits per sample
+    * (LE2 at 35). Pure byte math, codegen'd, no audio libs. Returns
+    * struct(fmt, channels, sample_rate, bits); nulls when the payload
+    * is not a canonical RIFF/WAVE header. */
+  def audioMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def byteAt(pos: Int) = conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
+    def le2(pos: Int) = byteAt(pos) + byteAt(pos + 1) * 256
+    def le4(pos: Int) =
+      byteAt(pos) + byteAt(pos + 1) * 256 +
+        byteAt(pos + 2) * 65536 + byteAt(pos + 3) * 16777216
+    val isWav = substring(bin, 1, 4).cast("string") === "RIFF" &&
+      substring(bin, 9, 4).cast("string") === "WAVE" &&
+      substring(bin, 13, 4).cast("string") === "fmt "
+    when(isWav, struct(lit("wav").as("fmt"),
+        le2(23).as("channels"), le4(25).as("sample_rate"),
+        le2(35).as("bits")))
+      .otherwise(struct(lit(null).cast("string").as("fmt"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("bits")))
+  }
+
   /** Frame-sample stub for video-kind rows: emit every `stride`-th
     * byte offset as a "frame" — demonstrates the 1->N flatMap shape a
     * real frame sampler uses. */

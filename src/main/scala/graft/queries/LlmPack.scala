@@ -351,6 +351,33 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WAV header decode, same closed-form-inversion oracle shape as
+    // q_image_dims: channels/rate/bits derived from doc_id, packed
+    // into a canonical RIFF header, parsed back from the binary.
+    "q_audio_meta" -> ((s, d) => {
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = (lit(8000) + (col("doc_id") % 6) * lit(8000)).cast("int")
+      val bits = ((col("doc_id") % 2) * 8 + 16).cast("int")
+      def hexByte(c: org.apache.spark.sql.Column, k: Int) =
+        lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le2(c: org.apache.spark.sql.Column) =
+        concat(hexByte(c, 0), hexByte(c, 1))
+      def le4(c: org.apache.spark.sql.Column) =
+        concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2), hexByte(c, 3))
+      // RIFF<size>WAVEfmt <16:le4><pcm=1:le2><ch><rate><byterate><align>
+      val wavHex = concat(
+        lit("52494646" + "24000000" + "57415645" + "666D7420" +
+          "10000000" + "0100"),
+        le2(ch), le4(rate), le4(rate * ch * 2), le2(ch * 2), le2(bits))
+      val meta = graft.multimodal.Multimodal.audioMeta(unhex(wavHex))
+      Tables.documents(s, d)
+        .select(col("doc_id"), meta.getField("fmt").as("fmt"),
+          meta.getField("channels").as("channels"),
+          meta.getField("sample_rate").as("sample_rate"),
+          meta.getField("bits").as("bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata,
     // deterministic fake "decode" (real decode is a stubbed
     // mapPartitions in graft.multimodal — image libs aren't in this
@@ -647,6 +674,12 @@ object LlmPack extends QueryPack {
         |  ['png','gif','bmp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
         |  CAST(100 + doc_id % 900 AS INTEGER) AS width,
         |  CAST(50 + doc_id % 500 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_audio_meta" ->
+      """SELECT doc_id, 'wav' AS fmt,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(8000 + (doc_id % 6) * 8000 AS INTEGER) AS sample_rate,
+        |  CAST((doc_id % 2) * 8 + 16 AS INTEGER) AS bits
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, length(text) AS byte_len,

@@ -62,4 +62,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out("bmpneg") == ((Some("bmp"), Some(4), Some(5))))
     assert(out("junk") == ((None, None, None)))
   }
+
+  test("audioMeta parses a canonical RIFF/WAVE fmt header and nulls " +
+      "everything else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hx(s: String): Array[Byte] = s.grouped(2)
+      .map(b => Integer.parseInt(b, 16).toByte).toArray
+    // 2ch, 44100 Hz, 16-bit PCM: 44100 = 0xAC44 -> LE 44AC0000
+    val wav = hx("52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000")
+    val rows = Seq(("wav", wav), ("junk", "RIFFnope".getBytes("UTF-8")))
+      .toDF("name", "payload")
+    val out = rows.select(col("name"),
+        Multimodal.audioMeta(col("payload")).as("a"))
+      .select(col("name"), col("a.fmt"), col("a.channels"),
+        col("a.sample_rate"), col("a.bits"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out("wav") == ((Some("wav"), Some(2), Some(44100), Some(16))))
+    assert(out("junk") == ((None, None, None, None)))
+  }
 }
