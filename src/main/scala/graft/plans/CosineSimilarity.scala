@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_bigram_frac"),
       new ExpressionInfo(classOf[TopBigramFraction].getName, "top_bigram_frac"),
       (children: Seq[Expression]) => TopBigramFraction(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_stats"),
+      new ExpressionInfo(classOf[WordStats].getName, "word_stats"),
+      (children: Seq[Expression]) => WordStats(children.head)))
   }
 }

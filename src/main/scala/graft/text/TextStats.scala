@@ -13,7 +13,17 @@ object TextStats {
   /** Whitespace tokens (collapsed runs, trimmed ends). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** The fused word-statistics struct (graft.plans.WordStats): one
+    * compiled pass yields token count, summed length, distinct count,
+    * and stopword hits. The scalar helpers below project fields of
+    * it; several of them in one projection still cost ONE pass
+    * (codegen subexpression elimination). Null text yields null stats
+    * (the interpreted forms' size(null) = -1 non-ANSI artifact is
+    * deliberately not reproduced). */
+  def wordStats(text: Column): Column = graft.plans.WordStats(text)
+
+  def tokenCount(text: Column): Column =
+    wordStats(text).getField("n_tokens")
 
   /** BPE-ish subword proxy: count letter runs, digits, and isolated
     * punctuation separately — a cheap, deterministic stand-in for a
@@ -24,12 +34,18 @@ object TextStats {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
-  /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
-    val toks = tokens(text)
-    val hits = size(filter(toks, t => t.isin(stop.map(lit(_).cast("string")): _*)))
-    hits.cast("double") / size(toks).cast("double")
-  }
+  /** Fraction of tokens that are stopwords. The default list rides
+    * the fused native pass; custom lists use the composable form. */
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column =
+    if (stop == defaultStopwords) {
+      val ws = wordStats(text)
+      ws.getField("stop_hits").cast("double") /
+        ws.getField("n_tokens").cast("double")
+    } else {
+      val toks = tokens(text)
+      val hits = size(filter(toks, t => t.isin(stop.map(lit(_).cast("string")): _*)))
+      hits.cast("double") / size(toks).cast("double")
+    }
 
   /** Fraction of non-space chars that are punctuation/symbols. */
   def punctRatio(text: Column): Column =
@@ -38,9 +54,9 @@ object TextStats {
 
   /** Mean token length — short-token soup and URL-glue both move it. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      size(toks).cast("double")
+    val ws = wordStats(text)
+    ws.getField("sum_len").cast("double") /
+      ws.getField("n_tokens").cast("double")
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs and
@@ -70,19 +86,20 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ein", "nicht", "ist", "zu"),
   )
 
-  /** Stopword-hit count for one language's list. */
+  /** Stopword-hit count for one language's list (a field of the
+    * fused native pass). */
   def langHits(text: Column, lang: String): Column = {
-    val words = langStopwords(lang)
-    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
+    require(langStopwords.contains(lang), s"unknown lang $lang")
+    wordStats(text).getField(s"hits_$lang")
   }
 
   /** Gopher-style repetition signal: fraction of word occurrences
     * that are repeats of an earlier word (0 for all-distinct text).
     * Pure row-local Column math — no shuffle. */
   def dupWordRatio(text: Column): Column = {
-    val t = tokens(text)
-    lit(1.0) - size(array_distinct(t)).cast("double") /
-      size(t).cast("double")
+    val ws = wordStats(text)
+    lit(1.0) - ws.getField("n_distinct").cast("double") /
+      ws.getField("n_tokens").cast("double")
   }
 
   /** Gopher-style repetition signal: the mass of the most frequent

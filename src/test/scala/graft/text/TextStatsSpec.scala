@@ -79,6 +79,45 @@ class TextStatsSpec extends SparkSpec {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("native word_stats fields agree with an independent driver-side " +
+      "computation on the corpus and edge strings") {
+    // independent re-implementation of the tokenization contract:
+    // ASCII-space trim, java \s+ split with limit -1
+    def toks(s: String): Array[String] = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b).split("\\s+", -1)
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val edges = Seq("", "solo", "a  b\tc", " padded out ", "tab\tend\t",
+      "the of la de und el y a in")
+    val rows = (docs ++ edges).toDF("t")
+      .select(col("t"),
+        TextStats.tokenCount(col("t")).as("n"),
+        TextStats.meanTokenLen(col("t")).as("ml"),
+        TextStats.stopwordRatio(col("t")).as("sr"),
+        TextStats.dupWordRatio(col("t")).as("dr"),
+        TextStats.langHits(col("t"), "es").as("es"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val t = toks(s)
+      assert(r.getInt(1) == t.length, s"n_tokens of '$s'")
+      assert(r.getDouble(2) ==
+        t.map(w => w.codePointCount(0, w.length).toLong).sum.toDouble / t.length,
+        s"meanTokenLen of '$s'")
+      assert(r.getDouble(3) ==
+        t.count(TextStats.defaultStopwords.contains).toDouble / t.length,
+        s"stopwordRatio of '$s'")
+      assert(r.getDouble(4) == 1.0 - t.distinct.length.toDouble / t.length,
+        s"dupWordRatio of '$s'")
+      assert(r.getInt(5) == t.count(TextStats.langStopwords("es").contains),
+        s"es hits of '$s'")
+    }
+  }
+
   test("gopherFilter passes long varied prose, rejects short docs " +
       "and repetition soup") {
     // 60 words, mostly distinct, seeded with two stopword types (a
