@@ -246,6 +246,17 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Gap sessionization: one row per (user, >30-min-gap session)
+    // with bounds and counts — one shuffle on user_id, the running
+    // session counter shares the window Exchange.
+    "q_sessionize" -> ((s, d) => {
+      graft.streaming.EventStream.sessionize(Tables.events(s, d), 30)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          unix_timestamp(col("t_start")).as("start_epoch"),
+          unix_timestamp(col("t_end")).as("end_epoch"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // Date/time: 30-minute tumbling windows (flickr.py:95-122's
     // half-hour windowing) as epoch buckets.
     "q_windows_30min" -> ((s, d) => {
@@ -361,6 +372,25 @@ object RelationalPack extends QueryPack {
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts)) - floor(epoch(lag(ts)
+        |        OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q_windows_30min" ->
       """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wstart,
         |  count(*) AS n,

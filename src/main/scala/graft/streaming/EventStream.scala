@@ -73,6 +73,36 @@ object EventStream {
       }
   }
 
+  /** Batch sessionization: split each user's event stream into
+    * sessions separated by more than `gapMinutes` of inactivity, and
+    * aggregate one row per session. The batch counterpart of a
+    * session window (the streaming form is
+    * `session_window(ts, gap)` + watermark).
+    *
+    * Scale shape: ONE shuffle on user_id; the session id is a running
+    * sum of new-session markers inside each user partition (lag +
+    * sum window over the same partitioning — Catalyst plans a single
+    * Exchange for both windows and the final aggregate re-uses it via
+    * partial aggregation). No skew exposure beyond a genuinely
+    * hyperactive user, which a gap-session by definition bounds in
+    * session count. */
+  def sessionize(
+      events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prev.isNull ||
+      col("ts").cast("long") - prev.cast("long") > gapMinutes * 60L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_seq",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+  }
+
   /** BOUNDED-state streaming dedupe: same first-occurrence-wins
     * semantics, but each key's seen-bit expires after `stateTTL` of
     * processing time with no arrivals (idle TTL — the timeout is

@@ -99,6 +99,24 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionize splits per-user event streams at >gap boundaries " +
+      "and aggregates each session") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 00:41:00"), // 31 min gap -> session 2
+      (1L, "2024-01-01 01:05:00"), // 24 min -> still session 2
+      (2L, "2024-01-01 09:00:00")) // other user -> own session 1
+      .map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val out = EventStream.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).toString, r.getTimestamp(4).toString))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      (1L, 2L, 2L, "2024-01-01 00:41:00.0", "2024-01-01 01:05:00.0"),
+      (2L, 1L, 1L, "2024-01-01 09:00:00.0", "2024-01-01 09:00:00.0")))
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
