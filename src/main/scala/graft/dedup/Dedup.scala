@@ -263,6 +263,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** (band, bh, size) of the LSH buckets [[minhashLshPairs]] would
+    * DROP at the given cap — the monitoring companion to its skew
+    * guard (run when candidate counts look low; each row is a
+    * near-identical cluster that exact-dedupe should own). Mirrors
+    * graft.similarity.Similarity.oversizedCodeBuckets. */
+  def oversizedMinhashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 5000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokensOf(col(textCol)), shingleN)).as("sh"))
+    val sigs = minhashSignatures(docs, "id", col("sh"), numHashes)
+    sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+        }: _*)).as("bk"))
+      .select(col("bk.band"), col("bk.bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+  }
+
   /** 16-bit SimHash over the distinct-token set, built from md5
     * nibbles so it is reproducible in ANY engine (the oracle recomputes
     * it in SQL): word hash = first 4 hex digits of md5(word); bit k of

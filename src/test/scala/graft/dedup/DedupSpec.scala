@@ -151,6 +151,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 0L)
   }
 
+  test("oversizedMinhashBuckets reports exactly the buckets the " +
+      "capped pair join drops") {
+    val df = (0 until 300).map(i => (i.toLong, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    // 300 identical docs: every band bucket holds all 300 rows
+    val over = Dedup.oversizedMinhashBuckets(df, "doc_id", "text",
+      maxBucket = 100).collect()
+    assert(over.nonEmpty)
+    assert(over.forall(_.getAs[Long]("bsz") == 300L))
+    // and with the cap above the corpus size, nothing is oversized
+    assert(Dedup.oversizedMinhashBuckets(df, "doc_id", "text",
+      maxBucket = 1000).count() == 0)
+  }
+
   test("duplicatedPassages flags exactly the planted shared window, " +
       "skips short tails, and counts sharing documents") {
     val passage = (1 to 10).map(i => s"p$i").mkString(" ") // one window
