@@ -205,6 +205,59 @@ object LlmPack extends QueryPack {
         .orderBy(col("term"))
     }),
 
+    // Passage chunking: overlapping 64-token windows at stride 48 —
+    // the long-doc -> model-sized-passage step (training shards /
+    // retrieval indexing). Row-local sequence+slice, no shuffle.
+    "q_chunk" -> ((s, d) => {
+      graft.text.Chunking.chunk(Tables.documents(s, d), "doc_id", "text",
+          winLen = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Corpus-wide adjacent token-pair frequency — the merge-candidate
+    // statistic a BPE-style tokenizer trainer computes each iteration.
+    // One explode + one hash aggregate; >=5 keeps the table bounded.
+    "q_pair_freq" -> ((s, d) => {
+      val t = split(trim(col("text")), "\\s+")
+      val grams = transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+      Tables.documents(s, d)
+        .filter(size(t) >= 2)
+        .select(explode(grams).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy(col("pair"))
+    }),
+
+    // Int8 scalar quantization of embeddings: per-vector scale +
+    // md5 signature of the code array. Single-rounding double math
+    // makes the codes bit-identical when the oracle recomputes them.
+    "q_quantize" -> ((s, d) => {
+      val qt = graft.similarity.Quantize.int8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), qt.getField("scale").as("scale"),
+          graft.similarity.Quantize.signature(qt.getField("q")).as("qsig"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Pairwise similarity on the quantized codes, as EXACT integer
+    // dot products over a bounded vec_id<40 subset — this puts the
+    // embedding-similarity pairing math itself under the hard driver
+    // oracle (integer arithmetic sidesteps the float-sum-order issue
+    // that keeps the cosine LSH paths rows-only).
+    "q_quantize_dot" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+        .select(col("vec_id"),
+          graft.similarity.Quantize.int8(col("embedding"))
+            .getField("q").as("q"))
+      val l = q.select(col("vec_id").as("id_a"), col("q").as("qa"))
+      val r = q.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      l.join(r, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.similarity.Quantize.intDot(col("qa"), col("qb")).as("qdot"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Duplicated-passage spans: fixed 10-word windows shared by more
     // than one document (the passage-level exact-dedupe signal).
     // Digest-only shuffle; oracle recomputes the same windows in SQL.
@@ -213,6 +266,29 @@ object LlmPack extends QueryPack {
           winLen = 10, stride = 10)
         .select(col("id").as("doc_id"), col("win_idx"), col("n_docs"))
         .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
+    // Unigram corpus-frequency document score: pass 1 computes
+    // per-term document frequency, pass 2 joins every token occurrence
+    // back to its term's df and aggregates per document — the exact
+    // two-pass shape of LM-based quality scoring (corpus model ->
+    // broadcast/shuffle join -> per-doc aggregate), kept in integer
+    // math so it sits under the hard oracle. At web scale the term
+    // join is zipf-skewed: broadcast the (min-df-pruned) vocab when it
+    // fits, else AQE skew-join handles the hot terms.
+    "q_unigram_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = split(trim(col("text")), "\\s+")
+      val df = docs.select(explode(array_distinct(terms)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val toks = docs.select(col("doc_id"), explode(terms).as("term"))
+      toks.join(df, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("sum_df"), col("n_tokens"),
+          (col("sum_df").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_df"))
+        .orderBy(col("doc_id"))
     }),
 
     // Shard packing: assign documents to fixed-token-budget training
@@ -607,11 +683,76 @@ object LlmPack extends QueryPack {
         |  CAST(dupr <= 0.3 AS INTEGER) AS dup_ok,
         |  CAST(bigr <= 0.18 AS INTEGER) AS bigram_ok
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_unigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+        |SELECT t.doc_id AS doc_id,
+        |  CAST(SUM(df.df) AS BIGINT) AS sum_df,
+        |  count(*) AS n_tokens,
+        |  CAST(SUM(df.df) AS DOUBLE) / count(*) AS mean_df
+        |FROM toks t JOIN df USING (term)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q_term_df" ->
       """WITH w AS (
         |  SELECT unnest(list_distinct(string_split(text, ' '))) AS term
         |  FROM documents)
         |SELECT term, count(*) AS df FROM w GROUP BY term ORDER BY term""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(u AS INTEGER) AS chunk_idx,
+        |    list_slice(sp, CAST(u AS INTEGER) * 48 + 1,
+        |      CAST(u AS INTEGER) * 48 + 64) AS ck
+        |  FROM t, unnest(range(CASE WHEN len(sp) <= 64 THEN 1
+        |    ELSE CAST(floor((len(sp) - 64 + 47) / 48.0) AS BIGINT) + 1
+        |    END)) s(u))
+        |SELECT doc_id, chunk_idx, len(ck) AS n_tokens,
+        |  array_to_string(ck, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pair_freq" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS sp FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(sp)),
+        |    i -> sp[i] || ' ' || sp[i+1])) AS pair
+        |  FROM t WHERE len(sp) >= 2)
+        |SELECT pair, count(*) AS cnt FROM g
+        |GROUP BY pair HAVING count(*) >= 5 ORDER BY pair""".stripMargin,
+    "q_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(list_transform(v, x ->
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END), ','))
+        |    AS qsig
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q_quantize_dot" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 40),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, list_transform(v, x ->
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS qv
+        |  FROM m)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |    i -> CAST(a.qv[i] AS BIGINT) * b.qv[i])) AS BIGINT) AS qdot
+        |FROM q a JOIN q b ON a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_pack_concat" ->
       """WITH s AS (
         |  SELECT doc_id, text,

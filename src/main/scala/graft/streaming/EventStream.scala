@@ -73,6 +73,21 @@ object EventStream {
       }
   }
 
+  /** Event-time-bounded dedupe via the engine-native
+    * `dropDuplicatesWithinWatermark` (Spark >= 3.5): duplicates whose
+    * event times fall within the watermark delay of the first-seen row
+    * are dropped, and the state store evicts entries the moment the
+    * watermark passes them — bounded state with no custom
+    * flatMapGroupsWithState code and no processing-time clock.
+    * Complements the TTL overload below: choose THIS when duplicates
+    * cluster in event time (publisher retries, replayed partitions),
+    * the TTL form when they cluster in arrival time. */
+  def watermarkDedupe(
+      events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch sessionization: split each user's event stream into
     * sessions separated by more than `gapMinutes` of inactivity, and
     * aggregate one row per session. The batch counterpart of a

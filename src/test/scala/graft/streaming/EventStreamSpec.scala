@@ -117,6 +117,37 @@ class EventStreamSpec extends SparkSpec {
       (2L, 1L, 1L, "2024-01-01 09:00:00.0", "2024-01-01 09:00:00.0")))
   }
 
+  test("watermark dedupe drops event-time duplicates and re-admits a key " +
+      "after the watermark evicts its state") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.watermarkDedupe(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    def ids(): Seq[Long] = spark.table("wm_dedup_out").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    // in-batch and cross-batch duplicates inside the watermark horizon
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:02:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts("2024-01-01 00:05:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    assert(ids() == Seq(1L, 2L))
+    // advance event time so the watermark passes key 1's state ...
+    in.addData(Event(99, ts("2024-01-01 02:00:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    // ... then the SAME key is admitted again: state was evicted by
+    // the watermark, not by any wall-clock TTL
+    in.addData(Event(1, ts("2024-01-01 02:01:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids() == Seq(1L, 1L, 2L, 99L))
+    }
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
