@@ -144,7 +144,12 @@ object Dedup {
       winLen: Int = 10,
       stride: Int = 10): DataFrame = {
     require(winLen > 0 && stride > 0, "winLen and stride must be > 0")
-    val toks = tokensOf(col(textCol))
+    // Tokens are materialized in their own projection BEFORE the
+    // window lambda references them: HOF lambdas evaluate interpreted
+    // with no subexpression elimination, so an inlined split() would
+    // re-tokenize the document once per window. CollapseProject leaves
+    // the materialization alone (non-cheap producer, multiple refs).
+    val toks = col("__t")
     // window ordinals i = 0.., window i covers tokens [i*stride+1,
     // i*stride+winLen] (1-based slice); emit only complete windows
     val nWins = greatest(
@@ -158,7 +163,9 @@ object Dedup {
           md5(concat_ws(" ", slice(toks, i * stride + 1, lit(winLen))))
             .as("wh"))))
       .otherwise(array().cast("array<struct<win_idx:int,wh:string>>"))
-    val wins = df.select(col(idCol).as("id"), explode(winArr).as("w"))
+    val wins = df
+      .select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+      .select(col("id"), explode(winArr).as("w"))
       .select(col("id"), col("w.win_idx"), col("w.wh"))
     val shared = wins.groupBy(col("wh"))
       .agg(countDistinct(col("id")).as("n_docs"))

@@ -1,0 +1,149 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.mix.Splits
+import graft.text.{Packing, Redaction, TextStats}
+
+/** End-to-end training-corpus preparation: the composed job a user
+  * runs over raw documents to get training-ready shards, chaining the
+  * engine's LLM operators in the canonical order:
+  *
+  *   1. quality gate        (Gopher rules — row-local, no shuffle)
+  *   2. exact dedupe        (content-digest keeper, 16-byte shuffle)
+  *   3. near-dup clustering (MinHash-LSH pairs -> connected
+  *                           components -> one keeper per cluster)
+  *   4. decontamination     (benchmark n-gram overlap, bench side
+  *                           broadcast)
+  *   5. PII redaction       (row-local regex scrub)
+  *   6. train/valid split   (content-hash permille — deterministic)
+  *   7. shard packing       (distributed prefix sum over the train
+  *                           split's token counts)
+  *
+  * Stage flags are carried per document (`annotate`), so provenance
+  * is queryable: each doc shows the verdict of every stage it
+  * REACHED and null for stages after the one that dropped it — the
+  * per-stage counts come from one aggregate, not one count() job per
+  * stage. Expensive stages only ever see prior-stage survivors.
+  *
+  * Scale: every stage is one of the already-audited kernels (no new
+  * shuffle shapes); the orchestration itself adds only id-keyed
+  * left joins of tiny flag frames back onto the corpus. */
+object CorpusPipeline {
+
+  /** `annotated`: every input doc + per-stage verdict flags.
+    * `cleaned`: kept docs with redacted text, split label, and shard
+    * id (null shard on the valid split — only train packs). */
+  final case class Result(annotated: DataFrame, cleaned: DataFrame)
+
+  /** Stage verdicts for every input document. Flag semantics: null =
+    * never reached the stage (dropped earlier); false = passed
+    * through; true = dropped here (except pass_quality, where true =
+    * passed — it reads as its name). */
+  def annotate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000,
+      deconN: Int = 5): DataFrame = {
+    val id = col(idCol)
+
+    // 1. quality gate (row-local; evaluated for every doc)
+    val base = docs.select(id, col(textCol),
+      TextStats.gopherFilter(col(textCol)).as("pass_quality"))
+    val q = base.filter(col("pass_quality"))
+
+    // 2. exact dedupe on whitespace-normalized content digest
+    val exactFlag = q
+      .withColumn("__h", md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
+      .select(id,
+        (id =!= min(id).over(Window.partitionBy(col("__h"))))
+          .as("is_exact_dup"))
+    val e = q.join(exactFlag, Seq(idCol)).filter(!col("is_exact_dup"))
+      .select(id, col(textCol))
+
+    // 3. near-dup clustering over exact-dedupe survivors: cluster
+    // label = min id, so keeper == label and everything else drops
+    val pairs = Dedup.minhashLshPairs(e, idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val nearFlag = e.select(id)
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(id, coalesce(col("cluster") =!= id, lit(false))
+        .as("is_near_dup"))
+    val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
+      .select(id, col(textCol))
+
+    // 4. decontamination: any shared benchmark n-gram drops the doc
+    val hits = Dedup.decontaminate(n, idCol, textCol,
+        benchmark.select(col(idCol), col(textCol)), deconN)
+      .select(col("id").as(idCol), lit(true).as("__hit"))
+
+    docs
+      .withColumn("pass_quality", TextStats.gopherFilter(col(textCol)))
+      .join(exactFlag, Seq(idCol), "left")
+      .join(nearFlag, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .withColumn("is_contaminated",
+        when(!col("pass_quality") || col("is_exact_dup") ||
+          col("is_near_dup"), lit(null))
+          .otherwise(coalesce(col("__hit"), lit(false))))
+      .drop("__hit")
+  }
+
+  /** Run the full pipeline. `benchmark` must carry the same id/text
+    * column names as `docs`. Shard packing requires a deterministic
+    * input frame (Packing's contract); everything upstream here is
+    * joins/filters over file sources, which are. */
+  def run(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000,
+      deconN: Int = 5,
+      validPerMille: Int = 50,
+      shardBudget: Long = 2048): Result = {
+    val id = col(idCol)
+    val annotated = annotate(docs, idCol, textCol, benchmark,
+      shingleN, bands, rowsPerBand, threshold, maxBucket, deconN)
+    val kept = annotated
+      .filter(col("pass_quality") && !col("is_exact_dup") &&
+        !col("is_near_dup") && !col("is_contaminated"))
+    val cleaned = kept.select(id,
+      Redaction.redactPii(col(textCol)).as(textCol),
+      Splits.assign(id, validPerMille).as("split"))
+    val train = cleaned.filter(col("split") === "train")
+    val shards = Packing.packShards(train, idCol,
+      TextStats.tokenCount(col(textCol)), shardBudget)
+    Result(annotated, cleaned.join(shards, Seq(idCol), "left"))
+  }
+
+  /** Per-stage drop counts in ONE aggregate over the annotated frame
+    * (not one count() job per stage). */
+  def stats(annotated: DataFrame): DataFrame = {
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    annotated.agg(
+      count(lit(1)).as("input"),
+      n(!col("pass_quality")).as("quality_fail"),
+      n(col("is_exact_dup")).as("exact_dup"),
+      n(col("is_near_dup")).as("near_dup"),
+      n(col("is_contaminated")).as("contaminated"),
+      n(col("pass_quality") && !col("is_exact_dup") &&
+        !col("is_near_dup") && !col("is_contaminated")).as("kept"))
+  }
+}

@@ -217,13 +217,20 @@ object LlmPack extends QueryPack {
     // Corpus-wide adjacent token-pair frequency — the merge-candidate
     // statistic a BPE-style tokenizer trainer computes each iteration.
     // One explode + one hash aggregate; >=5 keeps the table bounded.
+    // The token array is materialized in its own projection BEFORE the
+    // lambda uses it: higher-order functions evaluate interpreted with
+    // no subexpression elimination inside the lambda, so an inlined
+    // split() would re-tokenize the document for every element — and
+    // CollapseProject keeps the split materialized because a non-cheap
+    // producer referenced more than once is never inlined.
     "q_pair_freq" -> ((s, d) => {
-      val t = split(trim(col("text")), "\\s+")
-      val grams = transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+      val t = col("__t")
       Tables.documents(s, d)
+        .select(split(trim(col("text")), "\\s+").as("__t"))
         .filter(size(t) >= 2)
-        .select(explode(grams).as("pair"))
+        .select(explode(transform(sequence(lit(0), size(t) - 2),
+          i => concat(t.getItem(i), lit(" "), t.getItem(i + lit(1)))))
+          .as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 5)
         .orderBy(col("pair"))

@@ -1,0 +1,98 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 60 words: 54 distinct content words + 6 distinct stopwords
+    * interleaved — passes every Gopher rule (length, mean token
+    * length, symbol ratio, stopwords, repetition). */
+  private def cleanText(prefix: String): String = {
+    val content = (0 until 54).map(i => s"$prefix$i")
+    val stops = Seq("the", "of", "and", "in", "is", "it")
+    content.grouped(9).toSeq.zip(stops)
+      .flatMap { case (g, s) => g :+ s }.mkString(" ")
+  }
+
+  private lazy val docs = {
+    val d1 = cleanText("apple")
+    val d3 = { // near-dup of d1: two content words swapped out
+      val w = d1.split(" ")
+      (w.take(50) ++ Seq("zebraA", "zebraB") ++ w.drop(52)).mkString(" ")
+    }
+    Seq(
+      (1L, d1),                               // keeper
+      (2L, d1),                               // exact duplicate of 1
+      (3L, d3),                               // near-duplicate of 1
+      (4L, cleanText("delta") +               // contaminated: shares
+        " bench0 bench1 bench2 bench3 bench4 bench5"), // bench 5-grams
+      (5L, "way too short to pass"),          // quality fail
+      (6L, cleanText("fox") + " contact alice@example.com today ok"),
+      (7L, cleanText("gull"))                 // clean
+    ).toDF("doc_id", "text")
+  }
+
+  private lazy val benchmark =
+    Seq((100L, (0 until 20).map(i => s"bench$i").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  private lazy val result = CorpusPipeline.run(
+    docs, "doc_id", "text", benchmark, shardBudget = 10000L)
+
+  test("stage flags carry full provenance: verdicts for reached stages, " +
+      "null after the dropping stage") {
+    val m = result.annotated.collect().map { r =>
+      def f(c: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Boolean](c))
+      r.getAs[Long]("doc_id") ->
+        (f("pass_quality"), f("is_exact_dup"), f("is_near_dup"),
+          f("is_contaminated"))
+    }.toMap
+    val T = Some(true); val F = Some(false)
+    assert(m(1L) == ((T, F, F, F)))
+    assert(m(2L) == ((T, Some(true), None, None)))
+    assert(m(3L) == ((T, F, Some(true), None)))
+    assert(m(4L) == ((T, F, F, Some(true))))
+    assert(m(5L) == ((F, None, None, None)))
+    assert(m(6L) == ((T, F, F, F)))
+    assert(m(7L) == ((T, F, F, F)))
+  }
+
+  test("stats aggregates every stage's drop count in one row") {
+    val s = CorpusPipeline.stats(result.annotated).collect().head
+    assert(s.getAs[Long]("input") == 7)
+    assert(s.getAs[Long]("quality_fail") == 1)
+    assert(s.getAs[Long]("exact_dup") == 1)
+    assert(s.getAs[Long]("near_dup") == 1)
+    assert(s.getAs[Long]("contaminated") == 1)
+    assert(s.getAs[Long]("kept") == 3)
+  }
+
+  test("cleaned output: keepers only, PII redacted, deterministic " +
+      "splits, shards packed for the train split only") {
+    val rows = result.cleaned.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 6L, 7L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // PII scrubbed in the output text, never the raw email
+    assert(byId(6L).getAs[String]("text").contains("<EMAIL>"))
+    assert(!byId(6L).getAs[String]("text").contains("alice@example.com"))
+    // split is the deterministic content-hash assignment
+    rows.foreach { r =>
+      assert(Set("train", "valid")(r.getAs[String]("split")))
+      val isTrain = r.getAs[String]("split") == "train"
+      assert(r.isNullAt(r.fieldIndex("shard")) != isTrain,
+        s"doc ${r.getAs[Long]("doc_id")}: shard must be set iff train")
+    }
+    // re-run -> identical splits (no RNG anywhere)
+    val again = CorpusPipeline.run(
+      docs, "doc_id", "text", benchmark, shardBudget = 10000L)
+      .cleaned.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+  }
+}
