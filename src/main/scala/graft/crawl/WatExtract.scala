@@ -84,12 +84,20 @@ object WatExtract {
           parse_url(l.getField("url"), lit("HOST")) =!=
             parse_url(col("target_uri"), lit("HOST"))),
       l => parse_url(l.getField("url"), lit("HOST")))
+    // anchorDomains is materialized as a column BEFORE the histogram
+    // lambda references it: a lambda body re-evaluates an inlined
+    // expression per element (no subexpression elimination in
+    // interpreted lambdas), which here would re-run the whole
+    // filter+parse_url chain once per distinct domain per page.
     val domainHist = map_from_entries(transform(
-      array_distinct(anchorDomains),
-      h => struct(h, size(filter(anchorDomains, x => x === h)))))
+      array_distinct(col("__anchor_domains")),
+      h => struct(h, size(filter(col("__anchor_domains"), x => x === h)))))
 
-    val withMeta = pages.withColumn("html_metadata",
-      to_json(struct(imgCount.as("Images"), domainHist.as("Links"))))
+    val withMeta = pages
+      .withColumn("__anchor_domains", anchorDomains)
+      .withColumn("html_metadata",
+        to_json(struct(imgCount.as("Images"), domainHist.as("Links"))))
+      .drop("__anchor_domains")
 
     // P2/P3: explode links, keep creativecommons.org targets
     // (ExtractCCLinks.py:186) -> P4 projection.

@@ -29,7 +29,11 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
-  /** Word n-gram shingles of a token array. */
+  /** Word n-gram shingles of a token array. `toks` is referenced from
+    * the transform() lambda, which re-evaluates an INLINED expression
+    * per element (interpreted lambdas have no subexpression
+    * elimination) — so pass a materialized attribute, never a raw
+    * split(); [[shingled]] is the safe entry point from text. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
@@ -37,6 +41,16 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
+
+  /** (id, sh): distinct word n-gram shingles per document, with the
+    * token array materialized in its own projection BEFORE the
+    * shingle lambda references it. CollapseProject keeps the split
+    * materialized (non-cheap producer, referenced more than once), so
+    * tokenization runs once per row instead of once per shingle. */
+  private def shingled(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+      .select(col("id"), array_distinct(shingles(col("__t"), n)).as("sh"))
 
   /** Connected components over near-dup pairs — the clustering step
     * that turns pair lists (minhash/simhash/embedding) into one
@@ -112,9 +126,8 @@ object Dedup {
       benchmark: DataFrame,
       n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(tokensOf(col(textCol)), n)))
-          .as("g"))
+      shingled(df, idCol, textCol, n)
+        .select(col("id"), explode(col("sh")).as("g"))
         .select(col("id"), md5(col("g")).as("gh"))
     val bench = grams(benchmark).select(col("gh")).distinct()
     grams(corpus)
@@ -233,8 +246,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 5000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokensOf(col(textCol)), shingleN)).as("sh"))
+    val docs = shingled(df, idCol, textCol, shingleN)
     val sigs = minhashSignatures(docs, "id", col("sh"), numHashes)
     // one row per (doc, band): the banded shuffle carries (id, band,
     // 8-byte band hash) — never the shingle arrays
@@ -284,8 +296,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucket: Int = 5000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokensOf(col(textCol)), shingleN)).as("sh"))
+    val docs = shingled(df, idCol, textCol, shingleN)
     val sigs = minhashSignatures(docs, "id", col("sh"), numHashes)
     sigs.select(col("id"),
         explode(array((0 until bands).map { b =>

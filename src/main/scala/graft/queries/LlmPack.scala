@@ -83,8 +83,8 @@ object LlmPack extends QueryPack {
     // unbounded path is q_minhash_pairs.
     "q_jaccard_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .select(col("doc_id"),
-          Dedup.shingles(split(trim(col("text")), "\\s+"), 2).as("sh"))
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
+        .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"))
       val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       l.join(r, col("id_a") < col("id_b"))
@@ -99,8 +99,8 @@ object LlmPack extends QueryPack {
     // per duplicate group. Oracle: recursive-CTE reachability closure.
     "q_neardup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .select(col("doc_id"),
-          Dedup.shingles(split(trim(col("text")), "\\s+"), 2).as("sh"))
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
+        .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"))
       val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val pairs = l.join(r, col("id_a") < col("id_b"))

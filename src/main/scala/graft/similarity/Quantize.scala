@@ -26,15 +26,21 @@ object Quantize {
     val d = transform(vec, x => x.cast("double"))
     val m = array_max(transform(d, x => abs(x)))
     val scale = m / lit(127.0)
-    val q = when(m === lit(0.0), transform(d, _ => lit(0)))
-      .otherwise(transform(d, x => floor(x / scale + lit(0.5)).cast("int")))
+    // the scale is broadcast across elements via array_repeat +
+    // zip_with so the lambda only touches element variables — a scale
+    // referenced INSIDE the lambda would re-run its array_max per
+    // element (interpreted lambdas have no subexpression elimination)
+    val q = zip_with(d, array_repeat(scale, size(vec)),
+      (x, s) => when(s === lit(0.0), lit(0))
+        .otherwise(floor(x / s + lit(0.5)).cast("int")))
     struct(scale.as("scale"), q.as("q"))
   }
 
   /** Reconstruction: q_i * scale (for error-bound checks; the bound
     * is |x_i - q_i*scale| <= scale/2 by construction). */
   def dequantize(q: Column, scale: Column): Column =
-    transform(q, x => x.cast("double") * scale)
+    zip_with(q, array_repeat(scale, size(q)),
+      (x, s) => x.cast("double") * s)
 
   /** Exact integer dot product of two int8 code arrays (long math —
     * 64 products of +-127 values is far inside exact range). */

@@ -166,13 +166,17 @@ object Similarity {
 
     // L2-normalize the quantizer's feature space: fitting on raw
     // magnitudes splits cells by vector length, which cosine search
-    // doesn't care about, and costs recall.
-    val unitVec = transform(col("vec"),
-      x => x.cast("double") /
-        sqrt(aggregate(transform(col("vec"),
-          y => y.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)))
-    val baseVec = base.withColumn("features", array_to_vector(unitVec))
+    // doesn't care about, and costs recall. The norm is broadcast
+    // across elements via array_repeat + zip_with so the lambda only
+    // touches element variables — a norm referenced INSIDE a
+    // transform() lambda would re-evaluate per element (O(d^2) per
+    // vector; interpreted lambdas have no subexpression elimination).
+    val norm = sqrt(aggregate(
+      transform(col("vec"), y => y.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val unitVec = zip_with(col("vec"),
+      array_repeat(norm, size(col("vec"))),
+      (x, nn) => x.cast("double") / nn)
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
     // Fit the coarse quantizer on a bounded sample WITHOUT a counting
@@ -185,11 +189,14 @@ object Similarity {
     // probed — still correct, verified empirically.
     // (GlobalLimit funnels to one partition — re-spread the <= fitCap
     // fit rows so the k-means iterations run parallel, not 1-threaded)
+    // normalization happens AFTER the sample/limit: only the <= fitCap
+    // fit rows pay for feature construction, never the full base
     val fitCap = math.max(nLists * 2000, 20000)
-    val fitDf = baseVec
+    val fitDf = base
       .sample(withReplacement = false, fraction = 0.5, seed = seed)
       .limit(fitCap)
       .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("features", array_to_vector(unitVec))
     fitDf.persist()
     val model =
       try km.fit(fitDf)

@@ -120,7 +120,11 @@ object TextStats {
 
   /** The pure-Column composable form of [[topBigramFraction]] —
     * value-identical; retained as the ScalaTest parity oracle for the
-    * native expression (and for sessions without GraftExtensions). */
+    * native expression (and for sessions without GraftExtensions).
+    * Caveat for the fallback use: the token array is referenced from
+    * inside the gram lambda, so interpreted evaluation re-tokenizes
+    * per gram — fine for a parity test, a reason to prefer the native
+    * expression in production plans. */
   def topBigramFractionHof(text: Column): Column = {
     val t = tokens(text)
     val grams = when(size(t) < 2, array(concat_ws(" ", t)))
