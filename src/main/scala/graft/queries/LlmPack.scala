@@ -112,6 +112,50 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus composition audit: per-(source, lang) document/token/char
+    // totals — the mixture table every dataset card publishes, and the
+    // input to Mixing weight decisions. One hash aggregate.
+    "q_source_mix" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // Near-dup keeper POLICY: within each duplicate cluster keep the
+    // LONGEST document (ties -> smallest id) — the standard policy
+    // when near-dups are subsets/truncations of each other, replacing
+    // the min-id default. Emits every clustered doc with its keep
+    // verdict; oracle re-derives clusters via recursive CTE + ranks.
+    "q_keeper_longest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"),
+          col("n_chars"))
+        .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"),
+          col("n_chars"))
+      val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = l.join(r, col("id_a") < col("id_b"))
+        .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jacc") >= 0.05)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      cc.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+        .select(col("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dup candidates over the FULL table — banded
     // bucket join, no all-pairs plan. Rows-only check (verified vs
     // exact Jaccard in ScalaTest).
@@ -628,6 +672,42 @@ object LlmPack extends QueryPack {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |    AS mean_tokens
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+    "q_keeper_longest" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+        |    END) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE doc_id < 60)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT cc.doc_id AS doc_id, cc.cluster AS cluster,
+        |  CAST(row_number() OVER (PARTITION BY cc.cluster
+        |    ORDER BY d.n_chars DESC, cc.doc_id) = 1 AS INTEGER) AS keep
+        |FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_redact_pii" ->
       """WITH s AS (
         |  SELECT doc_id,

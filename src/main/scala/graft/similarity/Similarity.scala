@@ -95,14 +95,23 @@ object Similarity {
     val bucketSizes = coded.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val kept = coded.join(bucketSizes.select("tbl", "code"), Seq("tbl", "code"))
+    // the banded self-join and candidate dedupe carry only ids and
+    // 8-byte codes; the 256-byte vectors re-join AFTER dedupe, for
+    // candidates only (same shape as minhashLshPairs' shingle
+    // re-join) — at corpus scale the wide payload never multiplies
+    // through bucket hits
+    val kept = coded.select(col("tbl"), col("code"), col("id"))
+      .join(bucketSizes.select("tbl", "code"), Seq("tbl", "code"))
     val cand = kept.alias("l").join(kept.alias("r"),
         col("l.tbl") === col("r.tbl") && col("l.code") === col("r.code") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("cos", cosine(col("va"), col("vb")))
+    val vecs = df.select(col("id"), col("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
