@@ -95,17 +95,23 @@ object Multimodal {
     val isPng = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
     val isGif = substring(bin, 1, 6).cast("string").isin("GIF87a", "GIF89a")
     val isBmp = substring(bin, 1, 2).cast("string") === "BM"
+    val isJpg = hex(substring(bin, 1, 2)) === "FFD8"
     // PNG: 8-byte signature, 4-byte length, "IHDR", then width/height
     // as 4-byte big-endian at offsets 17/21 (1-based). GIF: logical
     // screen width/height, 2-byte little-endian at 7/9. BMP
     // (BITMAPINFOHEADER): 4-byte little-endian at 19/23, height
-    // signed.
+    // signed. JPEG needs a segment WALK to its SOF header — the
+    // codegen'd graft.plans.JpegDims expression (packed w<<16|h).
+    val jp = graft.plans.JpegDims(bin)
     when(isPng, struct(lit("png").as("fmt"),
         be4(17).as("width"), be4(21).as("height")))
       .when(isGif, struct(lit("gif").as("fmt"),
         le2(7).as("width"), le2(9).as("height")))
       .when(isBmp, struct(lit("bmp").as("fmt"),
         le4(19).as("width"), abs(le4(23)).as("height")))
+      .when(isJpg && jp.isNotNull, struct(lit("jpg").as("fmt"),
+        shiftright(jp, 16).bitwiseAND(lit(65535L)).cast("int").as("width"),
+        jp.bitwiseAND(lit(65535L)).cast("int").as("height")))
       .otherwise(struct(lit(null).cast("string").as("fmt"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }

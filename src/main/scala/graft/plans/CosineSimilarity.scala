@@ -101,5 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_stats"),
       new ExpressionInfo(classOf[WordStats].getName, "word_stats"),
       (children: Seq[Expression]) => WordStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jpeg_dims"),
+      new ExpressionInfo(classOf[JpegDims].getName, "jpeg_dims"),
+      (children: Seq[Expression]) => JpegDims(children.head)))
   }
 }

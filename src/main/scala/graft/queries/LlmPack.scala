@@ -460,16 +460,29 @@ object LlmPack extends QueryPack {
       def le4(c: org.apache.spark.sql.Column) =
         concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2), hexByte(c, 3))
       def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def be2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
       val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
         be4(w), be4(h), lit("0806000000"))
       val gifHex = concat(lit("474946383961"), le2(w), le2(h), lit("F70000"))
       val bmpHex = concat(
         lit("424D" + "00000000" + "00000000" + "00000000" + "28000000"),
         le4(w), le4(h), lit("0100"))
+      // JPEG: SOI + APP0(JFIF) + a COM segment whose length VARIES
+      // with doc_id (0-6 comment bytes) + SOF0 — the parse only
+      // succeeds if the segment walk skips variable-length segments
+      // correctly, which no fixed-offset read can fake.
+      val comLen = (col("doc_id") % 7).cast("int")
+      val jpgHex = concat(
+        lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+          "0048" + "0048" + "0000"),
+        lit("FFFE"), be2(comLen + 2), lit("41" * 7).substr(lit(1), comLen * 2),
+        lit("FFC0" + "0011" + "08"), be2(h), be2(w),
+        lit("03" + "012200" + "021101" + "031101"))
       val payload = unhex(
-        when(col("doc_id") % 3 === 0, pngHex)
-          .when(col("doc_id") % 3 === 1, gifHex)
-          .otherwise(bmpHex))
+        when(col("doc_id") % 4 === 0, pngHex)
+          .when(col("doc_id") % 4 === 1, gifHex)
+          .when(col("doc_id") % 4 === 2, bmpHex)
+          .otherwise(jpgHex))
       val dims = graft.multimodal.Multimodal.imageDims(payload)
       Tables.documents(s, d)
         .select(col("doc_id"), dims.getField("fmt").as("fmt"),
@@ -899,7 +912,7 @@ object LlmPack extends QueryPack {
         |ORDER BY media_id, frame_offset""".stripMargin,
     "q_image_dims" ->
       """SELECT doc_id,
-        |  ['png','gif','bmp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+        |  ['png','gif','bmp','jpg'][CAST(doc_id % 4 AS INTEGER) + 1] AS fmt,
         |  CAST(100 + doc_id % 900 AS INTEGER) AS width,
         |  CAST(50 + doc_id % 500 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -88,6 +88,25 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming session windows: the engine-native
+    * `session_window(ts, gap)` + watermark — the streaming
+    * counterpart of [[sessionize]]. A session closes (and emits, in
+    * Append mode) once the watermark passes its end; state per open
+    * session is bounded by the watermark exactly like windowed
+    * aggregation state. Emits one row per (closed session, user). */
+  def streamingSessions(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("n_events"), col("val_sum"))
+
   /** Batch sessionization: split each user's event stream into
     * sessions separated by more than `gapMinutes` of inactivity, and
     * aggregate one row per session. The batch counterpart of a

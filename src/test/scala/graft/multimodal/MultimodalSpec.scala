@@ -63,6 +63,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out("junk") == ((None, None, None)))
   }
 
+  test("imageDims walks JPEG segment chains to the SOF header: " +
+      "variable-length segments, fill bytes, progressive SOF2, " +
+      "restart markers; nulls truncated or SOF-less streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hx(s: String): Array[Byte] = s.grouped(2)
+      .map(b => Integer.parseInt(b, 16).toByte).toArray
+    val app0 = "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0048" + "0048" + "0000"
+    def sof(marker: String, w: Int, h: Int) =
+      marker + "0011" + "08" + f"$h%04X" + f"$w%04X" +
+        "03" + "012200" + "021101" + "031101"
+    val rows = Seq(
+      // baseline: APP0 + 3-byte COM + SOF0, 640x480
+      ("base", hx("FFD8" + app0 + "FFFE" + "0005" + "414243" +
+        sof("FFC0", 640, 480))),
+      // progressive SOF2, fill bytes (extra FFs) before markers, 31x17
+      ("prog", hx("FFD8" + "FF" + app0 + "FFFF" + sof("FFC2", 31, 17))),
+      // restart marker (standalone, no length) before the SOF, 8x9
+      ("rst", hx("FFD8" + "FFD0" + sof("FFC1", 8, 9))),
+      // DHT (C4) must be SKIPPED, not read as SOF: 5 payload bytes
+      ("dht", hx("FFD8" + "FFC4" + "0007" + "0102030405" +
+        sof("FFC0", 12, 34))),
+      // SOS before any SOF -> no dimensions
+      ("nosof", hx("FFD8" + app0 + "FFDA" + "0002")),
+      // truncated mid-segment -> null, not a crash or garbage read
+      ("trunc", hx("FFD8" + "FFE0" + "0010" + "4A46")),
+      ("soi_only", hx("FFD8")))
+      .toDF("name", "payload")
+    val out = rows.select(col("name"),
+        Multimodal.imageDims(col("payload")).as("d"))
+      .select(col("name"), col("d.fmt"), col("d.width"), col("d.height"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("base") == ((Some("jpg"), Some(640), Some(480))))
+    assert(out("prog") == ((Some("jpg"), Some(31), Some(17))))
+    assert(out("rst") == ((Some("jpg"), Some(8), Some(9))))
+    assert(out("dht") == ((Some("jpg"), Some(12), Some(34))))
+    assert(out("nosof") == ((None, None, None)))
+    assert(out("trunc") == ((None, None, None)))
+    assert(out("soi_only") == ((None, None, None)))
+    // SQL surface: the expression is registered as jpeg_dims
+    val viaSql = rows.filter(col("name") === "base")
+      .selectExpr("jpeg_dims(payload) AS p")
+      .select((col("p") / 65536).cast("int").as("w"),
+        (col("p") % 65536).cast("int").as("h")).collect().head
+    assert(viaSql.getInt(0) == 640 && viaSql.getInt(1) == 480)
+  }
+
   test("audioMeta parses a canonical RIFF/WAVE fmt header and nulls " +
       "everything else") {
     import spark.implicits._

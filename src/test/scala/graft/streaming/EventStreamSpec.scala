@@ -99,6 +99,39 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming session windows close at watermark + gap and emit " +
+      "one row per (session, user)") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.streamingSessions(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", 2.0), // same session
+      Event(3, ts("2024-01-01 00:50:00"), 1, "view", 3.0),  // gap >30m: new
+      Event(4, ts("2024-01-01 00:05:00"), 2, "view", 4.0))  // other user
+    q.processAllAvailable()
+    // advance the watermark far enough to close every session above
+    in.addData(Event(9, ts("2024-01-01 06:00:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").collect().map(r =>
+      (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("s_start").toString,
+        r.getAs[Timestamp]("s_end").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("val_sum"))).toSet
+    // session end = last event + gap (native session_window semantics)
+    assert(rows.contains((1L, "2024-01-01 00:00:00.0",
+      "2024-01-01 00:40:00.0", 2L, 3.0)))
+    assert(rows.contains((1L, "2024-01-01 00:50:00.0",
+      "2024-01-01 01:20:00.0", 1L, 3.0)))
+    assert(rows.contains((2L, "2024-01-01 00:05:00.0",
+      "2024-01-01 00:35:00.0", 1L, 4.0)))
+    }
+  }
+
   test("sessionize splits per-user event streams at >gap boundaries " +
       "and aggregates each session") {
     val events = Seq(
