@@ -156,6 +156,18 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic per-language quota sample: exactly 40 docs per
+    // lang under a content-hash order — corpus balancing with no RNG.
+    // Two-phase salted top-N inside (Quota.topNPerGroup), identical
+    // result to a naive single-window rank, which is what the oracle
+    // recomputes.
+    "q_sample_quota" -> ((s, d) => {
+      graft.mix.Quota.topNPerGroup(Tables.documents(s, d), "lang",
+          graft.mix.Quota.orderKey(col("doc_id")), n = 40)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // MinHash-LSH near-dup candidates over the FULL table — banded
     // bucket join, no all-pairs plan. Rows-only check (verified vs
     // exact Jaccard in ScalaTest).
@@ -339,6 +351,32 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"), col("sum_df"), col("n_tokens"),
           (col("sum_df").cast("double") / col("n_tokens").cast("double"))
             .as("mean_df"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Out-of-vocabulary rate against a min-df-pruned vocabulary
+    // (df >= 10% of corpus size — relative, so the prune bites at any
+    // scale factor): the tokenizer-coverage check run before
+    // committing a vocab. LEFT join of token occurrences to the
+    // pruned vocab — unmatched = OOV; integer counts + one division
+    // stay oracle-exact.
+    "q_oov" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = split(trim(col("text")), "\\s+")
+      val total = docs.agg(count(lit(1)).as("__n"))
+      val vocab = docs.select(explode(array_distinct(terms)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .join(broadcast(total))
+        .filter(col("df") >= col("__n") * 0.1)
+        .select(col("term"), lit(1).as("__in"))
+      docs.select(col("doc_id"), explode(terms).as("term"))
+        .join(vocab, Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
         .orderBy(col("doc_id"))
     }),
 
@@ -685,6 +723,14 @@ object LlmPack extends QueryPack {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_sample_quota" ->
+      """SELECT doc_id, lang, rnk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'))
+        |      AS INTEGER) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 40 ORDER BY lang, rnk""".stripMargin,
     "q_source_mix" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -783,6 +829,22 @@ object LlmPack extends QueryPack {
         |  CAST(dupr <= 0.3 AS INTEGER) AS dup_ok,
         |  CAST(bigr <= 0.18 AS INTEGER) AS bigram_ok
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+        |  WHERE df >= (SELECT count(*) FROM documents) * 0.1)
+        |SELECT t.doc_id AS doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1,0 +1,44 @@
+package graft.mix
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QuotaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0 until 3000)
+    .map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+
+  test("two-phase salted top-N equals the naive single-window rank " +
+      "exactly (same rows, same ranks)") {
+    val ord = Quota.orderKey(col("id"))
+    val fast = Quota.topNPerGroup(docs, "grp", ord, n = 25)
+      .select(col("id"), col("grp"), col("rnk"))
+    val naive = docs.withColumn("__o", ord)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("__o"))))
+      .filter(col("rnk") <= 25)
+      .select(col("id"), col("grp"), col("rnk"))
+    assert(fast.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(fast).count() == 0)
+    assert(fast.count() == 75) // exactly 25 per group
+  }
+
+  test("quota membership is deterministic under repartitioning and " +
+      "independent of the train/valid split hash") {
+    val ord = Quota.orderKey(col("id"))
+    val a = Quota.topNPerGroup(docs, "grp", ord, n = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Quota.topNPerGroup(docs.repartition(17), "grp", ord, n = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // different tag -> a (almost surely) different member set:
+    // quota hashing must not correlate with Splits/other tags
+    val c = Quota.topNPerGroup(docs, "grp",
+      Quota.orderKey(col("id"), tag = "other"), n = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != c)
+  }
+}
