@@ -16,10 +16,15 @@ object Tsv {
 
   val NullMarker = "\\N"
 
-  // Boundary semantic: with quoting disabled an empty field is
-  // written as nothing and reads back as NULL (not ""). The reference
-  // distinguishes the two only via Postgres COPY; this engine
-  // canonicalizes empty -> null at the TSV boundary.
+  // Boundary semantic: Postgres COPY distinguishes the empty string
+  // (nothing between tabs) from NULL (`\N`), and the reference's own
+  // expected-output TSVs carry empty-string cells (e.g. cleveland's
+  // blank creators) — so the read path must too. A CSV parser with
+  // quoting disabled cannot: it collapses unquoted-empty to null
+  // before null-marker matching ever runs. `read` therefore parses
+  // lines directly (split on tab, exact `\N` match -> null, raw cell
+  // otherwise), which GoldenTsvSpec pins byte-for-byte against every
+  // reference example_output file.
 
   def write(df: DataFrame, path: String, singleFile: Boolean = false,
       mode: String = "overwrite"): Unit = {
@@ -30,20 +35,28 @@ object Tsv {
       .option("escape", "\\")
       .option("nullValue", NullMarker)
       .option("emptyValue", "")
+      // the CSV writer TRIMS whitespace-edged cells by default; COPY
+      // data is byte-exact (reference goldens carry cells with
+      // trailing spaces — thingiverse line 27's creator 'Willie ')
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
   }
 
   /** S8: schema-declared read (never inferSchema — SURVEY §1.2),
-    * `\N` -> null. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .schema(schema)
-      .option("sep", "\t")
-      .option("quote", "")
-      .option("escape", "\\")
-      .option("nullValue", NullMarker)
-      .option("emptyValue", "")
-      .csv(path)
+    * `\N` -> null, empty cell -> empty string (COPY-faithful — see
+    * the boundary note above). Casts are permissive (non-ANSI): a
+    * non-numeric cell in a numeric column nulls out, as before. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split, when}
+    val parts = split(col("value"), "\t", -1)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val cell = element_at(parts, i + 1)
+      when(cell === lit(NullMarker), lit(null)).otherwise(cell)
+        .cast(f.dataType).as(f.name)
+    }
+    spark.read.text(path).select(cols.toSeq: _*)
+  }
 
   /** S9: bounded-bad-rows load — PERMISSIVE read with a corrupt-record
     * column; fails the load if more than `maxBad` rows are malformed

@@ -68,12 +68,34 @@ class GoldenTsvSpec extends SparkSpec {
     assume(Files.exists(Paths.get(golden)), s"golden $golden missing")
     val got = writtenBytes(Tsv.read(spark, golden, sinkSchema))
     val want = new String(Files.readAllBytes(Paths.get(golden)), "UTF-8")
-    assert(got == want)
+    if (got != want) { // pinpoint the first differing line, not a blob diff
+      val gl = got.split("\n", -1)
+      val wl = want.split("\n", -1)
+      val bad = gl.zipAll(wl, "<missing>", "<missing>")
+        .indexWhere { case (g, w) => g != w }
+      val (g, w) = (gl.lift(bad).getOrElse("<missing>"),
+        wl.lift(bad).getOrElse("<missing>"))
+      val at = g.zip(w).indexWhere { case (a, b) => a != b }
+      fail(s"${Paths.get(golden).getFileName}: first diff at line $bad " +
+        s"char $at:\n  got  ${g.drop(math.max(0, at - 40)).take(120)}\n" +
+        s"  want ${w.drop(math.max(0, at - 40)).take(120)}")
+    }
   }
 
   test("flickr_truncated.tsv byte round-trip: the sink reproduces the " +
       "reference's exact bytes (column order, \\N, t/f, JSON cells)") {
     roundTrip(s"$res/example_output/flickr_truncated.tsv")
+  }
+
+  test("EVERY reference example_output TSV byte round-trips through the " +
+      "sink: 14 files, ~3.9k real crawl rows across 9 provider output " +
+      "shapes (cleveland's 2k rows, thingiverse tags, met meta, ...)") {
+    val dir = Paths.get(s"$res/example_output")
+    assume(Files.exists(dir), "example_output missing")
+    val goldens = Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".tsv")).toSeq.sorted
+    assert(goldens.size >= 14, s"expected >=14 goldens, found ${goldens.size}")
+    goldens.foreach(roundTrip)
   }
 
   test("wikimedia exec_job_expect_output.tsv byte round-trip") {
