@@ -105,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jpeg_dims"),
       new ExpressionInfo(classOf[JpegDims].getName, "jpeg_dims"),
       (children: Seq[Expression]) => JpegDims(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatio(children.head)))
   }
 }

@@ -411,6 +411,20 @@ object LlmPack extends QueryPack {
         .orderBy(col("shard"))
     }),
 
+    // Compression-ratio quality signal (CCNet/Gopher-family byte-level
+    // repetition filter): deflate/raw per document via the codegen'd
+    // DeflateRatio expression. zlib has no SQL oracle -> rows-only;
+    // TextStatsSpec pins bounds, determinism, and the repetitive <
+    // natural < random ordering.
+    "q_compression" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.compressionRatio(col("text")).as("deflate_ratio"),
+          (TextStats.compressionRatio(col("text")) < 0.30).cast("int")
+            .as("flag_repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Brute-force cosine top-3 neighbors (the ANN oracle): queries =
     // vec_id<10 broadcast against all base vectors vec_id>=10.
     "q_ann_bruteforce" -> ((s, d) => {

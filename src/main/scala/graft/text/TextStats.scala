@@ -70,6 +70,13 @@ object TextStats {
       (lit(1.0) - punctPenalty) * lit(0.2))
   }
 
+  /** Compression-ratio signal (graft.plans.DeflateRatio, codegen'd):
+    * deflate bytes / raw bytes. Low = templated/repetitive content —
+    * the byte-level complement of the token-level repetition
+    * signals above; threshold like `< 0.3` in a filter. */
+  def compressionRatio(text: Column): Column =
+    graft.plans.DeflateRatio(text)
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * order-insensitive content identity (the "fingerprint dedupe" of
     * data-cleaning pipelines). */

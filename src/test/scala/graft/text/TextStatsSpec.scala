@@ -139,4 +139,32 @@ class TextStatsSpec extends SparkSpec {
     assert(prose > soup)
     assert(prose >= 0 && prose <= 1 && soup >= 0 && soup <= 1)
   }
+
+  test("compression ratio orders repetitive < natural < random, is " +
+      "deterministic, bounded, and SQL-callable as deflate_ratio") {
+    val rep = "buy now " * 200
+    // genuinely varied prose-like words (seeded): repeating a sentence
+    // x10 would itself compress to ~0.08 and sit below the template
+    val nat = {
+      val r = new scala.util.Random(3)
+      Seq.fill(300)(Seq.fill(3 + r.nextInt(6))(
+        ('a' + r.nextInt(26)).toChar).mkString).mkString(" ")
+    }
+    val rnd = {
+      val r = new scala.util.Random(7)
+      Seq.fill(1600)(r.nextPrintableChar()).mkString
+    }
+    def ratio(s: String) = one[Double](TextStats.compressionRatio(col("t")), s)
+    val (a, b, c) = (ratio(rep), ratio(nat), ratio(rnd))
+    assert(a < b && b < c, s"expected repetitive $a < natural $b < random $c")
+    assert(a > 0 && c <= 1.2) // deflate overhead can tip just past 1 on noise
+    assert(ratio(rep) == a)   // deterministic
+    assert(one[Double](TextStats.compressionRatio(col("t")), "") == 1.0)
+    // the repetitive doc trips the flag threshold used by q_compression
+    assert(a < 0.30 && b > 0.30)
+    // registered SQL surface
+    val viaSql = Seq(Tuple1(rep)).toDF("t")
+      .selectExpr("deflate_ratio(t) AS r").collect().head.getDouble(0)
+    assert(viaSql == a)
+  }
 }
