@@ -72,6 +72,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("kept") == 3)
   }
 
+  test("runs end-to-end on the real sf0.001 documents table: stats " +
+      "reconcile, every kept doc has a split, shard iff train") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val docs = graft.Tables.documents(spark, dir)
+    val res = CorpusPipeline.run(
+      docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      benchmark = docs.filter(col("doc_id") < 10),
+      shardBudget = 4096L)
+    val s = CorpusPipeline.stats(res.annotated).collect().head
+    val input = s.getAs[Long]("input")
+    val kept = s.getAs[Long]("kept")
+    assert(input == docs.filter(col("doc_id") >= 10).count())
+    // stage drops + kept must cover the input exactly (provenance
+    // flags partition the corpus; nothing vanishes untracked)
+    val drops = Seq("quality_fail", "exact_dup", "near_dup", "contaminated")
+      .map(s.getAs[Long]).sum
+    assert(drops + kept == input, s"drops $drops + kept $kept != $input")
+    val cleaned = res.cleaned.collect()
+    assert(cleaned.length == kept)
+    cleaned.foreach { r =>
+      assert(Set("train", "valid")(r.getAs[String]("split")))
+      val isTrain = r.getAs[String]("split") == "train"
+      assert(r.isNullAt(r.fieldIndex("shard")) != isTrain)
+    }
+  }
+
   test("cleaned output: keepers only, PII redacted, deterministic " +
       "splits, shards packed for the train split only") {
     val rows = result.cleaned.collect()
