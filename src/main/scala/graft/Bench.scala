@@ -1,23 +1,36 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall
-  * times. Each query is forced with a noop-format write so the full
-  * plan executes (a bare .count() lets Catalyst prune to a
+  * SPARK_GRAFT_SF_DIR and prints per-query wall times as ONE JSON
+  * line format. Each query is forced with a noop-format write so the
+  * full plan executes (a bare .count() lets Catalyst prune to a
   * metadata-only plan and under-measures real work). Failures are
   * recorded per-query and make the process exit nonzero instead of
   * being silently timed as successes.
   *
-  * Contention defense, two layers (the shared sandbox can steal the
-  * CPU for minutes: round 2 recorded 883 s vs 57.7 s reproducible;
-  * round 3 recorded one query at 78 s vs 9 s reproducible even with
-  * min-of-2-passes, because the whole session was contended):
+  * SURVIVABILITY (round-4 lesson: the driver's contended session was
+  * killed at rc 124 mid-pass-1 and stdout carried no JSON line, so
+  * BOTH round artifacts were zeroed despite green code):
   *
-  *  1. THREE interleaved full passes (A,B,C,A,B,C,...), per-query MIN
-  *     across passes — a contention window shorter than a whole pass
-  *     (~minutes) cannot inflate the same query in every pass.
+  *  - The full-format JSON line is printed to STDOUT after EVERY
+  *    query, each line superseding the last, so a `kill -9` at any
+  *    minute of the run still leaves the driver's stdout parse a
+  *    complete, parseable line covering everything measured so far
+  *    (tagged `"partial":true` until the run finishes cleanly).
+  *  - Passes 2-3 are skipped once elapsed wall time exceeds
+  *    SPARK_GRAFT_BENCH_BUDGET_S (default 600 s). Min-of-3 is the
+  *    right *measurement* defense against contention, but an
+  *    unbounded 3-pass *run* is the wrong survival tradeoff on a
+  *    contended host; the final line reports which it got via
+  *    `"timing":"min_of_N_passes"`.
+  *
+  * Contention defense, two layers (the shared sandbox can steal the
+  * CPU for minutes; round 2 recorded 883 s vs 57.7 s reproducible):
+  *
+  *  1. Up to THREE interleaved full passes (A,B,C,A,B,C,...),
+  *     per-query MIN across passes — a contention window shorter than
+  *     a whole pass (~minutes) cannot inflate the same query in every
+  *     pass.
   *  2. Per-query process-CPU seconds next to wall seconds
   *     (`cpu_queries`), so inflation is DETECTABLE from the artifact
   *     itself: a healthy local[32] query has cpu >= wall (parallel
@@ -25,15 +38,19 @@ import org.apache.spark.sql.SparkSession
   *     vs other rounds. Graders can separate "the code got slower"
   *     (cpu up) from "the host was contended" (wall up, cpu flat).
   *
-  * Results are flushed to bench_last.json after every query, so a
-  * partially-completed run still leaves a usable artifact.
+  * Results are also flushed to bench_last.json after every query for
+  * humans inspecting a dead run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(600.0)
     val spark = Sessions.local("graft-bench")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val wallStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
 
     val names =
       if (args.nonEmpty) args.toSeq.sorted
@@ -48,6 +65,7 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cpus = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val okFlags = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    var passesDone = 0
 
     def renderJson(partial: Boolean): String = {
       val done = names.filter(times.contains)
@@ -59,13 +77,20 @@ object Bench {
       val cpuTotal = names.filter(n => okFlags.getOrElse(n, false)).map(cpus).sum
       val failedS = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialS = if (partial) ""","partial":true""" else ""
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_3_passes"$partialS}"""
+      val passes = math.max(passesDone, 1)
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_${passes}_passes","elapsed_wall":${f"$elapsedS%.1f"}$partialS}"""
     }
 
-    def flush(partial: Boolean): Unit =
+    // Stdout is what the driver parses (its reader takes the last JSON
+    // line); the file is a convenience copy for humans.
+    def emit(partial: Boolean): Unit = {
+      val json = renderJson(partial)
+      println(json)
+      System.out.flush()
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_last.json"), renderJson(partial) + "\n")
+        java.nio.file.Paths.get("bench_last.json"), json + "\n")
       catch { case _: Throwable => () }
+    }
 
     def once(name: String): (Double, Double, Boolean) = {
       val fn = SparkEntry.queries(name)
@@ -86,32 +111,34 @@ object Bench {
       (wall, cpu, ok)
     }
 
-    // pass 1: every query once
+    // pass 1: every query once (never budget-skipped — coverage first)
     names.foreach { name =>
       val (t, c, ok) = once(name)
       times(name) = t
       cpus(name) = c
       okFlags(name) = ok
-      flush(partial = true)
+      emit(partial = true)
     }
+    passesDone = 1
     // passes 2..3: re-run successes, keep the min-wall sample (and its
     // cpu) — samples are a full pass apart in time, so one contention
-    // window can't hit the same query in every pass
+    // window can't hit the same query in every pass. Each pass (and
+    // each query within it) starts only while under the wall budget.
     (2 to 3).foreach { pass =>
+      var ranAll = true
       names.foreach { name =>
         if (okFlags(name)) {
-          val (t, c, ok) = once(name)
-          if (ok && t < times(name)) { times(name) = t; cpus(name) = c }
-          flush(partial = !(pass == 3 && name == names.last))
+          if (elapsedS < budgetS) {
+            val (t, c, ok) = once(name)
+            if (ok && t < times(name)) { times(name) = t; cpus(name) = c }
+            emit(partial = true)
+          } else ranAll = false
         }
       }
+      if (ranAll) passesDone = pass
     }
 
-    val json = renderJson(partial = false)
-    // Single machine-readable line on stdout (build.sbt routes forked
-    // stdout unprefixed via StdoutOutput); also persisted for humans.
-    println(json)
-    flush(partial = false)
+    emit(partial = false)
     spark.stop()
     if (okFlags.values.exists(!_)) sys.exit(1)
   }
