@@ -192,7 +192,12 @@ class EventStreamSpec extends SparkSpec {
     // processAllAvailable would block forever. The test therefore
     // POLLS the memory sink with a deadline, and the interval trigger
     // keeps the no-data batches from hot-spinning.
-    val q = EventStream.streamingDedupe(in.toDS(), stateTTL = "4 seconds")
+    // TTL margin: the within-TTL dedupe check below only holds if the
+    // second batch is processed less than one TTL after the first. A
+    // 4s TTL flaked under full-suite load (the gap exceeded it); 20s
+    // gives a ~5x margin while the expiry phase POLLS observable state
+    // instead of sleeping, so a wide TTL costs only the real idle time.
+    val q = EventStream.streamingDedupe(in.toDS(), stateTTL = "20 seconds")
       .writeStream.format("memory").queryName("dedup_ttl_out")
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger
@@ -208,6 +213,20 @@ class EventStreamSpec extends SparkSpec {
         Thread.sleep(100)
       }
     }
+    // Observable expiry: state removal is visible as the state
+    // operator's numRowsTotal dropping to 0 — polling it is
+    // load-proof where a fixed sleep is a guess.
+    def awaitStateEmpty(deadlineMs: Long = 120000): Unit = {
+      val t0 = System.nanoTime()
+      def stateRows(): Long = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+      while (stateRows() != 0L) {
+        assert((System.nanoTime() - t0) / 1e6 < deadlineMs,
+          s"timeout waiting for state expiry, numRowsTotal=${stateRows()}")
+        Thread.sleep(200)
+      }
+    }
     try {
       // keys 1 and 2 pass, the in-batch repeat of 1 is dropped
       in.addData(
@@ -221,8 +240,9 @@ class EventStreamSpec extends SparkSpec {
         Event(1, ts("2024-01-01 00:03:00"), 1, "click", 3.0),
         Event(3, ts("2024-01-01 00:04:00"), 3, "view", 4.0))
       awaitIds(Seq(1L, 2L, 3L))
-      // let the idle TTL lapse; timeout batches remove expired state
-      Thread.sleep(6000)
+      // let the idle TTL lapse; timeout batches remove expired state —
+      // wait for the REMOVAL to be observable, not for a wall estimate
+      awaitStateEmpty()
       // key 1's state expired -> admitted (and emitted) AGAIN
       in.addData(Event(1, ts("2024-01-01 00:11:00"), 1, "click", 5.0))
       awaitIds(Seq(1L, 1L, 2L, 3L))
