@@ -31,11 +31,23 @@ object Runner {
       canonical: DataFrame,
       imageView: DataFrame)
 
-  /** Phase A over WAT envelope lines. */
-  def phaseA(spark: SparkSession, watLines: Dataset[String], outDir: String)
-      : DataFrame = {
+  /** Phase A over WAT envelope lines. The output is PARTITIONED BY
+    * crawl index — the reference lays phase-A results out as one
+    * directory per `CC-MAIN-yyyy-ww` and every downstream read targets
+    * a single index (docs/cc-catalog.md:150-160, Provider.py:256-257),
+    * so the formal partition column gives provider slices partition
+    * pruning for free and keeps a 100-crawl history scannable without
+    * listing unrelated indexes. Dynamic partition overwrite means a
+    * re-run of one crawl replaces only its own partition, never the
+    * accumulated history. */
+  def phaseA(spark: SparkSession, watLines: Dataset[String], outDir: String,
+      crawlIndex: String = "CC-MAIN-0000-00"): DataFrame = {
     val links = WatExtract.extract(spark, watLines)
-    links.write.mode("overwrite").parquet(s"$outDir/cc_links")
+      .withColumn("crawl_index", lit(crawlIndex))
+    links.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("crawl_index")
+      .parquet(s"$outDir/cc_links")
     spark.read.parquet(s"$outDir/cc_links")
   }
 
@@ -219,6 +231,15 @@ object Runner {
     val nBuckets =
       if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
+    val next = s"${tableName}__next"
+    val old = s"${tableName}__old"
+    // Crash repair: a death between the swap's rename-out and
+    // rename-in leaves the canonical name unbound with the previous
+    // snapshot intact under __old. Restore it BEFORE reading the merge
+    // target — otherwise this run would see "first run", merge against
+    // empty, and the DROP of __old below would discard the history.
+    if (!spark.catalog.tableExists(tableName) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE $old RENAME TO $tableName")
     val cleaned = loadCleaned(spark, tsvDir)
     val spec = canonicalSpec(joinOnRawKey = true)
     val empty = spark.createDataFrame(
@@ -231,14 +252,22 @@ object Runner {
     val merged = Merge.upsertMerge(target,
       cleaned.withColumn("created_on", now).withColumn("updated_on", now),
       spec, now)
-    val next = s"${tableName}__next"
     spark.sql(s"DROP TABLE IF EXISTS $next")
     merged.write
       .bucketBy(nBuckets, "provider", "foreign_identifier")
       .sortBy("provider", "foreign_identifier")
       .saveAsTable(next)
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // Swap by rename-out / rename-in / drop-retired — never DROP the
+    // canonical name before its replacement is promoted: a crash
+    // between a drop and a rename would leave the canonical name
+    // unbound with the data stranded under __next (manual repair).
+    // With this order every crash point leaves a complete table under
+    // the canonical name or a one-rename repair away (__old/__next).
+    spark.sql(s"DROP TABLE IF EXISTS $old") // leftover from a prior crash
+    if (spark.catalog.tableExists(tableName))
+      spark.sql(s"ALTER TABLE $tableName RENAME TO $old")
     spark.sql(s"ALTER TABLE $next RENAME TO $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.table(tableName)
   }
 

@@ -149,7 +149,52 @@ class RunnerSpec extends SparkSpec {
     // re-running the full bucketed phase is idempotent
     val second = Runner.phaseCBucketed(spark, s"$work/tsv", "canon_bkt", now)
     assert(second.count() == 50)
+    // swap hygiene: no __next/__old linger after a clean run
+    assert(!spark.catalog.tableExists("canon_bkt__next"))
+    assert(!spark.catalog.tableExists("canon_bkt__old"))
+
+    // crash repair: simulate a death between the swap's rename-out and
+    // rename-in (canonical name unbound, previous snapshot under
+    // __old) — the next run must restore the history, not merge
+    // against an empty first-run target
+    spark.sql("ALTER TABLE canon_bkt RENAME TO canon_bkt__old")
+    val repaired = Runner.phaseCBucketed(spark, s"$work/tsv", "canon_bkt", now)
+    assert(repaired.count() == 50)
+    assert(repaired.filter(col("created_on").isNotNull).count() == 50)
+    assert(!spark.catalog.tableExists("canon_bkt__old"))
     spark.sql("DROP TABLE IF EXISTS canon_bkt")
+  }
+
+  test("phaseA output is partitioned by crawl index: two crawls " +
+      "coexist and an index filter prunes partitions at the scan") {
+    val work = Files.createTempDirectory("runner-pa").toString
+    def watLine(path: String): String =
+      s"""{"Container": {"Filename": "seg-1/wat/f1.warc.gz", "Offset": "0",
+         | "Gzip-Metadata": {"Deflate-Length": "10"}},
+         | "Envelope": {"WARC-Header-Metadata":
+         |  {"WARC-Type": "response", "WARC-Target-URI": "https://gallery.example.org$path"},
+         | "Payload-Metadata": {"Actual-Content-Type": "application/json",
+         |  "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+         |   {"url": "https://creativecommons.org/licenses/by/4.0/", "path": "A@/href"}]}}}}}"""
+        .stripMargin.replace("\n", "")
+    Runner.phaseA(spark, spark.createDataset(Seq(watLine("/a"))), work,
+      crawlIndex = "CC-MAIN-2018-13")
+    Runner.phaseA(spark, spark.createDataset(Seq(watLine("/b"))), work,
+      crawlIndex = "CC-MAIN-2018-17")
+
+    // dynamic partition overwrite: the second crawl did not clobber
+    // the first index's partition
+    val links = spark.read.parquet(s"$work/cc_links")
+    assert(links.select("crawl_index").distinct().count() == 2)
+
+    // an index filter reaches the scan as a PARTITION filter (pruned
+    // directories), not a post-scan data filter
+    val sliced = links.where(col("crawl_index") === "CC-MAIN-2018-13")
+    assert(sliced.count() == 1)
+    val scanStr = sliced.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*crawl_index".r.findFirstIn(scanStr).isDefined,
+      s"crawl_index must prune at the scan:\n$scanStr")
   }
 
   test("phaseB dual dedupe: re-crawled pages never emit duplicate " +
