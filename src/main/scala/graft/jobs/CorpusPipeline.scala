@@ -67,19 +67,43 @@ object CorpusPipeline {
       .select(id,
         (id =!= min(id).over(Window.partitionBy(col("__h"))))
           .as("is_exact_dup"))
+      // each flag frame is consumed TWICE (the next stage's filter +
+      // the final assembly joins): persist the tiny id+bool frame so
+      // the md5 window / LSH pipeline / decontaminate scan behind it
+      // runs once, not once per consumer
+      .persist()
     val e = q.join(exactFlag, Seq(idCol)).filter(!col("is_exact_dup"))
       .select(id, col(textCol))
 
     // 3. near-dup clustering over exact-dedupe survivors: cluster
-    // label = min id, so keeper == label and everything else drops
-    val pairs = Dedup.minhashLshPairs(e, idCol, textCol,
-      shingleN, bands, rowsPerBand, threshold, maxBucket)
+    // label = min id, so keeper == label and everything else drops.
+    // connectedComponents' message-passing state is LONG ids — real
+    // corpora carry string ids (URLs, UUIDs), which would cast to null
+    // and silently skip all near-dup drops, so non-integral ids get a
+    // 64-bit hash surrogate for the clustering stage and map back here.
+    // Collision math: xxhash64 falsely merges a pair with probability
+    // ~n^2/2^65 — at 10^9 docs that is ~3% odds of ONE spurious
+    // near-dup drop corpus-wide, noise next to LSH's own error bars.
+    val idIsIntegral = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val sidCol = if (idIsIntegral) idCol else "__sid"
+    val keyed =
+      if (idIsIntegral) e
+      else e.withColumn(sidCol, xxhash64(id.cast("string")))
+    val pairs = Dedup.minhashLshPairs(keyed.select(col(sidCol), col(textCol)),
+      sidCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket)
       .select(col("id_a"), col("id_b"))
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val nearFlag = e.select(id)
-      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(id, coalesce(col("cluster") =!= id, lit(false))
+    val nearFlag = keyed.select(id, col(sidCol))
+      .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
+      .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
         .as("is_near_dup"))
+      .persist()
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 
@@ -87,6 +111,7 @@ object CorpusPipeline {
     val hits = Dedup.decontaminate(n, idCol, textCol,
         benchmark.select(col(idCol), col(textCol)), deconN)
       .select(col("id").as(idCol), lit(true).as("__hit"))
+      .persist()
 
     docs
       .withColumn("pass_quality", TextStats.gopherFilter(col(textCol)))
