@@ -4,21 +4,46 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Dumps run CONCURRENTLY (SPARK_GRAFT_VERIFY_PAR threads, default 6):
+  * each query is an independent small job whose coalesce(1) tail
+  * leaves most of local[32] idle, so submitting several at once
+  * overlaps scheduling/write latency without oversubscribing cores —
+  * the serial form took ~17 min for 71 dumps at sf0.01 (round-4 judge
+  * measurement) against a driver budget the round cannot afford to
+  * blow. SparkSession is thread-safe for job submission; every query
+  * writes its own directory, so dumps share nothing but the session. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    var failed = List.empty[String]
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(6)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val t0 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            val q0 = System.nanoTime()
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(
+              f"[verify] $name ok in ${(System.nanoTime() - q0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
+            failed.add(name)
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    System.err.println(
+      f"[verify] all dumps done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +59,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (failed.nonEmpty)
-      System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
+    val failedNames = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toList
+    }
+    if (failedNames.nonEmpty)
+      System.err.println(
+        s"[verify] FAILED queries: ${failedNames.sorted.mkString(", ")}")
     spark.stop()
   }
 }

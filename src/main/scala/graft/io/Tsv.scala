@@ -4,9 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's TSV interchange boundary (S6-S8): tab-separated,
-  * NO quoting, `\N` for null, backslash escapes — the format the
-  * loader COPYs into Postgres (common/storage/image.py:336-354,
+  * NO quoting, `\N` for null — the format the loader COPYs into
+  * Postgres (common/storage/image.py:336-354,
   * util/tsv_cleaner.py:60-71, Provider.py:317).
+  *
+  * FORMAT CONTRACT — sanitized tab-join, NOT general Postgres COPY:
+  * the reference sanitizes every cell before write (tabs/newlines
+  * stripped or rejected by its column cleaners), so cells never carry
+  * embedded tabs, newlines, or backslash escape sequences, and the
+  * whole boundary is a plain `"\t".join(...)` per row. This module
+  * implements exactly that contract: neither side applies
+  * backslash-escape decoding (`\t`/`\n`/`\\` stay literal), and the
+  * two-character sequence `\N` is ALWAYS the null marker — a cell
+  * whose data is literally `\N` cannot be represented (the reference
+  * has the same property). GoldenTsvSpec pins the round trip
+  * byte-for-byte against every reference example_output file. Feeding
+  * this reader raw `COPY TO` output from an arbitrary database —
+  * where those escapes DO occur — would mis-read; that input is out
+  * of scope by design.
   *
   * Scale note: `coalesce(1)` reproduces the reference's single-file
   * append contract (Provider.py:317) and is ONLY for that
@@ -32,7 +47,10 @@ object Tsv {
     out.write.mode(mode)
       .option("sep", "\t")
       .option("quote", "")
-      .option("escape", "\\")
+      // no escape option: with quoting disabled the writer emits raw
+      // bytes, and the sanitized tab-join contract (see above) means
+      // there is never anything to escape — declaring one here only
+      // suggested an escape semantic the read side doesn't apply
       .option("nullValue", NullMarker)
       .option("emptyValue", "")
       // the CSV writer TRIMS whitespace-edged cells by default; COPY

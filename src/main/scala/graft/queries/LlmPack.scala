@@ -181,6 +181,28 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The banded-MINHASH machinery under the hard driver-checked
+    // oracle (companion to q_simhash_pairs_exact): on a bounded subset
+    // (doc_id < 500 — 25 genuine near-dup pairs at sf0.01, where the
+    // simhash bound of 60 carries none) with the bucket cap disabled
+    // and 32 one-row bands, any pair at Jaccard >= 0.3 is a candidate
+    // unless all 32 independent minhash draws miss (p <= 0.7^32 ~ 1e-5
+    // per pair; the real pairs sit well above 0.3, so in practice
+    // p <= 0.5^32 — zero misses at every SF, verified), and the
+    // pipeline's exact-Jaccard verify (Dedup.scala:280) kills every
+    // band collision below threshold. The banded output therefore
+    // equals the brute-force exact-Jaccard self-join, which DuckDB
+    // recomputes from scratch — xxhash64 never needs a SQL equivalent
+    // because only CANDIDATE SELECTION uses it, and this check proves
+    // the selection lossless. q_minhash_pairs stays the full-table
+    // scale path; this row pins its pairing machinery.
+    "q_minhash_pairs_exact" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d).filter(col("doc_id") < 500),
+          "doc_id", "text", shingleN = 3, bands = 32, rowsPerBand = 1,
+          threshold = 0.3, maxBucket = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole banding. Rows-only. The
     // 32-bit fingerprint is the scale choice: maxHamming=3 splits it
     // into 4 segments of 256 bucket values each, so within-bucket
@@ -367,7 +389,11 @@ object LlmPack extends QueryPack {
       val vocab = docs.select(explode(array_distinct(terms)).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .join(broadcast(total))
-        .filter(col("df") >= col("__n") * 0.1)
+        // integer-exact prune: `df >= n * 0.1` is double math in Spark
+        // but DECIMAL-exact in DuckDB, and at an exact 10% boundary
+        // (n=100, df=10) the doubles disagree (10 < 10.000000000000002)
+        // — `df * 10 >= n` is exact in both engines
+        .filter(col("df") * 10 >= col("__n"))
         .select(col("term"), lit(1).as("__in"))
       docs.select(col("doc_id"), explode(terms).as("term"))
         .join(vocab, Seq("term"), "left")
@@ -700,6 +726,22 @@ object LlmPack extends QueryPack {
         |FROM c l JOIN c r ON l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.code, r.code)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_pairs_exact" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp) - 1),
+        |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+        |    END) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE doc_id < 500))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
@@ -850,7 +892,7 @@ object LlmPack extends QueryPack {
         |vocab AS (
         |  SELECT term FROM (
         |    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
-        |  WHERE df >= (SELECT count(*) FROM documents) * 0.1)
+        |  WHERE df * 10 >= (SELECT count(*) FROM documents))
         |SELECT t.doc_id AS doc_id,
         |  count(*) AS n_tokens,
         |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)

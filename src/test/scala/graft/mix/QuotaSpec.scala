@@ -26,6 +26,32 @@ class QuotaSpec extends SparkSpec {
     assert(fast.count() == 75) // exactly 25 per group
   }
 
+  test("plan: the salted (group, salt) shuffle reaches phase 1's " +
+      "exchange, so no group's full data funnels through one task — " +
+      "the single-task sort only ever sees phase 1's <= n*salts " +
+      "survivors per group") {
+    val ord = Quota.orderKey(col("id"))
+    val plan = Quota.topNPerGroup(docs, "grp", ord, n = 25)
+      .queryExecution.executedPlan.toString
+    // exactly the two window stages of the design — a third would mean
+    // an accidental extra global sort crept in
+    assert("(?m)^[^\\n]*Window ".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 Window nodes:\n$plan")
+    // phase 1 shuffles on (grp, salt) — Spark pre-projects the
+    // pmod(xxhash64(ord), salts) salt as a _w0 window key, so the
+    // salted exchange shows as hashpartitioning(grp, _w0, ...); its
+    // presence means no group's full data ever sorts in one task
+    assert("hashpartitioning\\(grp#\\d+, _w0#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"salted hashpartitioning missing — phase 1 would sort whole " +
+        s"groups in single tasks:\n$plan")
+    // and phase 2's exchange re-partitions by the group alone over
+    // phase 1's bounded survivors
+    assert("hashpartitioning\\(grp#\\d+, \\d+\\)".r
+        .findFirstIn(plan).isDefined,
+      s"unsalted phase-2 hashpartitioning missing:\n$plan")
+  }
+
   test("quota membership is deterministic under repartitioning and " +
       "independent of the train/valid split hash") {
     val ord = Quota.orderKey(col("id"))

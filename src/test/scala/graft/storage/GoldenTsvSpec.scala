@@ -98,6 +98,37 @@ class GoldenTsvSpec extends SparkSpec {
     goldens.foreach(roundTrip)
   }
 
+  test("18-col ingestion_type variant: the 17->18 evolution shim " +
+      "(ingestion_column.py:12-45) appends the derived column, the " +
+      "widened rows byte round-trip, and dropping the column restores " +
+      "the legacy golden bytes exactly") {
+    val golden = s"$res/example_output/flickr_truncated.tsv"
+    assume(Files.exists(Paths.get(golden)), "golden missing")
+    val legacy = Tsv.read(spark, golden, sinkSchema)
+    val evolved = Tsv.evolveIngestionType(legacy, "provider")
+    // the shim appends ingestion_type as the 18th column and derives
+    // provider_api for every non-commoncrawl provider
+    assert(evolved.columns.length == 18 &&
+      evolved.columns.last == "ingestion_type")
+    assert(evolved.filter(col("ingestion_type") =!= "provider_api")
+      .count() == 0)
+    assert(Tsv.evolveIngestionType(
+        Seq("commoncrawl", "flickr").toDF("provider"), "provider")
+      .select("ingestion_type").as[String].collect().toSeq ==
+      Seq("commoncrawl", "provider_api"))
+    // already-18-col input passes through untouched
+    assert(Tsv.evolveIngestionType(evolved, "provider").columns.length == 18)
+    // the 18-col row byte round-trips through the sink like the 17-col
+    val schema18 = sinkSchema.add("ingestion_type", "string")
+    val out = Files.createTempDirectory("golden18").toString + "/out"
+    Tsv.write(evolved, out, singleFile = true)
+    assert(writtenBytes(Tsv.read(spark, out, schema18)) ==
+      writtenBytes(evolved))
+    // and dropping the evolved column reproduces the reference golden
+    assert(writtenBytes(evolved.drop("ingestion_type")) ==
+      new String(Files.readAllBytes(Paths.get(golden)), "UTF-8"))
+  }
+
   test("wikimedia exec_job_expect_output.tsv byte round-trip") {
     roundTrip(s"$res/wikimedia/exec_job_expect_output.tsv")
   }
