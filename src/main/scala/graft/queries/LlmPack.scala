@@ -479,6 +479,42 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The LSH ANN *machinery* under the hard driver gate: nBits=0
+    // codes every vector into one bucket, so the bucketed equi-join,
+    // candidate dedupe, and (score desc, id) re-rank window run
+    // EXHAUSTIVELY — by construction the output must equal the
+    // brute-force top-k the oracle recomputes. q_ann_lsh stays the
+    // bucketed scale path; this row proves its plumbing lossless.
+    "q_ann_lsh_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annTopK(queries, base, dim = 64, k = 3,
+          nBits = 0, nTables = 1)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The IVF ANN machinery under the hard driver gate: nProbe=nLists
+    // probes every cell, so the deterministic k-means fit, the
+    // nAssign-cell assignment explode, the candidate equi-join, and
+    // the re-rank window together must reproduce brute-force top-k
+    // exactly — the only thing q_ann_ivf (nProbe=8) adds on top is
+    // skipping cells. Oracle equality here means a recall miss in the
+    // scale path can ONLY come from cell pruning, never a plumbing bug.
+    "q_ann_ivf_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(queries, base, k = 3, nLists = 16, nProbe = 16)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Quality scoring: the composite heuristic as an oracle-checked
     // query (identical IEEE op order mirrored in the SQL).
     "q_quality_score" -> ((s, d) => {
@@ -496,6 +532,26 @@ object LlmPack extends QueryPack {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.cosineNearDupPairs(emb, threshold = 0.35, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The embedding near-dup machinery under the hard driver gate:
+    // nBits=0 puts the bounded subset (vec_id < 400 — 175 genuine
+    // pairs at sf0.01) in ONE bucket, so the banded self-join, the
+    // candidate dedupe, the vector re-join, and the exact-cosine
+    // verify run exhaustively — the output must equal the brute-force
+    // cosine>=0.35 self-join DuckDB recomputes. Ids only: the cosine
+    // column stays out of the dump so the hash compare never rides on
+    // cross-engine float op order (every boundary margin is >= 7.8e-6
+    // across SFs — five orders above double noise — so threshold
+    // MEMBERSHIP is engine-independent). q_embed_neardup stays the
+    // bucketed scale path.
+    "q_embed_neardup_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 400)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.cosineNearDupPairs(emb, threshold = 0.35, dim = 64,
+          nBits = 0, nTables = 1, maxBucket = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1005,6 +1061,34 @@ object LlmPack extends QueryPack {
         |    / 2048) AS INTEGER) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // exhaustive-mode ANN == brute force by construction (see the
+    // query comments) — the oracle IS the brute-force top-k
+    "q_ann_lsh_exact" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_embed_neardup_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 400)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_ivf_exact" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,
         |    row_number() OVER (PARTITION BY q.vec_id

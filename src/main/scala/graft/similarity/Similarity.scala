@@ -63,14 +63,16 @@ object Similarity {
     Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian())))
   }
 
-  /** Sign-bucket code of a vector for one table's hyperplanes. */
-  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, k) =>
+  /** Sign-bucket code of a vector for one table's hyperplanes.
+    * Zero planes (nBits=0) is the degenerate single-bucket code —
+    * every vector codes to 0, making the bucketed join exhaustive
+    * (the exact-oracle mode of [[annTopK]]). */
+  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column =
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (p, k) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << k)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (same sign-LSH tables as annTopK), exact cosine
