@@ -75,12 +75,16 @@ object CorpusPipeline {
     val e = q.join(exactFlag, Seq(idCol)).filter(!col("is_exact_dup"))
       .select(id, col(textCol))
 
-    // 3. near-dup clustering over exact-dedupe survivors: cluster
-    // label = min id, so keeper == label and everything else drops.
-    // connectedComponents' message-passing state is LONG ids — real
-    // corpora carry string ids (URLs, UUIDs), which would cast to null
-    // and silently skip all near-dup drops, so non-integral ids get a
-    // 64-bit hash surrogate for the clustering stage and map back here.
+    // 3. near-dup clustering over exact-dedupe survivors: the keeper
+    // of every cluster is its MINIMUM original id and everything else
+    // drops. connectedComponents' message-passing state is LONG ids —
+    // real corpora carry string ids (URLs, UUIDs), which would cast to
+    // null and silently skip all near-dup drops, so non-integral ids
+    // get a 64-bit hash surrogate for the clustering stage. The
+    // surrogate is ONLY a clustering key: cluster labels are min
+    // SURROGATE, hash-arbitrary as a keeper policy, so keepers are
+    // re-derived as min original id per cluster (for integral ids the
+    // label already IS that min, and the agg is skipped).
     // Collision math: xxhash64 falsely merges a pair with probability
     // ~n^2/2^65 — at 10^9 docs that is ~3% odds of ONE spurious
     // near-dup drop corpus-wide, noise next to LSH's own error bars.
@@ -99,11 +103,27 @@ object CorpusPipeline {
       sidCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket)
       .select(col("id_a"), col("id_b"))
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val nearFlag = keyed.select(id, col(sidCol))
-      .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
-      .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
-        .as("is_near_dup"))
-      .persist()
+    val nearFlag = {
+      if (idIsIntegral)
+        keyed.select(id, col(sidCol))
+          .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
+          .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
+            .as("is_near_dup"))
+      else {
+        // members = only docs that belong to some cluster (inner join
+        // — never a window over the mostly-null-cluster full corpus,
+        // which would funnel every non-duplicate through one task)
+        val members = keyed.select(id, col(sidCol))
+          .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol))
+        val keepers = members.groupBy(col("cluster"))
+          .agg(min(id).as("__keep"))
+        val memberFlag = members.join(keepers, Seq("cluster"))
+          .select(id, (id =!= col("__keep")).as("is_near_dup"))
+        e.select(id).join(memberFlag, Seq(idCol), "left")
+          .select(id, coalesce(col("is_near_dup"), lit(false))
+            .as("is_near_dup"))
+      }
+    }.persist()
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 

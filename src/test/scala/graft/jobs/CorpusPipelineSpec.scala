@@ -72,6 +72,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("kept") == 3)
   }
 
+  test("string doc ids: near-dup clustering works through the hash " +
+      "surrogate — a string idCol must produce the same stage verdicts " +
+      "as the Long-id run, not silently skip every near-dup drop") {
+    // the regression this pins: connectedComponents propagates LONG
+    // labels, so a string id used to cast to null and disable the
+    // near-dup stage corpus-wide with no error
+    val sdocs = docs.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val res = CorpusPipeline.run(
+      sdocs, "doc_id", "text", benchmark, shardBudget = 10000L)
+    val m = res.annotated.collect().map { r =>
+      def f(c: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Boolean](c))
+      r.getAs[String]("doc_id") -> (f("is_exact_dup"), f("is_near_dup"))
+    }.toMap
+    val F = Some(false)
+    // doc-2 is the exact dup; doc-3 is the NEAR dup — the verdict the
+    // null-cast bug silently flipped to false
+    assert(m("doc-2") == ((Some(true), None)))
+    assert(m("doc-3") == ((F, Some(true))), s"near-dup lost: $m")
+    assert(m("doc-1") == ((F, F)))
+    assert(res.cleaned.collect().map(_.getAs[String]("doc_id")).sorted
+      .toSeq == Seq("doc-1", "doc-6", "doc-7"))
+  }
+
   test("runs end-to-end on the real sf0.001 documents table: stats " +
       "reconcile, every kept doc has a split, shard iff train") {
     val dir = "/root/testdata/sf0.001"
