@@ -52,9 +52,27 @@ object Bench {
     val wallStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
 
-    val names =
+    // Cheapest-first order when a previous run's times are available
+    // (bench_last.json in cwd): under heavy host contention a pass may
+    // be killed partway, and running the known-fast majority first
+    // maximizes how many queries the surviving partial line covers.
+    // Unknown/new queries run after the known ones, alphabetically;
+    // no file -> plain alphabetical. Order never affects the
+    // per-query min-wall semantics, only kill-time coverage.
+    val priorTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")), "UTF-8")
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+            txt.substring(txt.indexOf("\"queries\""),
+              txt.indexOf("\"cpu_queries\"")))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val requested =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    val names = requested.sortBy(n =>
+      (priorTimes.getOrElse(n, Double.MaxValue), n))
     // Warm-up outside the timed region: session init, codegen
     // compiler, parquet footer reads — otherwise the alphabetically
     // first query absorbs ~5s of one-time cost.
