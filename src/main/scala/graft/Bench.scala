@@ -66,7 +66,11 @@ object Bench {
         """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
             txt.substring(txt.indexOf("\"queries\""),
               txt.indexOf("\"cpu_queries\"")))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          // failures are recorded as -1; without this filter a query
+          // that hung-then-failed last run would be scheduled FIRST,
+          // defeating the kill-time-coverage purpose of this ordering
+          .filter(_._2 > 0).toMap
       } catch { case _: Throwable => Map.empty }
     val requested =
       if (args.nonEmpty) args.toSeq.sorted
@@ -83,7 +87,11 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cpus = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val okFlags = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
-    var passesDone = 0
+    // successful samples per query: the timing label reports the
+    // GUARANTEED sample floor (min across successful queries), so a
+    // budget-truncated pass 2 can't claim min_of_1 for queries that
+    // did get two samples, nor min_of_3 for ones that got one.
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
     def renderJson(partial: Boolean): String = {
       val done = names.filter(times.contains)
@@ -95,7 +103,9 @@ object Bench {
       val cpuTotal = names.filter(n => okFlags.getOrElse(n, false)).map(cpus).sum
       val failedS = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialS = if (partial) ""","partial":true""" else ""
-      val passes = math.max(passesDone, 1)
+      val okSamples = names.filter(n => okFlags.getOrElse(n, false))
+        .map(n => samples.getOrElse(n, 1))
+      val passes = if (okSamples.isEmpty) 1 else math.max(okSamples.min, 1)
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_${passes}_passes","elapsed_wall":${f"$elapsedS%.1f"}$partialS}"""
     }
 
@@ -135,25 +145,24 @@ object Bench {
       times(name) = t
       cpus(name) = c
       okFlags(name) = ok
+      samples(name) = if (ok) 1 else 0
       emit(partial = true)
     }
-    passesDone = 1
     // passes 2..3: re-run successes, keep the min-wall sample (and its
     // cpu) — samples are a full pass apart in time, so one contention
     // window can't hit the same query in every pass. Each pass (and
     // each query within it) starts only while under the wall budget.
-    (2 to 3).foreach { pass =>
-      var ranAll = true
+    (2 to 3).foreach { _ =>
       names.foreach { name =>
-        if (okFlags(name)) {
-          if (elapsedS < budgetS) {
-            val (t, c, ok) = once(name)
-            if (ok && t < times(name)) { times(name) = t; cpus(name) = c }
-            emit(partial = true)
-          } else ranAll = false
+        if (okFlags(name) && elapsedS < budgetS) {
+          val (t, c, ok) = once(name)
+          if (ok) {
+            samples(name) += 1
+            if (t < times(name)) { times(name) = t; cpus(name) = c }
+          }
+          emit(partial = true)
         }
       }
-      if (ranAll) passesDone = pass
     }
 
     emit(partial = false)

@@ -41,8 +41,30 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
-    System.err.println(
+    val finished =
+      pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (!finished) {
+      // Timed out with dumps still running: cancel them and make sure
+      // they land in `failed` rather than being logged as done — a
+      // half-written parquet dir read by the DuckDB compare would be
+      // silently wrong, which is worse than an explicit failure.
+      System.err.println("[verify] TIMEOUT after 2h with dumps in flight")
+      pool.shutdownNow()
+      spark.sparkContext.cancelAllJobs()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
+      SparkEntry.queries.keys.foreach { name =>
+        val dir = Paths.get(s"$outDir/$name")
+        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          failed.add(name)
+          if (Files.exists(dir)) { // half-written: remove, don't let
+            // the compare read a torn dump as a real result
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+        }
+      }
+    } else System.err.println(
       f"[verify] all dumps done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

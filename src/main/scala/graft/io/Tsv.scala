@@ -91,7 +91,6 @@ object Tsv {
       .schema(withCorrupt)
       .option("sep", "\t")
       .option("quote", "")
-      .option("escape", "\\")
       .option("nullValue", NullMarker)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")

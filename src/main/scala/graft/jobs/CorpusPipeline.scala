@@ -68,10 +68,14 @@ object CorpusPipeline {
         (id =!= min(id).over(Window.partitionBy(col("__h"))))
           .as("is_exact_dup"))
       // each flag frame is consumed TWICE (the next stage's filter +
-      // the final assembly joins): persist the tiny id+bool frame so
-      // the md5 window / LSH pipeline / decontaminate scan behind it
-      // runs once, not once per consumer
-      .persist()
+      // the final assembly joins): materialize the tiny id+bool frame
+      // so the md5 window / LSH pipeline / decontaminate scan behind
+      // it runs once, not once per consumer. localCheckpoint (not
+      // persist) because CacheManager pins persisted plans until an
+      // explicit unpersist nobody here can safely issue — checkpoint
+      // blocks are GC-released with the frame, so repeated annotate()
+      // calls in a long session don't accumulate pinned memory
+      .localCheckpoint()
     val e = q.join(exactFlag, Seq(idCol)).filter(!col("is_exact_dup"))
       .select(id, col(textCol))
 
@@ -123,7 +127,7 @@ object CorpusPipeline {
           .select(id, coalesce(col("is_near_dup"), lit(false))
             .as("is_near_dup"))
       }
-    }.persist()
+    }.localCheckpoint()
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 
@@ -131,7 +135,7 @@ object CorpusPipeline {
     val hits = Dedup.decontaminate(n, idCol, textCol,
         benchmark.select(col(idCol), col(textCol)), deconN)
       .select(col("id").as(idCol), lit(true).as("__hit"))
-      .persist()
+      .localCheckpoint()
 
     docs
       .withColumn("pass_quality", TextStats.gopherFilter(col(textCol)))

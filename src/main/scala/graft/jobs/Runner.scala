@@ -42,13 +42,34 @@ object Runner {
     * accumulated history. */
   def phaseA(spark: SparkSession, watLines: Dataset[String], outDir: String,
       crawlIndex: String = "CC-MAIN-0000-00"): DataFrame = {
+    cleanLegacyFlatLayout(spark, s"$outDir/cc_links")
     val links = WatExtract.extract(spark, watLines)
       .withColumn("crawl_index", lit(crawlIndex))
     links.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("crawl_index")
       .parquet(s"$outDir/cc_links")
+    // Return only the crawl just written: the accumulated table holds
+    // every historical index, and downstream phase-B/topDomains consume
+    // a single crawl (the pruning the partition column exists for).
     spark.read.parquet(s"$outDir/cc_links")
+      .where(col("crawl_index") === crawlIndex)
+  }
+
+  /** Pre-partitioning phaseA wrote plain parquet files at the cc_links
+    * root; dynamic partition overwrite never deletes root-level files,
+    * so a mixed flat+partitioned directory would fail Spark's partition
+    * discovery. Remove the legacy flat snapshot before the first
+    * partitioned write (partition subdirectories are left untouched). */
+  private def cleanLegacyFlatLayout(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      fs.listStatus(path).foreach { st =>
+        if (st.isFile && !st.getPath.getName.startsWith("_"))
+          fs.delete(st.getPath, false)
+      }
+    }
   }
 
   /** Phase B: slice one provider, fetch WARC members, extract gallery

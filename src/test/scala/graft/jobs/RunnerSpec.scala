@@ -7,6 +7,7 @@ import java.util.zip.GZIPOutputStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.crawl.WatExtract
 
 /** The full lifecycle (SURVEY §3.1 -> §3.2 -> §3.3 -> popularity) on
   * local fixtures: WAT lines reference a real local WARC file whose
@@ -195,6 +196,57 @@ class RunnerSpec extends SparkSpec {
     assert(
       "PartitionFilters: \\[[^\\]]*crawl_index".r.findFirstIn(scanStr).isDefined,
       s"crawl_index must prune at the scan:\n$scanStr")
+  }
+
+  test("phaseA returns ONLY the crawl just written, not the " +
+      "accumulated history, so downstream phaseB/topDomains never mix " +
+      "stale crawls on a reused work dir") {
+    val work = Files.createTempDirectory("runner-pa-ret").toString
+    def watLine(path: String): String =
+      s"""{"Container": {"Filename": "seg-1/wat/f1.warc.gz", "Offset": "0",
+         | "Gzip-Metadata": {"Deflate-Length": "10"}},
+         | "Envelope": {"WARC-Header-Metadata":
+         |  {"WARC-Type": "response", "WARC-Target-URI": "https://gallery.example.org$path"},
+         | "Payload-Metadata": {"Actual-Content-Type": "application/json",
+         |  "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+         |   {"url": "https://creativecommons.org/licenses/by/4.0/", "path": "A@/href"}]}}}}}"""
+        .stripMargin.replace("\n", "")
+    Runner.phaseA(spark, spark.createDataset(Seq(watLine("/a"))), work,
+      crawlIndex = "CC-MAIN-2018-13")
+    val second = Runner.phaseA(spark,
+      spark.createDataset(Seq(watLine("/b"), watLine("/c"))), work,
+      crawlIndex = "CC-MAIN-2018-17")
+    assert(second.count() == 2)
+    assert(second.select("crawl_index").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("CC-MAIN-2018-17"))
+    // the history is still intact on disk
+    assert(spark.read.parquet(s"$work/cc_links").count() == 3)
+  }
+
+  test("phaseA upgrades a legacy flat (unpartitioned) cc_links dir in " +
+      "place: the pre-upgrade snapshot is removed, not left to break " +
+      "partition discovery") {
+    val work = Files.createTempDirectory("runner-pa-flat").toString
+    def watLine(path: String): String =
+      s"""{"Container": {"Filename": "seg-1/wat/f1.warc.gz", "Offset": "0",
+         | "Gzip-Metadata": {"Deflate-Length": "10"}},
+         | "Envelope": {"WARC-Header-Metadata":
+         |  {"WARC-Type": "response", "WARC-Target-URI": "https://gallery.example.org$path"},
+         | "Payload-Metadata": {"Actual-Content-Type": "application/json",
+         |  "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+         |   {"url": "https://creativecommons.org/licenses/by/4.0/", "path": "A@/href"}]}}}}}"""
+        .stripMargin.replace("\n", "")
+    // simulate the old layout: plain parquet files at the root
+    WatExtract.extract(spark, spark.createDataset(Seq(watLine("/old"))))
+      .write.mode("overwrite").parquet(s"$work/cc_links")
+    val links = Runner.phaseA(spark, spark.createDataset(Seq(watLine("/new"))),
+      work, crawlIndex = "CC-MAIN-2018-17")
+    assert(links.count() == 1)
+    // the whole dir reads cleanly as a partitioned table: only the new
+    // crawl remains (the flat snapshot predates partition provenance)
+    val all = spark.read.parquet(s"$work/cc_links")
+    assert(all.select("crawl_index").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("CC-MAIN-2018-17"))
   }
 
   test("phaseB dual dedupe: re-crawled pages never emit duplicate " +
