@@ -29,6 +29,34 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** Per-document content digests: (id, digest) of the
+    * whitespace-normalized text — the persisted side of incremental
+    * EXACT dedup (write once, append each admitted batch's rows). */
+  def contentDigests(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      md5(trim(regexp_replace(col(textCol), "\\s+", " "))).as("digest"))
+
+  /** Incremental exact dedup: drop batch rows whose content digest
+    * already exists in `indexDigests` ([[contentDigests]] of the
+    * corpus), then keep one row per digest WITHIN the batch (smallest
+    * id). Only digests shuffle — 32 bytes/row, never text; the index
+    * side is already digest-only, so a 100 TB corpus's exact-dedup
+    * state is a few GB of digests, not the corpus. */
+  def incrementalExactDedup(
+      indexDigests: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val digested = batch.withColumn("__h",
+      md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val fresh = digested.join(
+      indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
   /** Word n-gram shingles of a token array. `toks` is referenced from
     * the transform() lambda, which re-evaluates an INLINED expression
     * per element (interpreted lambdas have no subexpression
@@ -228,6 +256,39 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** One row per (doc, band): (id, band, bh) — each document's LSH
+    * bucket keys, from `docs` already in (id, sh) shingle form. The
+    * banded shuffle carries (id, band, 8-byte band hash) — never the
+    * shingle arrays. */
+  private def bandRowsOf(
+      docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, "id", col("sh"), bands * rowsPerBand)
+    sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+  }
+
+  /** (id, band, bh) LSH bucket keys for a corpus — the PERSISTED side
+    * of incremental near-dup: write this once (at scale, bucketed by
+    * (band, bh)), then each new batch joins its own band rows against
+    * it via [[incrementalNearDupPairs]] instead of re-hashing the
+    * corpus. Same signature family as [[minhashLshPairs]], so an
+    * index built with the same (shingleN, bands, rowsPerBand) finds
+    * exactly the pairs the full-table run would. */
+  def minhashBandRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame =
+    bandRowsOf(shingled(df, idCol, textCol, shingleN), bands, rowsPerBand)
+
   /** MinHash-LSH near-duplicate candidate pairs.
     *
     * bands × rowsPerBand hashes; a pair is a candidate iff some band
@@ -245,19 +306,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       maxBucket: Int = 5000): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val docs = shingled(df, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(docs, "id", col("sh"), numHashes)
-    // one row per (doc, band): the banded shuffle carries (id, band,
-    // 8-byte band hash) — never the shingle arrays
-    val bandedAll = sigs.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val bandedAll = bandRowsOf(docs, bands, rowsPerBand)
     // skew guard: a bucket of n docs contributes n^2/2 candidate
     // pairs; degenerate buckets (near-identical clusters, all-same
     // boilerplate) are capped — exact-dup and smaller bands cover
@@ -294,20 +344,67 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      maxBucket: Int = 5000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val docs = shingled(df, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(docs, "id", col("sh"), numHashes)
-    sigs.select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
-        }: _*)).as("bk"))
-      .select(col("bk.band"), col("bk.bh"))
+      maxBucket: Int = 5000): DataFrame =
+    minhashBandRows(df, idCol, textCol, shingleN, bands, rowsPerBand)
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
+
+  /** Incremental near-dup: a NEW batch against an already-indexed
+    * corpus — the steady-state shape of a growing training corpus,
+    * where re-hashing 100 TB per arriving batch is the cost to avoid.
+    *
+    * Only the batch is shingled and minhashed; candidates come from
+    * the (band, bh) equi-join of the batch's band rows against
+    * `corpusIndex` ([[minhashBandRows]] output, built ONCE with the
+    * same (shingleN, bands, rowsPerBand)); corpus text is re-read
+    * only for candidate ids (semi-join pushdown) to verify exact
+    * Jaccard. Batch-internal pairs are out of scope by construction —
+    * run [[minhashLshPairs]] on the batch for those.
+    *
+    * Skew cap: `maxBucket` bounds the CORPUS-side bucket size (the
+    * index is the big side); a batch row landing in a dropped bucket
+    * is near-identical boilerplate that exact-dedupe owns.
+    *
+    * Returns (id_new, id_old, jaccard): batch id, corpus id, exact
+    * shingle Jaccard >= threshold.
+    */
+  def incrementalNearDupPairs(
+      corpus: DataFrame,
+      corpusIndex: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 5000): DataFrame = {
+    val batchDocs = shingled(batch, idCol, textCol, shingleN)
+    val batchBands = bandRowsOf(batchDocs, bands, rowsPerBand)
+    val okBuckets = corpusIndex.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val keptIndex = corpusIndex.join(okBuckets, Seq("band", "bh"))
+    val cand = batchBands.alias("b")
+      .join(keptIndex.alias("i"),
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+      .select(col("b.id").as("id_new"), col("i.id").as("id_old"))
+      .dropDuplicates("id_new", "id_old")
+    // corpus text only for candidate ids: semi-join, then shingle
+    val oldDocs = shingled(
+      corpus.join(cand.select(col("id_old").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+    cand
+      .join(batchDocs.select(col("id").as("id_new"), col("sh").as("sh_new")),
+        Seq("id_new"))
+      .join(oldDocs.select(col("id").as("id_old"), col("sh").as("sh_old")),
+        Seq("id_old"))
+      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_old")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
   /** 16-bit SimHash over the distinct-token set, built from md5

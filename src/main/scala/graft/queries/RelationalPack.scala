@@ -257,6 +257,58 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Backward as-of join: every purchase matched to the user's most
+    // recent prior view (<= 7 days back) — the temporal-lookup join,
+    // implemented as ONE equi shuffle + window (graft.joins.Temporal),
+    // never a range theta join. All math in exact epoch µs. The
+    // oracle recomputes it from the direct "max view ts at or before
+    // purchase ts" semantics — a deliberately different formulation,
+    // so a bug in the window trick cannot hide in a shared shape.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"))
+      // unique per (user, µs): ties broken by max event_id — the
+      // asOfJoin contract requires one right row per instant
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("t_us"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      graft.joins.Temporal.asOfJoin(purchases, views, "user_id",
+          "purchase_us", "t_us", Seq("view_value"),
+          tolerance = Some(604800000000L))
+        .withColumnRenamed("asof_ts", "view_us")
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval (range) join: clicks inside the half-hour window
+    // before each purchase — bucketed equi join on (user, ts div 30
+    // min), residual interval filter; no nested-loop stage in the
+    // plan (TemporalSpec asserts). Click sums integer-cents routed.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - 1800000000L).as("lo"),
+          unix_micros(col("ts")).as("hi"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+      val counts = graft.joins.Temporal
+        .rangeJoinBucketed(iv, clicks, "user_id", "lo", "hi", "t_us",
+          bucketWidth = 1800000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          (sum(round(col("value") * 100).cast("long")).cast("double")
+            / 100.0).as("click_val_sum"))
+      iv.select(col("event_id"), col("user_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("click_val_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // Date/time: 30-minute tumbling windows (flickr.py:95-122's
     // half-hour windowing) as epoch buckets.
     "q_windows_30min" -> ((s, d) => {
@@ -391,6 +443,37 @@ object RelationalPack extends QueryPack {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    // Deliberately a DIFFERENT formulation than the Spark side (direct
+    // max-ts-at-or-before semantics vs union+window): a shared-shape
+    // bug can't pass both.
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |        arg_max(value, event_id) AS view_value
+        |      FROM events WHERE event_type = 'view'
+        |      GROUP BY user_id, epoch_us(ts)),
+        |m AS (SELECT p.event_id, max(v.t_us) AS view_us
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |        AND v.t_us <= p.purchase_us
+        |        AND v.t_us >= p.purchase_us - 604800000000
+        |      GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.purchase_us, m.view_us, v.view_value
+        |FROM p LEFT JOIN m USING (event_id)
+        |LEFT JOIN v ON v.user_id = p.user_id AND v.t_us = m.view_us
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS hi,
+        |             epoch_us(ts) - 1800000000 AS lo
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t_us, value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, count(c.t_us) AS n_clicks,
+        |  CAST(SUM(CAST(round(c.value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS click_val_sum
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.t_us > p.lo AND c.t_us <= p.hi
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_windows_30min" ->
       """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wstart,
         |  count(*) AS n,

@@ -52,6 +52,40 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.3))
   }
 
+  test("incrementalExactDedup drops index hits, keeps one per digest " +
+      "within the batch, and is whitespace-insensitive") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, " alpha  beta gamma "), // dup of corpus 1 modulo whitespace
+      (11L, "zeta eta"), (12L, "zeta  eta"), // batch-internal dups
+      (13L, "theta iota")).toDF("id", "text")
+    val idx = Dedup.contentDigests(corpus, "id", "text")
+    val kept = Dedup.incrementalExactDedup(idx, batch, "id", "text")
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
+  test("incrementalNearDupPairs against a prebuilt index equals the " +
+      "full-table LSH run restricted to cross (corpus, batch) pairs") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    val index = Dedup.minhashBandRows(corpus, "doc_id", "text",
+      shingleN = 2, bands = 8, rowsPerBand = 2)
+    val inc = Dedup.incrementalNearDupPairs(corpus, index, batch,
+        "doc_id", "text", shingleN = 2, bands = 8, rowsPerBand = 2,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (old,new)
+    // same signature family, so the full-table run's cross-boundary
+    // pairs must be exactly the incremental result
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.3)
+      .filter(col("id_a") < 300 && col("id_b") >= 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("simhash16 is stable and order-insensitive") {
     val a = Seq("one two three").toDF("text")
       .select(Dedup.simhash16(col("text"))).collect().head.getInt(0)
