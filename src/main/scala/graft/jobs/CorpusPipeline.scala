@@ -79,55 +79,10 @@ object CorpusPipeline {
     val e = q.join(exactFlag, Seq(idCol)).filter(!col("is_exact_dup"))
       .select(id, col(textCol))
 
-    // 3. near-dup clustering over exact-dedupe survivors: the keeper
-    // of every cluster is its MINIMUM original id and everything else
-    // drops. connectedComponents' message-passing state is LONG ids —
-    // real corpora carry string ids (URLs, UUIDs), which would cast to
-    // null and silently skip all near-dup drops, so non-integral ids
-    // get a 64-bit hash surrogate for the clustering stage. The
-    // surrogate is ONLY a clustering key: cluster labels are min
-    // SURROGATE, hash-arbitrary as a keeper policy, so keepers are
-    // re-derived as min original id per cluster (for integral ids the
-    // label already IS that min, and the agg is skipped).
-    // Collision math: xxhash64 falsely merges a pair with probability
-    // ~n^2/2^65 — at 10^9 docs that is ~3% odds of ONE spurious
-    // near-dup drop corpus-wide, noise next to LSH's own error bars.
-    val idIsIntegral = docs.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    val sidCol = if (idIsIntegral) idCol else "__sid"
-    val keyed =
-      if (idIsIntegral) e
-      else e.withColumn(sidCol, xxhash64(id.cast("string")))
-    val pairs = Dedup.minhashLshPairs(keyed.select(col(sidCol), col(textCol)),
-      sidCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket)
-      .select(col("id_a"), col("id_b"))
-    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val nearFlag = {
-      if (idIsIntegral)
-        keyed.select(id, col(sidCol))
-          .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
-          .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
-            .as("is_near_dup"))
-      else {
-        // members = only docs that belong to some cluster (inner join
-        // — never a window over the mostly-null-cluster full corpus,
-        // which would funnel every non-duplicate through one task)
-        val members = keyed.select(id, col(sidCol))
-          .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol))
-        val keepers = members.groupBy(col("cluster"))
-          .agg(min(id).as("__keep"))
-        val memberFlag = members.join(keepers, Seq("cluster"))
-          .select(id, (id =!= col("__keep")).as("is_near_dup"))
-        e.select(id).join(memberFlag, Seq(idCol), "left")
-          .select(id, coalesce(col("is_near_dup"), lit(false))
-            .as("is_near_dup"))
-      }
-    }.localCheckpoint()
+    // 3. near-dup clustering over exact-dedupe survivors (shared
+    // min-original-id-keeper kernel — see nearDupFlag)
+    val nearFlag = nearDupFlag(e, idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold, maxBucket).localCheckpoint()
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 
@@ -147,6 +102,66 @@ object CorpusPipeline {
           col("is_near_dup"), lit(null))
           .otherwise(coalesce(col("__hit"), lit(false))))
       .drop("__hit")
+  }
+
+  /** (id, is_near_dup) for every row of `e` (id + text columns) under
+    * min-original-id-keeper near-dup clustering: the keeper of every
+    * cluster is its MINIMUM original id and everything else flags
+    * true. connectedComponents' message-passing state is LONG ids —
+    * real corpora carry string ids (URLs, UUIDs), which would cast to
+    * null and silently skip all near-dup drops, so non-integral ids
+    * get a 64-bit hash surrogate for the clustering stage. The
+    * surrogate is ONLY a clustering key: cluster labels are min
+    * SURROGATE, hash-arbitrary as a keeper policy, so keepers are
+    * re-derived as min original id per cluster (for integral ids the
+    * label already IS that min, and the agg is skipped).
+    * Collision math: xxhash64 falsely merges a pair with probability
+    * ~n^2/2^65 — at 10^9 docs that is ~3% odds of ONE spurious
+    * near-dup drop corpus-wide, noise next to LSH's own error bars. */
+  private def nearDupFlag(
+      e: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val id = col(idCol)
+    val idIsIntegral = e.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val sidCol = if (idIsIntegral) idCol else "__sid"
+    val keyed =
+      if (idIsIntegral) e
+      else e.withColumn(sidCol, xxhash64(id.cast("string")))
+    val pairs = Dedup.minhashLshPairs(keyed.select(col(sidCol), col(textCol)),
+      sidCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    if (idIsIntegral)
+      keyed.select(id, col(sidCol))
+        .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
+        .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
+          .as("is_near_dup"))
+    else {
+      // members = only docs that belong to some cluster (inner join
+      // — never a window over the mostly-null-cluster full corpus,
+      // which would funnel every non-duplicate through one task)
+      val members = keyed.select(id, col(sidCol))
+        .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol))
+      val keepers = members.groupBy(col("cluster"))
+        .agg(min(id).as("__keep"))
+      val memberFlag = members.join(keepers, Seq("cluster"))
+        .select(id, (id =!= col("__keep")).as("is_near_dup"))
+      e.select(id).join(memberFlag, Seq(idCol), "left")
+        .select(id, coalesce(col("is_near_dup"), lit(false))
+          .as("is_near_dup"))
+    }
   }
 
   /** Run the full pipeline. `benchmark` must carry the same id/text
@@ -179,6 +194,106 @@ object CorpusPipeline {
     val shards = Packing.packShards(train, idCol,
       TextStats.tokenCount(col(textCol)), shardBudget)
     Result(annotated, cleaned.join(shards, Seq(idCol), "left"))
+  }
+
+  /** Batch admission against an already-curated corpus — the
+    * steady-state of a GROWING corpus, where re-processing 100 TB per
+    * arriving batch is the cost this path exists to avoid.
+    *
+    * `annotated`: every batch row + verdicts (null = stage not
+    * reached, same staging semantics as [[annotate]]):
+    *   - is_corpus_exact_dup: digest already in `corpusDigests`
+    *     ([[graft.dedup.Dedup.contentDigests]] of the corpus);
+    *   - is_batch_exact_dup: same digest appears earlier (smaller id)
+    *     in the batch itself;
+    *   - is_corpus_near_dup: >= `threshold` Jaccard against an
+    *     indexed corpus doc ([[graft.dedup.Dedup.minhashBandRows]]
+    *     index built with the SAME shingleN/bands/rowsPerBand) — the
+    *     corpus doc is always the keeper;
+    *   - is_batch_near_dup: near-dup cluster member (non-min-id)
+    *     within the batch's remaining rows.
+    *
+    * `admitted` = rows with all four false. `newDigests`/`newBands`
+    * are the admitted rows' index deltas — append them to the stored
+    * index tables and the next batch dedupes against this one too.
+    * Only the batch is ever hashed; corpus text is re-read solely for
+    * near-dup candidate verification inside incrementalNearDupPairs. */
+  final case class Admission(
+      annotated: DataFrame,
+      admitted: DataFrame,
+      newDigests: DataFrame,
+      newBands: DataFrame)
+
+  def admitBatch(
+      corpus: DataFrame,
+      corpusDigests: DataFrame,
+      corpusBands: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000): Admission = {
+    val id = col(idCol)
+
+    // exact stage: one digest pass over the batch serves both verdicts
+    val digested = Dedup.contentDigests(batch, idCol, textCol)
+      .withColumnRenamed("id", idCol)
+    val corpusHits = digested
+      .join(corpusDigests.select(col("digest")), Seq("digest"), "left_semi")
+      .select(id, lit(true).as("__chit"))
+    val wDigest = Window.partitionBy(col("digest")).orderBy(id)
+    val exactFlags = digested
+      .join(corpusHits, Seq(idCol), "left")
+      .withColumn("is_corpus_exact_dup", coalesce(col("__chit"), lit(false)))
+      .withColumn("is_batch_exact_dup",
+        when(col("is_corpus_exact_dup"), lit(null))
+          .otherwise(row_number().over(wDigest) =!= 1))
+      .select(id, col("is_corpus_exact_dup"), col("is_batch_exact_dup"))
+      .localCheckpoint()
+    val afterExact = batch.join(
+      exactFlags.filter(!col("is_corpus_exact_dup") &&
+        !col("is_batch_exact_dup")).select(id), Seq(idCol), "left_semi")
+
+    // corpus near-dup: batch band rows vs the prebuilt index
+    val corpusNearIds = Dedup.incrementalNearDupPairs(corpus, corpusBands,
+        afterExact, idCol, textCol, shingleN, bands, rowsPerBand,
+        threshold, maxBucket)
+      .select(col("id_new").as(idCol)).distinct()
+      .withColumn("__cnear", lit(true))
+      .localCheckpoint()
+    val afterCorpusNear = afterExact.join(
+      corpusNearIds.select(id), Seq(idCol), "left_anti")
+
+    // batch-internal near-dup among what's left (min-id keeper)
+    val batchNearFlag = nearDupFlag(
+      afterCorpusNear.select(id, col(textCol)), idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold, maxBucket).localCheckpoint()
+
+    val annotated = batch
+      .join(exactFlags, Seq(idCol), "left")
+      .join(corpusNearIds, Seq(idCol), "left")
+      .join(batchNearFlag.withColumnRenamed("is_near_dup", "__bnear"),
+        Seq(idCol), "left")
+      .withColumn("is_corpus_near_dup",
+        when(col("is_corpus_exact_dup") || col("is_batch_exact_dup"),
+          lit(null)).otherwise(coalesce(col("__cnear"), lit(false))))
+      .withColumn("is_batch_near_dup",
+        when(col("is_corpus_near_dup").isNull || col("is_corpus_near_dup"),
+          lit(null)).otherwise(col("__bnear")))
+      .drop("__cnear", "__bnear")
+    val admitted = annotated
+      .filter(!col("is_corpus_exact_dup") && !col("is_batch_exact_dup") &&
+        !col("is_corpus_near_dup") && !col("is_batch_near_dup"))
+      .select(batch.columns.map(col): _*)
+    Admission(
+      annotated,
+      admitted,
+      Dedup.contentDigests(admitted, idCol, textCol),
+      Dedup.minhashBandRows(admitted, idCol, textCol,
+        shingleN, bands, rowsPerBand))
   }
 
   /** Per-stage drop counts in ONE aggregate over the annotated frame

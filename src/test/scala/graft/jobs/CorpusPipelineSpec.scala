@@ -62,6 +62,72 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(m(7L) == ((T, F, F, F)))
   }
 
+  test("admitBatch: index-backed admission flags every planted case, " +
+      "and round 2 against the UPDATED index catches dups of round 1") {
+    def near(t: String): String = { // near-dup: swap two content words
+      val w = t.split(" ")
+      (w.take(10) ++ Seq("zzA", "zzB") ++ w.drop(12)).mkString(" ")
+    }
+    val tA = cleanText("aa"); val tB = cleanText("bb")
+    val tC = cleanText("cc"); val tD = cleanText("dd")
+    val corpus = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val corpusDigests = graft.dedup.Dedup.contentDigests(
+      corpus, "doc_id", "text")
+    val corpusBands = graft.dedup.Dedup.minhashBandRows(
+      corpus, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+    val batch = Seq(
+      (10L, tA),       // exact dup of corpus 1
+      (11L, tC),       // new -> admitted, keeper for 12/14
+      (12L, tC),       // exact dup within the batch
+      (13L, near(tB)), // near-dup of corpus 2
+      (14L, near(tC)), // near-dup of 11 within the batch
+      (15L, tD)        // new -> admitted
+    ).toDF("doc_id", "text")
+    val adm = CorpusPipeline.admitBatch(corpus, corpusDigests, corpusBands,
+      batch, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3)
+    val m = adm.annotated.collect().map { r =>
+      def f(c: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Boolean](c))
+      r.getAs[Long]("doc_id") ->
+        (f("is_corpus_exact_dup"), f("is_batch_exact_dup"),
+          f("is_corpus_near_dup"), f("is_batch_near_dup"))
+    }.toMap
+    val T = Some(true); val F = Some(false)
+    assert(m(10L) == ((T, None, None, None)))
+    assert(m(11L) == ((F, F, F, F)))
+    assert(m(12L) == ((F, T, None, None)))
+    assert(m(13L) == ((F, F, T, None)))
+    assert(m(14L) == ((F, F, F, T)))
+    assert(m(15L) == ((F, F, F, F)))
+    val admitted = adm.admitted.select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(11L, 15L))
+    // index deltas cover exactly the admitted rows
+    assert(adm.newDigests.select("id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 15L))
+    assert(adm.newBands.select("id").distinct().as[Long].collect().sorted
+      .toSeq == Seq(11L, 15L))
+
+    // round 2: the growing-corpus loop — append round 1's deltas and a
+    // near-dup of newly-admitted 15 must now flag as a CORPUS near-dup
+    val corpus2 = corpus.union(adm.admitted)
+    val adm2 = CorpusPipeline.admitBatch(corpus2,
+      corpusDigests.union(adm.newDigests),
+      corpusBands.union(adm.newBands),
+      Seq((20L, near(tD)), (21L, tC)).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3)
+    val m2 = adm2.annotated.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_corpus_exact_dup"),
+          Option(r.getAs[Any]("is_corpus_near_dup")))
+    }.toMap
+    assert(m2(20L) == ((false, Some(true)))) // near-dup of round-1 doc
+    assert(m2(21L)._1)                       // exact dup of round-1 doc
+    assert(adm2.admitted.count() == 0)
+  }
+
   test("stats aggregates every stage's drop count in one row") {
     val s = CorpusPipeline.stats(result.annotated).collect().head
     assert(s.getAs[Long]("input") == 7)
