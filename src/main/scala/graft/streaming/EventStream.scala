@@ -137,6 +137,35 @@ object EventStream {
         min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
   }
 
+  /** Streaming admission against a static digest index — the
+    * streaming face of `graft.dedup.Dedup.incrementalExactDedup`:
+    * documents arriving on a stream are dropped when their
+    * whitespace-normalized content digest already exists in the
+    * static index (stream-static LEFT ANTI join — STATELESS, the
+    * index is broadcast and probed per micro-batch), then
+    * first-within-the-stream wins via
+    * `dropDuplicatesWithinWatermark` on the digest (state bounded by
+    * the watermark, exactly like [[watermarkDedupe]]).
+    *
+    * `docs` must carry `ts` (event time) and `textCol`;
+    * `indexDigests` is `Dedup.contentDigests` output (or any frame
+    * with a `digest` column). The emitted rows carry their digest —
+    * append them to the index between restarts and the next run's
+    * static side covers this run's admissions (within a run, the
+    * watermark dedupe already suppresses re-arrivals). */
+  def streamingAdmission(
+      docs: DataFrame,
+      indexDigests: DataFrame,
+      textCol: String = "text",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest",
+        md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
+      .join(broadcast(indexDigests.select(col("digest"))),
+        Seq("digest"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** BOUNDED-state streaming dedupe: same first-occurrence-wins
     * semantics, but each key's seen-bit expires after `stateTTL` of
     * processing time with no arrivals (idle TTL — the timeout is

@@ -181,6 +181,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming admission drops index hits statelessly and stream " +
+      "duplicates via the watermark — the streaming incremental dedupe") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    val index = graft.dedup.Dedup.contentDigests(
+      Seq((1L, "alpha beta gamma")).toDF("id", "text"), "id", "text")
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingAdmission(in.toDF(), index)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode(OutputMode.Append()).start()
+    def ids(): Seq[Long] = spark.table("admit_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:00"), " alpha  beta gamma "), // index hit
+      Doc(11L, ts("2024-01-01 00:01:00"), "delta epsilon"),       // new
+      Doc(12L, ts("2024-01-01 00:02:00"), "delta  epsilon"))      // stream dup
+    q.processAllAvailable()
+    // cross-batch duplicate of 11 inside the watermark horizon
+    in.addData(Doc(13L, ts("2024-01-01 00:03:00"), "delta epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids() == Seq(11L))
+    }
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
@@ -249,4 +275,9 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
     }
   }
+}
+
+object EventStreamSpec {
+  /** Top-level so spark.implicits can derive its Encoder. */
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 }
