@@ -257,6 +257,34 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Multi-level aggregate (ROLLUP): per-(flag,status) totals, per-
+    // flag subtotals, and the grand total in ONE pass — Spark plans a
+    // single Expand + hash aggregate, not three scans. Explicit
+    // grouping() math (not grouping_id()) so the oracle computes the
+    // identical gid; subtotal rows order by gid + coalesced keys
+    // because engines disagree on default NULL sort order.
+    "q_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          dsum("l_quantity").as("sum_qty"))
+        .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit("")))
+    }),
+
+    // Pivot: one row per returnflag, one column pair per linestatus —
+    // compiles to conditional aggregation (no shuffle beyond the
+    // groupBy), which is exactly what the oracle spells out.
+    "q_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Backward as-of join: every purchase matched to the user's most
     // recent prior view (<= 7 days back) — the temporal-lookup join,
     // implemented as ONE equi shuffle + window (graft.joins.Temporal),
@@ -443,6 +471,27 @@ object RelationalPack extends QueryPack {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')"""
+        .stripMargin,
+    // quoted aliases: DuckDB lowercases unquoted identifiers, and the
+    // driver compare matches columns BY NAME against Spark's
+    // {pivotValue}_{aggAlias} casing
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F_n",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F_qty",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O_n",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O_qty"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
     // Deliberately a DIFFERENT formulation than the Spark side (direct
     // max-ts-at-or-before semantics vs union+window): a shared-shape
     // bug can't pass both.
