@@ -257,6 +257,25 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // The analytic window family in one windowed pass (one Exchange,
+    // one Sort, all five functions over the same frame): lag/lead
+    // neighbors, quartile ntile, percent_rank. Ordering key includes
+    // o_orderkey so every function is total-order deterministic;
+    // percent_rank's double is IEEE-identical across engines (same
+    // (rank-1)/(n-1) operands).
+    "q_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // Multi-level aggregate (ROLLUP): per-(flag,status) totals, per-
     // flag subtotals, and the grand total in ONE pass — Spark plans a
     // single Expand + hash aggregate, not three scans. Explicit
@@ -471,6 +490,16 @@ object RelationalPack extends QueryPack {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
