@@ -86,6 +86,49 @@ class TemporalSpec extends SparkSpec {
     assert(f == n && f.nonEmpty)
   }
 
+  test("randomized parity: asOfJoin and rangeJoinBucketed match their " +
+      "naive counterparts on seeded random inputs (ties, empty keys, " +
+      "multi-bucket intervals included)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 3) {
+      // keys 0-4, timestamps 0-99: dense enough to generate ties,
+      // duplicate instants, and keys present on only one side
+      val left = (0 until 60).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+        .toDF("lid", "k", "t")
+      val right = (0 until 60).map(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(100).toLong, rnd.nextDouble()))
+        .toDF("k", "t", "v")
+        .groupBy("k", "t").agg(max(col("v")).as("v")) // unique per (k,t)
+      for (tol <- Seq(None, Some(15L))) {
+        val fast = Temporal.asOfJoin(left, right, "k", "t", "t",
+          Seq("v"), tol).collect().map(r =>
+            (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSet
+        val slow = Temporal.asOfJoinBruteForce(left, right, "k", "t", "t",
+          Seq("v"), tol).collect().map(r =>
+            (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSet
+        assert(fast == slow, s"asOf mismatch at tolerance $tol")
+      }
+      val iv = (0 until 40).map { i =>
+        val lo = rnd.nextInt(80).toLong
+        (i.toLong, rnd.nextInt(5).toLong, lo, lo + rnd.nextInt(25))
+      }.toDF("iv_id", "k", "lo", "hi")
+      val pts = (0 until 60).map(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(100).toLong, i.toLong))
+        .toDF("k", "t", "pid")
+      // bucketWidth 10 < max interval length 24: intervals span up to
+      // 3 buckets — the multi-bucket path must still be exactly-once
+      val fast = Temporal.rangeJoinBucketed(iv, pts, "k", "lo", "hi", "t", 10L)
+        .select("iv_id", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val naive = iv.join(pts, Seq("k"))
+        .filter(col("lo") < col("t") && col("t") <= col("hi"))
+        .select("iv_id", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(fast.sorted.toSeq == naive.sorted.toSeq) // incl. multiplicity
+    }
+  }
+
   test("rangeJoinBucketed: intervals longer than a bucket still match " +
       "every point exactly once") {
     val iv = Seq((10L, 1L, 0L, 95L)).toDF("iv_id", "k", "lo", "hi")
