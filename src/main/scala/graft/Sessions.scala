@@ -25,9 +25,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
-      // long (Tables.events converts to a microsecond timestamp,
-      // matching DuckDB's ns->us truncation).
+      // Older testdata generations carry events.ts as
+      // TIMESTAMP(NANOS); Spark reads it as a long under this flag
+      // (Tables.events converts to a microsecond timestamp, matching
+      // DuckDB's ns->us truncation). Newer generations ship
+      // TIMESTAMP(MICROS) without UTC adjustment, which arrives as
+      // TIMESTAMP_NTZ — Tables.events normalizes that too.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // the 4.1 checksum checkpoint manager's background writer can

@@ -25,19 +25,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet; with
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as a long, which
-    * we convert to a microsecond timestamp (the same ns->us truncation
-    * DuckDB applies, so oracle comparisons line up). */
+  /** events.ts normalization. The driver has shipped the column two
+    * ways across testdata generations: TIMESTAMP(NANOS) (arrives as a
+    * long under spark.sql.legacy.parquet.nanosAsLong) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (arrives as
+    * TIMESTAMP_NTZ under parquet.inferTimestampNTZ). Both normalize
+    * to a session-zoned TimestampType; with the UTC session timezone
+    * (Sessions.scala) the ntz cast is value-preserving, and the ns
+    * path applies the same ns->us truncation DuckDB does — either way
+    * oracle comparisons line up. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = table(s, d, "events")
     // integer `div`, NOT `/`: epoch-ns values (~1.7e18) exceed double
     // precision, so float division can land one microsecond off
-    val fixed =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val fixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     Schemas.validate("events", fixed.schema)
     fixed
   }

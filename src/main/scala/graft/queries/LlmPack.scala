@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SimJoin}
 import graft.similarity.Similarity
 import graft.text.TextStats
 
@@ -108,6 +108,18 @@ object LlmPack extends QueryPack {
         .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jacc") >= 0.05)
         .select(col("id_a"), col("id_b"), col("jacc"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact Jaccard similarity join at SCALE: prefix-filtered
+    // candidate generation (AllPairs/PPJoin) over the FULL table — no
+    // doc_id bound, no all-pairs product, yet provably identical to
+    // brute force, so the oracle recomputes it exactly in SQL via the
+    // relational token-overlap form.
+    "q_simjoin_prefix" -> ((s, d) => {
+      SimJoin.prefixJaccardJoin(
+          Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -880,6 +892,33 @@ object LlmPack extends QueryPack {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Relational token-overlap form (explode + equi-join + count), not
+    // the quadratic list_intersect form: exact same pairs/values, and
+    // it keeps the full-table oracle fast in DuckDB. inter/(sa+sb-inter)
+    // divides the same integers the engine's intersect/union sizes
+    // produce, so the doubles are bit-identical.
+    "q_simjoin_prefix" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)-1),
+        |                          i -> array_to_string(sp[i:i+2], ' '))
+        |    END) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jacc
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "q_neardup_clusters" ->
       """WITH RECURSIVE s AS (
