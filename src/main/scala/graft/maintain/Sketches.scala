@@ -42,4 +42,84 @@ object Sketches {
   def topK(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol)).limit(k)
+
+  /** O(k)-state frequent items (Misra-Gries / mergeable-summaries
+    * form — public literature: Misra & Gries '82; Agarwal et al.
+    * "Mergeable Summaries", PODS'12). topK above still shuffles one
+    * counter PER DISTINCT KEY into the final heap; when the key
+    * cardinality itself is shuffle-hostile (per-token counts over
+    * 100 TB of text), this keeps exactly `k` counters per partial
+    * aggregate and merges them associatively: add maps pointwise,
+    * and while more than k entries survive, subtract the (k+1)-th
+    * largest count from every entry and drop the non-positive.
+    *
+    * Guarantee (delivered, pinned in SketchesSpec): every item with
+    * true frequency > n/(k+1) is present, and each stored count c
+    * obeys c <= true <= c + n/(k+1). Borderline items BELOW the
+    * guarantee line may appear or not depending on merge order — the
+    * caller filters by `n/(k+1)` (returned per row as `err_bound`)
+    * when it needs the deterministic set.
+    *
+    * Returns (item, min_count, err_bound) rows, min_count desc. */
+  def frequentItems(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val agg = udaf(new MisraGries(k))
+    df.select(col(keyCol).cast("string").as("__k"))
+      .agg(agg(col("__k")).as("mg"), count(lit(1)).as("__n"))
+      .select(explode(col("mg")).as(Seq("item", "min_count")), col("__n"))
+      .select(col("item"), col("min_count"),
+        (col("__n").cast("double") / (k + 1)).as("err_bound"))
+      .orderBy(col("min_count").desc, col("item"))
+  }
+}
+
+/** Mergeable Misra-Gries summary as a typed Aggregator: the buffer is
+  * a bounded map of at most k counters, so partial aggregation state
+  * is O(k) regardless of key cardinality. */
+private[maintain] class MisraGries(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, scala.collection.mutable.HashMap[String, Long],
+      Map[String, Long]] {
+  import scala.collection.mutable.HashMap
+
+  def zero: HashMap[String, Long] = HashMap.empty
+
+  /** Keep at most k entries: subtract the (k+1)-th largest count from
+    * every counter and drop the non-positive — the mergeable
+    * generalization of the classic decrement-all step. */
+  private def shrink(b: HashMap[String, Long]): HashMap[String, Long] = {
+    if (b.size <= k) b
+    else {
+      // (k+1)-th largest; after a single-element insert (size k+1)
+      // that is just the minimum — the common reduce path stays O(k)
+      val kth =
+        if (b.size == k + 1) b.values.min
+        else {
+          val arr = b.values.toArray
+          java.util.Arrays.sort(arr)
+          arr(arr.length - (k + 1))
+        }
+      b.filterInPlace((_, c) => c > kth)
+        .mapValuesInPlace((_, c) => c - kth)
+    }
+  }
+
+  def reduce(b: HashMap[String, Long], a: String): HashMap[String, Long] = {
+    b.update(a, b.getOrElse(a, 0L) + 1L)
+    shrink(b)
+  }
+
+  def merge(x: HashMap[String, Long], y: HashMap[String, Long])
+      : HashMap[String, Long] = {
+    y.foreach { case (t, c) => x.update(t, x.getOrElse(t, 0L) + c) }
+    shrink(x)
+  }
+
+  def finish(b: HashMap[String, Long]): Map[String, Long] = b.toMap
+
+  def bufferEncoder
+      : org.apache.spark.sql.Encoder[HashMap[String, Long]] =
+    org.apache.spark.sql.Encoders.kryo[HashMap[String, Long]]
+  def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

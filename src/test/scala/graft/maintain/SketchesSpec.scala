@@ -61,4 +61,37 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(out.collect().length == 5)
   }
+
+  test("frequentItems delivers the Misra-Gries guarantee on skewed data " +
+      "regardless of partitioning") {
+    // Zipf-ish truth: item i appears ~60000/i times, plus a long tail
+    // of singletons — heavy hitters well above n/(k+1) and a dense
+    // band of borderline items below it.
+    val rows = (1 to 40).flatMap(i => Seq.fill(60000 / i)(s"hh$i")) ++
+      (0 until 20000).map(i => s"tail$i")
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val k = 50
+    val errBound = n.toDouble / (k + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(
+        scala.util.Random.shuffle(rows), parts).toDF("item")
+      val got = Sketches.frequentItems(df, "item", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.forall(_._3 == errBound))
+      val gotMap = got.map(x => x._1 -> x._2).toMap
+      assert(got.length <= k, s"parts=$parts: ${got.length} entries > k")
+      // every true heavy hitter above the guarantee line is present
+      truth.filter(_._2 > errBound).foreach { case (item, f) =>
+        assert(gotMap.contains(item),
+          s"parts=$parts: heavy hitter $item (freq $f) missing")
+      }
+      // stored counts are under-estimates within the bound
+      gotMap.foreach { case (item, c) =>
+        val f = truth(item)
+        assert(c <= f && f <= c + errBound,
+          s"parts=$parts: $item stored $c true $f bound $errBound")
+      }
+    }
+  }
 }
