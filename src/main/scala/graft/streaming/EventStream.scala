@@ -166,6 +166,39 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** STREAM-STREAM interval join: match each left event to the right
+    * events of the same user within `within` of event time (|ts_l -
+    * ts_r| <= within) — the clicks-to-impressions shape. Both sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions, which is exactly what lets Spark evict buffered rows:
+    * each side's state holds only rows newer than (watermark -
+    * within), so state is bounded by rate x (watermark + within), not
+    * by stream length. Inner join: a row emits once its partner
+    * arrives; unmatched rows simply age out.
+    *
+    * At cluster scale both sides hash-partition on user_id — one
+    * co-partitioned exchange per side, the same shape as the batch
+    * rangeJoinBucketed, with the state store playing the bucket
+    * role. */
+  def streamingIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      within: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(l("user_id"), col("l_id"), col("r_id"), col("l_ts"),
+        col("r_ts"), col("l_type"), col("r_type"))
+  }
+
   /** BOUNDED-state streaming dedupe: same first-occurrence-wins
     * semantics, but each key's seen-bit expires after `stateTTL` of
     * processing time with no arrivals (idle TTL — the timeout is

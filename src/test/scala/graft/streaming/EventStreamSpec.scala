@@ -207,6 +207,35 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches same-user events within the " +
+      "bound, across micro-batches, and never outside it") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.streamingIntervalJoin(
+        clicks.toDF(), views.toDF(), within = "10 minutes")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 2, "click", 1.0),
+      Event(3, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    views.addData(
+      Event(10, ts("2024-01-01 00:05:00"), 1, "view", 1.0),  // -5 min: match 1
+      Event(11, ts("2024-01-01 00:25:00"), 1, "view", 1.0),  // +15 min: no
+      Event(12, ts("2024-01-01 00:12:00"), 9, "view", 1.0))  // other user: no
+    q.processAllAvailable()
+    // late-arriving partner lands in a LATER micro-batch than event 3
+    views.addData(Event(13, ts("2024-01-01 00:55:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    q.stop()
+    assert(got == Set((1L, 10L), (3L, 13L)))
+    }
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
