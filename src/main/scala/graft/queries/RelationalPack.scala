@@ -365,7 +365,29 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum("value").as("val_sum"))
         .orderBy(col("wstart"))
     }),
+
+    // Z-order write key (io/Layout.zorderKey): Morton interleave of
+    // (user bucket, minute-of-day) — pure column bit math, recomputed
+    // bit-for-bit by the DuckDB oracle's explicit shift/mask sum.
+    "q_zorder_key" -> ((s, d) => {
+      val x = pmod(col("user_id"), lit(2048)).cast("int")
+      val y = expr("(cast(ts as long) div 60) % 1440").cast("int")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.io.Layout.zorderKey(x, y, bits = 11).as("z"))
+        .orderBy(col("event_id"))
+    }),
   )
+
+  /** ((x>>i)&1)<<(2i+off) interleave terms, generated rather than
+    * hand-typed — the oracle must mirror Layout.zorderKey exactly. */
+  private def zorderSql(expr: String, off: Int, bits: Int): String =
+    (0 until bits)
+      // every term FULLY parenthesized: DuckDB gives |, &, << the same
+      // flat left-associative precedence (PostgreSQL rules), so an
+      // unwrapped `a << k | b << m` parses as ((a << k) | b) << m
+      .map(i => s"(((($expr) >> $i) & 1) << ${2 * i + off})")
+      .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
     "q_a2_top_domains" ->
@@ -557,5 +579,12 @@ object RelationalPack extends QueryPack {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
+    "q_zorder_key" -> {
+      val x = "CAST(user_id % 2048 AS BIGINT)"
+      val y = "CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT)"
+      s"""SELECT event_id,
+         |  CAST(${zorderSql(x, 0, 11)} | ${zorderSql(y, 1, 11)} AS BIGINT) AS z
+         |FROM events ORDER BY event_id""".stripMargin
+    },
   )
 }
