@@ -68,6 +68,17 @@ object RelationalPack extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sketches.frequentItems under the oracle via its exactness
+    // regime: with key cardinality <= k the Misra-Gries buffer never
+    // overflows, no counts are ever subtracted, and the summary IS the
+    // exact GROUP BY — checkable bit-for-bit. (The approximate regime's
+    // guarantee is SketchesSpec's job; this row pins the whole
+    // Aggregator/udaf machinery against DuckDB.)
+    "q_freq_items_exact" -> ((s, d) => {
+      graft.maintain.Sketches.frequentItems(
+        Tables.events(s, d), "event_type", k = 64)
+    }),
+
     // W1/D3: row_number dedupe — newest order per customer
     // (mirror of util/loader/sql.py:171-182's last-wins dedupe).
     "q_w1_newest_order" -> ((s, d) => {
@@ -579,6 +590,10 @@ object RelationalPack extends QueryPack {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
+    "q_freq_items_exact" ->
+      """SELECT event_type AS item, count(*) AS min_count,
+        |  CAST((SELECT count(*) FROM events) AS DOUBLE) / 65 AS err_bound
+        |FROM events GROUP BY 1 ORDER BY min_count DESC, item""".stripMargin,
     "q_zorder_key" -> {
       val x = "CAST(user_id % 2048 AS BIGINT)"
       val y = "CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT)"
