@@ -53,7 +53,8 @@ object CorpusPipeline {
       rowsPerBand: Int = 2,
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
-      deconN: Int = 5): DataFrame = {
+      deconN: Int = 5,
+      exactNearDup: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // 1. quality gate (row-local; evaluated for every doc)
@@ -82,7 +83,8 @@ object CorpusPipeline {
     // 3. near-dup clustering over exact-dedupe survivors (shared
     // min-original-id-keeper kernel — see nearDupFlag)
     val nearFlag = nearDupFlag(e, idCol, textCol,
-      shingleN, bands, rowsPerBand, threshold, maxBucket).localCheckpoint()
+      shingleN, bands, rowsPerBand, threshold, maxBucket, exactNearDup)
+      .localCheckpoint()
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 
@@ -126,7 +128,8 @@ object CorpusPipeline {
       bands: Int,
       rowsPerBand: Int,
       threshold: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      exactPairs: Boolean = false): DataFrame = {
     val id = col(idCol)
     val idIsIntegral = e.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
@@ -139,9 +142,19 @@ object CorpusPipeline {
     val keyed =
       if (idIsIntegral) e
       else e.withColumn(sidCol, xxhash64(id.cast("string")))
-    val pairs = Dedup.minhashLshPairs(keyed.select(col(sidCol), col(textCol)),
-      sidCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket)
-      .select(col("id_a"), col("id_b"))
+    // Pair generation is pluggable: MinHash-LSH (probabilistic recall,
+    // the default) or the exact prefix-filtered similarity join —
+    // same Jaccard threshold, provably complete pairs, for corpora
+    // where a missed near-dup costs more than the extra verify work.
+    val pairSource = keyed.select(col(sidCol), col(textCol))
+    val pairs =
+      (if (exactPairs)
+        graft.dedup.SimJoin.prefixJaccardJoin(
+          pairSource, sidCol, textCol, shingleN, threshold)
+      else
+        Dedup.minhashLshPairs(pairSource, sidCol, textCol,
+          shingleN, bands, rowsPerBand, threshold, maxBucket))
+        .select(col("id_a"), col("id_b"))
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     if (idIsIntegral)
       keyed.select(id, col(sidCol))
@@ -180,10 +193,12 @@ object CorpusPipeline {
       maxBucket: Int = 5000,
       deconN: Int = 5,
       validPerMille: Int = 50,
-      shardBudget: Long = 2048): Result = {
+      shardBudget: Long = 2048,
+      exactNearDup: Boolean = false): Result = {
     val id = col(idCol)
     val annotated = annotate(docs, idCol, textCol, benchmark,
-      shingleN, bands, rowsPerBand, threshold, maxBucket, deconN)
+      shingleN, bands, rowsPerBand, threshold, maxBucket, deconN,
+      exactNearDup)
     val kept = annotated
       .filter(col("pass_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"))

@@ -62,6 +62,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(m(7L) == ((T, F, F, F)))
   }
 
+  test("exactNearDup=true routes pair generation through the prefix " +
+      "similarity join and reproduces every planted verdict") {
+    val exact = CorpusPipeline.annotate(
+      docs, "doc_id", "text", benchmark, exactNearDup = true)
+    val m = exact.collect().map { r =>
+      def f(c: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Boolean](c))
+      r.getAs[Long]("doc_id") -> (f("is_exact_dup"), f("is_near_dup"))
+    }.toMap
+    assert(m(1L) == ((Some(false), Some(false))))
+    assert(m(2L) == ((Some(true), None)))
+    assert(m(3L) == ((Some(false), Some(true))))
+    assert(m(7L) == ((Some(false), Some(false))))
+  }
+
   test("admitBatch: index-backed admission flags every planted case, " +
       "and round 2 against the UPDATED index catches dups of round 1") {
     def near(t: String): String = { // near-dup: swap two content words
