@@ -71,6 +71,27 @@ object Sketches {
         (col("__n").cast("double") / (k + 1)).as("err_bound"))
       .orderBy(col("min_count").desc, col("item"))
   }
+
+  /** Per-group frequent items: the same O(k)-state summary under a
+    * groupBy — per-(group, partition) partials merge map-side, so the
+    * shuffle carries one bounded map per group per task (top tokens
+    * per domain/language, whatever the within-group cardinality).
+    * Guarantee per group: items above n_g/(k+1) of that group's row
+    * count present, counts under-estimating by at most n_g/(k+1). */
+  def frequentItemsByGroup(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val agg = udaf(new MisraGries(k))
+    val g = groupCols.map(col)
+    df.select(g :+ col(keyCol).cast("string").as("__k"): _*)
+      .groupBy(g: _*)
+      .agg(agg(col("__k")).as("mg"), count(lit(1)).as("__n"))
+      .select(g :+ explode(col("mg")).as(Seq("item", "min_count")) :+
+        col("__n"): _*)
+      .select(g :+ col("item") :+ col("min_count") :+
+        (col("__n").cast("double") / (k + 1)).as("err_bound"): _*)
+  }
 }
 
 /** Mergeable Misra-Gries summary as a typed Aggregator: the buffer is

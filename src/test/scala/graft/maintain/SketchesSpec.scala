@@ -94,4 +94,28 @@ class SketchesSpec extends SparkSpec {
       }
     }
   }
+
+  test("frequentItemsByGroup delivers the per-group guarantee with " +
+      "independent group budgets") {
+    val k = 10
+    // group A: one dominant item + tail; group B: uniform tail only
+    val rows = Seq.fill(5000)(("A", "hot")) ++
+      (0 until 3000).map(i => ("A", s"a$i")) ++
+      (0 until 4000).map(i => ("B", s"b${i % 2000}"))
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(rows), 16).toDF("grp", "item")
+    val got = Sketches.frequentItemsByGroup(df, Seq("grp"), "item", k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byGrp = got.groupBy(_._1)
+    // per-group err bounds reflect each group's OWN size
+    assert(byGrp("A").head._4 == 8000.0 / (k + 1))
+    byGrp.get("B").foreach(b => assert(b.head._4 == 4000.0 / (k + 1)))
+    // A's dominant item (5000 > 8000/11) must be present with a
+    // count within the group bound
+    val hot = byGrp("A").find(_._2 == "hot")
+    assert(hot.isDefined, s"hot missing from ${byGrp("A").toSeq}")
+    assert(hot.get._3 <= 5000 && 5000 <= hot.get._3 + 8000.0 / (k + 1))
+    assert(byGrp.values.forall(_.length <= k))
+  }
 }
