@@ -69,47 +69,8 @@ object SimJoin {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    // Distinct shingle set per document; the token array materializes
-    // in its own projection before the shingle lambda references it
-    // (same re-evaluation discipline as Dedup.shingled).
-    val docs = df
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__t"))
-      .select(col("id"), array_distinct(Dedup.shingles(col("__t"), shingleN)).as("sh"))
-
-    // The (id, token) stream feeds FOUR consumers (document
-    // frequencies, the ordered assembly, both verify joins); without a
-    // checkpoint each consumer re-runs the scan+shingle+explode
-    // lineage. A lazy localCheckpoint materializes it once on first
-    // use — the cluster-scale equivalent is staging the token table to
-    // storage once, the same explicit materialize-vs-recompute call.
-    val toks = docs.select(col("id"), explode(col("sh")).as("tok"))
-      .localCheckpoint(false)
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
-
-    // Rare-first global order: sort each document's tokens by
-    // (document frequency, token). array_sort on the struct gives the
-    // deterministic total order every prefix derivation shares.
-    val ordered = toks.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
-      .select(col("id"),
-        transform(col("ord"), s => s.getField("tok")).as("toks"),
-        size(col("ord")).as("sz"))
-
-    // Prefix length p = sz - ceil(t*sz) + 1. The 1e-9 guard keeps a
-    // float-UP rounding of t*sz from SHORTENING the prefix (which
-    // could lose pairs); a float-down error only lengthens it, which
-    // costs candidates but never correctness.
-    val p = greatest(
-      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int")
-        + lit(1)),
-      lit(1))
-    // (id, sz, rank-in-ordered-list, token) for each prefix token;
-    // the 1-based rank feeds the positional filter.
-    val prefixes = ordered
-      .select(col("id"), col("sz"),
-        posexplode(slice(col("toks"), lit(1), p)).as(Seq("pos0", "tok")))
-      .select(col("id"), col("sz"), (col("pos0") + 1).as("rn"), col("tok"))
+    val toks = tokenStream(df, idCol, textCol, shingleN)
+    val prefixes = prefixesOf(toks, threshold)
 
     // Candidates: share a prefix token, id-ordered, length filter
     // t*max(|x|,|y|) <= min(|x|,|y|), AND the positional filter —
@@ -131,6 +92,77 @@ object SimJoin {
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
 
+    verifyPairs(cand, toks, threshold)
+  }
+
+  /** (tok, prefix_df) of prefix tokens whose document frequency WITHIN
+    * THE PREFIXES exceeds `maxPrefixDf` — the monitoring companion to
+    * [[prefixJaccardJoin]]'s rare-first ordering (mirrors
+    * Dedup.oversizedMinhashBuckets). The join itself never caps (a cap
+    * would break exactness); this reports where adversarial data —
+    * e.g. thousands of near-identical boilerplate documents whose rare
+    * tokens are SHARED — would concentrate candidate mass, so the
+    * operator's cost is observable before it is paid. Each reported
+    * token contributes ~prefix_df^2/2 candidate pairs; rows here
+    * usually mean exact-dedupe should run first. */
+  def hotPrefixTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      maxPrefixDf: Long = 10000L): DataFrame =
+    prefixesOf(tokenStream(df, idCol, textCol, shingleN), threshold)
+      .groupBy(col("tok")).agg(count(lit(1)).as("prefix_df"))
+      .filter(col("prefix_df") > maxPrefixDf)
+
+  /** Distinct (id, token) stream of word `shingleN`-gram shingles.
+    * The token array materializes in its own projection before the
+    * shingle lambda references it (same re-evaluation discipline as
+    * Dedup.shingled). The stream feeds several consumers (document
+    * frequencies, the ordered assembly, both verify joins); without a
+    * checkpoint each consumer re-runs the scan+shingle+explode
+    * lineage. A lazy localCheckpoint materializes it once on first
+    * use — the cluster-scale equivalent is staging the token table to
+    * storage once, the same explicit materialize-vs-recompute call. */
+  private def tokenStream(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__t"))
+      .select(col("id"),
+        array_distinct(Dedup.shingles(col("__t"), shingleN)).as("sh"))
+      .select(col("id"), explode(col("sh")).as("tok"))
+      .localCheckpoint(false)
+
+  /** (id, sz, rank, token) for each document's PREFIX tokens under the
+    * rare-first global order: tokens sorted by (document frequency,
+    * token) — array_sort on the struct gives the deterministic total
+    * order every prefix derivation shares — then cut to prefix length
+    * p = sz - ceil(t*sz) + 1. The 1e-9 guard keeps a float-UP rounding
+    * of t*sz from SHORTENING the prefix (which could lose pairs); a
+    * float-down error only lengthens it, which costs candidates but
+    * never correctness. The 1-based rank feeds the positional
+    * filter. */
+  private def prefixesOf(toks: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("tdf"), col("tok")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), s => s.getField("tok")).as("toks"),
+        size(col("ord")).as("sz"))
+    val p = greatest(
+      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int")
+        + lit(1)),
+      lit(1))
+    ordered
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("toks"), lit(1), p)).as(Seq("pos0", "tok")))
+      .select(col("id"), col("sz"), (col("pos0") + 1).as("rn"), col("tok"))
+  }
+
+  private def verifyPairs(
+      cand: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
     // Exact verify, relationally: intersection size = count of shared
     // tokens via two equi-joins over the candidates' (id, token)
     // rows. jacc = inter/(sz_a+sz_b-inter) divides the same integers

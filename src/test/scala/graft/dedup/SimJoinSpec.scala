@@ -64,6 +64,21 @@ class SimJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("hotPrefixTokens reports boilerplate-concentrated prefix mass " +
+      "and stays empty on diverse data") {
+    val boiler = (0 until 50).map(i =>
+      (i.toLong, "identical boilerplate text repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val hot = SimJoin.hotPrefixTokens(
+      boiler, "doc_id", "text", shingleN = 2, threshold = 0.5,
+      maxPrefixDf = 10)
+    assert(hot.collect().forall(_.getLong(1) == 50L))
+    assert(hot.count() > 0, "identical docs must concentrate prefix mass")
+    val diverse = Tables.documents(spark, sf)
+    assert(SimJoin.hotPrefixTokens(
+      diverse, "doc_id", "text", 3, 0.5, maxPrefixDf = 100).count() == 0)
+  }
+
   test("plan: candidate generation is an equi-join — no cartesian/BNLJ") {
     val plan = SimJoin.prefixJaccardJoin(
         Tables.documents(spark, sf), "doc_id", "text", 3, 0.5)
