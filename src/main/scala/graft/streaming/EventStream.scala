@@ -179,12 +179,19 @@ object EventStream {
     * At cluster scale both sides hash-partition on user_id — one
     * co-partitioned exchange per side, the same shape as the batch
     * rangeJoinBucketed, with the state store playing the bucket
-    * role. */
+    * role.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form
+    * emits an unmatched left row WITH NULL right columns once the
+    * watermark proves no partner can still arrive (l_ts + within
+    * below the global watermark) — the same eviction that bounds the
+    * state also makes the no-match verdict safe to declare. */
   def streamingIntervalJoin(
       left: DataFrame,
       right: DataFrame,
       within: String = "10 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
       col("user_id"), col("event_type").as("l_type"))
       .withWatermark("l_ts", watermark)
@@ -194,7 +201,8 @@ object EventStream {
     l.join(r,
       l("user_id") === r("user_id") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select(l("user_id"), col("l_id"), col("r_id"), col("l_ts"),
         col("r_ts"), col("l_type"), col("r_type"))
   }

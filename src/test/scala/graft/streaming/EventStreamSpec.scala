@@ -236,6 +236,40 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("left-outer interval join emits null-partner rows once the " +
+      "watermark proves no match can arrive") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.streamingIntervalJoin(
+        clicks.toDF(), views.toDF(), within = "10 minutes",
+        watermark = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),  // matched
+      Event(2, ts("2024-01-01 00:10:00"), 2, "click", 1.0))  // no partner
+    views.addData(Event(10, ts("2024-01-01 00:05:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past 00:20 + 30min, then run extra
+    // batches so the eviction pass emits the null-partner row
+    clicks.addData(Event(3, ts("2024-01-01 06:00:00"), 9, "click", 1.0))
+    views.addData(Event(11, ts("2024-01-01 06:00:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    clicks.addData(Event(4, ts("2024-01-01 07:00:00"), 8, "click", 1.0))
+    views.addData(Event(12, ts("2024-01-01 07:00:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("ssj_outer_out").collect()
+      .map(r => (r.getAs[Long]("l_id"),
+        if (r.isNullAt(r.fieldIndex("r_id"))) None
+        else Some(r.getAs[Long]("r_id")))).toSet
+    q.stop()
+    assert(got.contains((1L, Some(10L))), s"matched pair missing: $got")
+    assert(got.contains((2L, None)), s"null-partner row missing: $got")
+    }
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
