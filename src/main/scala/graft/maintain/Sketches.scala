@@ -64,7 +64,11 @@ object Sketches {
   def frequentItems(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val agg = udaf(new MisraGries(k))
-    df.select(col(keyCol).cast("string").as("__k"))
+    // Null keys are excluded (a null would be rejected as a map key in
+    // the MG buffer's output); `__n`, and with it the error guarantee,
+    // then covers the non-null population only.
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
       .agg(agg(col("__k")).as("mg"), count(lit(1)).as("__n"))
       .select(explode(col("mg")).as(Seq("item", "min_count")), col("__n"))
       .select(col("item"), col("min_count"),
@@ -84,7 +88,8 @@ object Sketches {
     require(k > 0, s"k must be positive, got $k")
     val agg = udaf(new MisraGries(k))
     val g = groupCols.map(col)
-    df.select(g :+ col(keyCol).cast("string").as("__k"): _*)
+    df.filter(col(keyCol).isNotNull)
+      .select(g :+ col(keyCol).cast("string").as("__k"): _*)
       .groupBy(g: _*)
       .agg(agg(col("__k")).as("mg"), count(lit(1)).as("__n"))
       .select(g :+ explode(col("mg")).as(Seq("item", "min_count")) :+

@@ -595,7 +595,10 @@ object RelationalPack extends QueryPack {
         |  CAST((SELECT count(*) FROM events) AS DOUBLE) / 65 AS err_bound
         |FROM events GROUP BY 1 ORDER BY min_count DESC, item""".stripMargin,
     "q_zorder_key" -> {
-      val x = "CAST(user_id % 2048 AS BIGINT)"
+      // ((m % n) + n) % n, not plain %: DuckDB's % is sign-preserving
+      // while the Spark side uses pmod — identical for the testdata's
+      // non-negative ids, but the oracle should not depend on that.
+      val x = "CAST(((user_id % 2048) + 2048) % 2048 AS BIGINT)"
       val y = "CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT)"
       s"""SELECT event_id,
          |  CAST(${zorderSql(x, 0, 11)} | ${zorderSql(y, 1, 11)} AS BIGINT) AS z

@@ -192,6 +192,8 @@ object EventStream {
       within: String = "10 minutes",
       watermark: String = "1 hour",
       joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
       col("user_id"), col("event_type").as("l_type"))
       .withWatermark("l_ts", watermark)
