@@ -238,16 +238,19 @@ object Dedup {
     }: _*)
 
   /** Single-pass MinHash signatures for a whole table: explode
-    * distinct shingles to (id, shingle) rows, hash each shingle once
-    * per seed, take `numHashes` min-aggregates in ONE hash-aggregate.
-    * Returns (id, sig array). */
+    * shingles to (id, shingle) rows, hash each shingle once per seed,
+    * take `numHashes` min-aggregates in ONE hash-aggregate. Returns
+    * (id, sig array). No per-row distinct on the shingle array:
+    * min() is duplicate-insensitive, so repeated shingles cannot
+    * change a signature — dropping the array_distinct removes a
+    * per-row hash set the aggregate never needed. */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       shingleArr: Column,
       numHashes: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingleArr)).as("sh"))
+      explode(shingleArr).as("sh"))
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     exploded.groupBy(col("id"))

@@ -27,8 +27,11 @@ class SimJoinSpec extends SparkSpec {
   }
 
   private def prefixJoin(
-      df: DataFrame, n: Int, t: Double): Set[(Long, Long, Double)] =
-    SimJoin.prefixJaccardJoin(df, "doc_id", "text", n, t)
+      df: DataFrame, n: Int, t: Double,
+      positional: Boolean = true,
+      suffixVerify: Boolean = true): Set[(Long, Long, Double)] =
+    SimJoin.prefixJaccardJoin(df, "doc_id", "text", n, t,
+        positional, suffixVerify)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
 
   test("prefix join == brute force on real testdata (two thresholds)") {
@@ -54,6 +57,19 @@ class SimJoinSpec extends SparkSpec {
     for (t <- Seq(0.8, 0.5, 0.34, 0.25))
       assert(prefixJoin(docs, 2, t) == bruteForce(docs, 2, t),
         s"threshold $t: prefix join diverged from brute force")
+  }
+
+  test("every filter/verify combination preserves brute-force parity") {
+    // The flags trade pruning strength and verify shape, never
+    // completeness: suffix verify alone (positional disabled), the
+    // positional+accumulation path alone (relational verify), and
+    // both off must all equal brute force on real testdata.
+    val docs = Tables.documents(spark, sf)
+    val expected = bruteForce(docs, 3, 0.3)
+    assert(expected.nonEmpty, "vacuous test — no pairs at t=0.3")
+    for (pos <- Seq(true, false); suf <- Seq(true, false))
+      assert(prefixJoin(docs, 3, 0.3, pos, suf) == expected,
+        s"positional=$pos suffixVerify=$suf diverged from brute force")
   }
 
   test("threshold 1.0 returns exactly the identical-shingle-set pairs") {
