@@ -199,7 +199,21 @@ object Similarity {
     // sort or a counting pass, and the same rows win on every run.
     // Normalization happens AFTER the limit: only the <=fitCap fit
     // rows pay for feature construction, never the full base.
-    val fitCap = math.max(nLists * 2000, 20000)
+    // The cap is DIMENSION-AWARE: the collected sample is dim doubles
+    // per row, so a row cap alone scales driver memory linearly with
+    // embedding width (nLists*2000 rows at d=4096 is ~1 GB). Budget
+    // ~64 MB of fit sample instead: rows = budget/(8*dim), floored at
+    // nLists*50 so every cell still sees enough points to place a
+    // center, ceilinged at the d-independent row cap. At d<=250 the
+    // budget never binds (the row cap is the minimum); past that the
+    // sample thins as 1/d while k-means quality holds — center
+    // placement needs points-per-cell, not points-per-coordinate.
+    val dim = base.limit(1).select(size(col("vec"))).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1).max(1)
+    val fitBudgetBytes = 64L << 20
+    val fitCap = math.min(
+      math.max(nLists * 2000, 20000).toLong,
+      math.max(nLists * 50L, fitBudgetBytes / (8L * dim))).toInt
     val sampleRows = base
       .orderBy(xxhash64(col("id").cast("string")), col("id"))
       .limit(fitCap)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -14,6 +14,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * needs: watermarked tumbling-window aggregation (the reference's
   * half-hour ingestion windows, flickr.py:95-122, as true event-time
   * windows) and stateful streaming dedupe (the D-family as a stream).
+  *
+  * Every operator is COLUMN-PARAMETERIZED (key / event-time / value
+  * column names are arguments, defaulting to the events testdata
+  * schema) the same way `graft.joins.Temporal.asOfJoin` is — the
+  * operators are generic; only the defaults know the test schema.
   */
 object EventStream {
 
@@ -21,19 +26,26 @@ object EventStream {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Tumbling 30-minute event-time windows with a late-data
-    * watermark; emits (window_start, event_type, n, val_sum). */
-  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+  /** Tumbling event-time windows with a late-data watermark; emits
+    * (wstart, keyCol, n, val_sum). Defaults reproduce the reference's
+    * half-hour ingestion windows over the events schema. */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "1 hour",
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      windowLen: String = "30 minutes"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
-      .select(col("window.start").as("wstart"), col("event_type"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .select(col("window.start").as("wstart"), col(keyCol),
         col("n"), col("val_sum"))
 
   /** Stream-static enrichment: join the event stream against a static
-    * dimension on `user_id = dimKey`, then count per (30-minute
+    * dimension on `streamKey = dimKey`, then count per (tumbling
     * window, dim attribute). Stream-static equi-joins are STATELESS —
     * with the dim broadcast, enrichment is a map-side operation on
     * every micro-batch and only the windowed aggregate keeps state.
@@ -43,11 +55,14 @@ object EventStream {
       dim: DataFrame,
       dimKey: String,
       dimAttr: String,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      streamKey: String = "user_id",
+      tsCol: String = "ts",
+      windowLen: String = "30 minutes"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .join(broadcast(dim), col("user_id") === col(dimKey))
-      .groupBy(window(col("ts"), "30 minutes"), col(dimAttr))
+      .withWatermark(tsCol, watermark)
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(window(col(tsCol), windowLen), col(dimAttr))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col(dimAttr), col("n"))
 
@@ -73,68 +88,114 @@ object EventStream {
       }
   }
 
+  /** Schema-generic form of [[streamingDedupe]]: first occurrence of
+    * each `keyCol` value passes, repeats are dropped, any row schema.
+    * `stateTTL = Some(d)` gives the TTL-bounded production shape
+    * (idle keys expire after `d` of processing time and are admitted
+    * again — state bounded by key arrival rate x TTL); `None` keeps
+    * exact forever-state semantics. Keys are compared by their string
+    * form and must be non-null (nulls group with the literal string
+    * "null" — filter or coalesce first if that matters). Row-encoder
+    * based, so the group function is NOT codegen'd — for the fixed
+    * events schema prefer the typed overloads. */
+  def streamingDedupeRows(
+      events: DataFrame,
+      keyCol: String,
+      stateTTL: Option[String] = None): DataFrame = {
+    val rowEnc = Encoders.row(events.schema)
+    val timeout = if (stateTTL.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyCol)))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), timeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            stateTTL.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
+            state.update(true)
+            stateTTL.foreach(state.setTimeoutDuration)
+            rows.take(1)
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+      .toDF()
+  }
+
   /** Event-time-bounded dedupe via the engine-native
     * `dropDuplicatesWithinWatermark` (Spark >= 3.5): duplicates whose
     * event times fall within the watermark delay of the first-seen row
     * are dropped, and the state store evicts entries the moment the
     * watermark passes them — bounded state with no custom
     * flatMapGroupsWithState code and no processing-time clock.
-    * Complements the TTL overload below: choose THIS when duplicates
-    * cluster in event time (publisher retries, replayed partitions),
-    * the TTL form when they cluster in arrival time. */
+    * Complements the TTL overload of [[streamingDedupe]]: choose THIS
+    * when duplicates cluster in event time (publisher retries,
+    * replayed partitions), the TTL form when they cluster in arrival
+    * time. */
   def watermarkDedupe(
-      events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      keyCol: String = "event_id",
+      tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Streaming session windows: the engine-native
     * `session_window(ts, gap)` + watermark — the streaming
     * counterpart of [[sessionize]]. A session closes (and emits, in
     * Append mode) once the watermark passes its end; state per open
     * session is bounded by the watermark exactly like windowed
-    * aggregation state. Emits one row per (closed session, user). */
+    * aggregation state. Emits one row per (closed session, key). */
   def streamingSessions(
       events: DataFrame,
       gap: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("val_sum"))
       .select(col("session_window.start").as("s_start"),
-        col("session_window.end").as("s_end"), col("user_id"),
+        col("session_window.end").as("s_end"), col(keyCol),
         col("n_events"), col("val_sum"))
 
-  /** Batch sessionization: split each user's event stream into
+  /** Batch sessionization: split each key's event stream into
     * sessions separated by more than `gapMinutes` of inactivity, and
     * aggregate one row per session. The batch counterpart of a
     * session window (the streaming form is
     * `session_window(ts, gap)` + watermark).
     *
-    * Scale shape: ONE shuffle on user_id; the session id is a running
-    * sum of new-session markers inside each user partition (lag +
+    * Scale shape: ONE shuffle on the key; the session id is a running
+    * sum of new-session markers inside each key partition (lag +
     * sum window over the same partitioning — Catalyst plans a single
     * Exchange for both windows and the final aggregate re-uses it via
     * partial aggregation). No skew exposure beyond a genuinely
-    * hyperactive user, which a gap-session by definition bounds in
+    * hyperactive key, which a gap-session by definition bounds in
     * session count. */
   def sessionize(
       events: DataFrame,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val prev = lag(col("ts"), 1).over(byUser)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byKey)
     val newSession = when(prev.isNull ||
-      col("ts").cast("long") - prev.cast("long") > gapMinutes * 60L, 1L)
+      col(tsCol).cast("long") - prev.cast("long") > gapMinutes * 60L, 1L)
       .otherwise(0L)
     events
       .withColumn("session_seq",
-        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_seq"))
+        sum(newSession).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+        min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
   }
 
   /** Streaming admission against a static digest index — the
@@ -147,7 +208,7 @@ object EventStream {
     * `dropDuplicatesWithinWatermark` on the digest (state bounded by
     * the watermark, exactly like [[watermarkDedupe]]).
     *
-    * `docs` must carry `ts` (event time) and `textCol`;
+    * `docs` must carry `tsCol` (event time) and `textCol`;
     * `indexDigests` is `Dedup.contentDigests` output (or any frame
     * with a `digest` column). The emitted rows carry their digest —
     * append them to the index between restarts and the next run's
@@ -157,55 +218,85 @@ object EventStream {
       docs: DataFrame,
       indexDigests: DataFrame,
       textCol: String = "text",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
     docs
       .withColumn("digest",
         md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
       .join(broadcast(indexDigests.select(col("digest"))),
         Seq("digest"), "left_anti")
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
-  /** STREAM-STREAM interval join: match each left event to the right
-    * events of the same user within `within` of event time (|ts_l -
-    * ts_r| <= within) — the clicks-to-impressions shape. Both sides
-    * carry watermarks and the join condition bounds event time in BOTH
-    * directions, which is exactly what lets Spark evict buffered rows:
-    * each side's state holds only rows newer than (watermark -
-    * within), so state is bounded by rate x (watermark + within), not
-    * by stream length. Inner join: a row emits once its partner
-    * arrives; unmatched rows simply age out.
+  /** SCHEMA-GENERIC stream-stream interval join: match each left row
+    * to the right rows with the same `keyCol` value within `within`
+    * of event time (|l.ts - r.ts| <= within). Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, which is exactly what lets Spark evict buffered
+    * rows: each side's state holds only rows newer than (watermark -
+    * within), so state is bounded by rate x (watermark + within),
+    * not by stream length.
     *
-    * At cluster scale both sides hash-partition on user_id — one
+    * Output: `keyCol` (from the left side), then every other left
+    * column prefixed `l_`, then every other right column prefixed
+    * `r_` — including the time columns as l_`tsCol` / r_`tsCol`.
+    *
+    * At cluster scale both sides hash-partition on the key — one
     * co-partitioned exchange per side, the same shape as the batch
-    * rangeJoinBucketed, with the state store playing the bucket
-    * role.
+    * `Temporal.rangeJoinBucketed`, with the state store playing the
+    * bucket role.
     *
     * `joinType` "inner" (default) or "left_outer": the outer form
     * emits an unmatched left row WITH NULL right columns once the
     * watermark proves no partner can still arrive (l_ts + within
     * below the global watermark) — the same eviction that bounds the
     * state also makes the no-match verdict safe to declare. */
+  def streamingIntervalJoinOn(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      within: String = "10 minutes",
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
+    def prefixed(df: DataFrame, p: String, keepKey: Boolean): DataFrame =
+      df.select(df.columns.map { c =>
+        if (c == keyCol) { if (keepKey) col(c) else col(c).as(p + c) }
+        else col(c).as(p + c)
+      }.toIndexedSeq: _*)
+    val lTs = "l_" + tsCol
+    val rTs = "r_" + tsCol
+    val l = prefixed(left, "l_", keepKey = true).withWatermark(lTs, watermark)
+    val r = prefixed(right, "r_", keepKey = false).withWatermark(rTs, watermark)
+    val outCols: Seq[Column] = col(keyCol) +:
+      (left.columns.filter(_ != keyCol).map(c => col("l_" + c)) ++
+        right.columns.filter(_ != keyCol).map(c => col("r_" + c))).toIndexedSeq
+    l.join(r,
+      col(keyCol) === col("r_" + keyCol) &&
+        col(rTs) >= col(lTs) - expr(s"INTERVAL $within") &&
+        col(rTs) <= col(lTs) + expr(s"INTERVAL $within"),
+      joinType)
+      .select(outCols: _*)
+  }
+
+  /** [[streamingIntervalJoinOn]] specialised to the events schema:
+    * key on user_id, time on ts, and the historical compact output
+    * (user_id, l_id, r_id, l_ts, r_ts, l_type, r_type) — the
+    * clicks-to-impressions shape. */
   def streamingIntervalJoin(
       left: DataFrame,
       right: DataFrame,
       within: String = "10 minutes",
       watermark: String = "1 hour",
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"joinType must be inner or left_outer, got $joinType")
-    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
-      col("user_id"), col("event_type").as("l_type"))
-      .withWatermark("l_ts", watermark)
-    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
-      col("user_id"), col("event_type").as("r_type"))
-      .withWatermark("r_ts", watermark)
-    l.join(r,
-      l("user_id") === r("user_id") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
-      joinType)
-      .select(l("user_id"), col("l_id"), col("r_id"), col("l_ts"),
+    def shrink(df: DataFrame): DataFrame =
+      df.select(col("event_id").as("id"), col("ts"),
+        col("user_id"), col("event_type").as("type"))
+    streamingIntervalJoinOn(shrink(left), shrink(right),
+      keyCol = "user_id", tsCol = "ts", within, watermark, joinType)
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"),
         col("r_ts"), col("l_type"), col("r_type"))
   }
 

@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, Tables}
+
+/** Scale-testing data generator: fans every fact table out `factor`x
+  * with key-shifted copies, producing an sf(N*factor) directory from
+  * an sf(N) one — the tool behind PERF.md's measured (not
+  * extrapolated) scale datapoints.
+  *
+  * The copies are built so the WORK each operator family does scales
+  * LINEARLY with the factor, i.e. the scaled directory behaves like
+  * genuinely bigger data rather than like an adversarial duplicate
+  * pile-up:
+  *
+  *  - Every key column shifts by copy x (max+1), so join
+  *    fan-in/fan-out, group counts, and distinct cardinalities all
+  *    scale by the factor — no key ever collides across copies.
+  *    Foreign keys shift by the SAME stride as their dimension so
+  *    referential joins stay 1:1 per copy.
+  *  - `documents.text` gets a per-copy token salt (every token
+  *    suffixed `~c<i>`; copy 0 is the verbatim original). A bijective
+  *    token rename preserves each copy's internal Jaccard structure
+  *    exactly, while cross-copy token sets are disjoint — so
+  *    near-dup pair counts are factor x the source's, never
+  *    factor^2 x (10 verbatim copies would put every doc in a
+  *    10-deep duplicate cluster and quadratically inflate every
+  *    pair-generator — measuring THAT is a skew test, not a scale
+  *    test).
+  *  - `embeddings.embedding` gets per-copy deterministic sign flips
+  *    (element j of copy i flips iff hash(i, j) is odd; copy 0
+  *    verbatim). Sign flips preserve norms and within-copy geometry
+  *    applied uniformly, while cross-copy cosines decorrelate — ANN
+  *    candidate volume scales with the factor.
+  *  - Dimension tables `region`/`nation` copy through unchanged
+  *    (fixed-size dims, exactly like TPC-H's).
+  *
+  * Single wide read per table: the copy index arrives by exploding a
+  * literal 0..factor-1 array, so the source is scanned once and the
+  * multiplication happens row-parallel, never on the driver.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  /** explode a 0..n-1 copy index onto every row */
+  private def fanOut(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("__i", explode(array((0 until n).map(lit): _*)))
+
+  /** key + copy x stride, preserving the column's position/name */
+  private def shifted(keyCol: String, stride: Long): Column =
+    col(keyCol) + col("__i") * lit(stride)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <factor>")
+    val Array(src, out, factorS) = args
+    val n = factorS.toInt
+    require(n >= 1, s"factor must be >= 1, got $n")
+    val spark = Sessions.local("graft-scaleup")
+
+    // One stride per key FAMILY (not per table): l_orderkey and
+    // o_orderkey must shift identically or the lineitem-orders join
+    // breaks across copies. max+1 from the source keeps copies
+    // disjoint with no magic constants.
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1L
+
+    val orders = Tables.orders(spark, src)
+    val customer = Tables.customer(spark, src)
+    val part = Tables.part(spark, src)
+    val supplier = Tables.supplier(spark, src)
+    val sOrder = stride(orders, "o_orderkey")
+    val sCust = stride(customer, "c_custkey")
+    val sPart = stride(part, "p_partkey")
+    val sSupp = stride(supplier, "s_suppkey")
+
+    def write(name: String, df: DataFrame): Unit = {
+      val parts = math.max(spark.sparkContext.defaultParallelism, n)
+      df.drop("__i")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name -> $out/$name.parquet")
+    }
+
+    write("region", Tables.region(spark, src))
+    write("nation", Tables.nation(spark, src))
+    write("customer", fanOut(customer, n)
+      .withColumn("c_custkey", shifted("c_custkey", sCust)))
+    write("supplier", fanOut(supplier, n)
+      .withColumn("s_suppkey", shifted("s_suppkey", sSupp)))
+    write("part", fanOut(part, n)
+      .withColumn("p_partkey", shifted("p_partkey", sPart)))
+    write("orders", fanOut(orders, n)
+      .withColumn("o_orderkey", shifted("o_orderkey", sOrder))
+      .withColumn("o_custkey", shifted("o_custkey", sCust)))
+    write("lineitem", fanOut(Tables.lineitem(spark, src), n)
+      .withColumn("l_orderkey", shifted("l_orderkey", sOrder))
+      .withColumn("l_partkey", shifted("l_partkey", sPart))
+      .withColumn("l_suppkey", shifted("l_suppkey", sSupp)))
+
+    val events = Tables.events(spark, src)
+    val sEvent = stride(events, "event_id")
+    val sUser = stride(events, "user_id")
+    write("events", fanOut(events, n)
+      .withColumn("event_id", shifted("event_id", sEvent))
+      .withColumn("user_id", shifted("user_id", sUser)))
+
+    val docs = Tables.documents(spark, src)
+    val sDoc = stride(docs, "doc_id")
+    val salted = regexp_replace(col("text"), lit("(\\S+)"),
+      concat(lit("$1~c"), col("__i").cast("string")))
+    write("documents", fanOut(docs, n)
+      .withColumn("doc_id", shifted("doc_id", sDoc))
+      .withColumn("text", when(col("__i") === 0, col("text")).otherwise(salted))
+      .withColumn("n_chars",
+        when(col("__i") === 0, col("n_chars"))
+          .otherwise(length(col("text")).cast("long"))))
+
+    val emb = Tables.embeddings(spark, src)
+    val sVec = stride(emb, "vec_id")
+    val flipped = transform(col("embedding"), (x, j) =>
+      (x * (lit(1) - lit(2) * pmod(hash(col("__i"), j), lit(2))))
+        .cast("float"))
+    write("embeddings", fanOut(emb, n)
+      .withColumn("vec_id", shifted("vec_id", sVec))
+      .withColumn("embedding",
+        when(col("__i") === 0, col("embedding")).otherwise(flipped)))
+
+    spark.stop()
+  }
+}

@@ -270,6 +270,59 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("generic interval join works on an arbitrary schema: caller-chosen " +
+      "key/ts columns, all payload columns prefixed l_/r_") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.{Ping, Pong}
+    val pings = MemoryStream[Ping]
+    val pongs = MemoryStream[Pong]
+    val q = EventStream.streamingIntervalJoinOn(
+        pings.toDF(), pongs.toDF(),
+        keyCol = "device", tsCol = "at", within = "5 minutes")
+      .writeStream.format("memory").queryName("gij_out")
+      .outputMode(OutputMode.Append()).start()
+    pings.addData(
+      Ping("d1", ts("2024-01-01 00:10:00"), "boot"),
+      Ping("d2", ts("2024-01-01 00:10:00"), "boot"))
+    pongs.addData(
+      Pong("d1", ts("2024-01-01 00:12:00"), 7L),   // +2 min: match
+      Pong("d2", ts("2024-01-01 00:30:00"), 8L),   // +20 min: no
+      Pong("d9", ts("2024-01-01 00:11:00"), 9L))   // other device: no
+    q.processAllAvailable()
+    val got = spark.table("gij_out").collect()
+      .map(r => (r.getAs[String]("device"), r.getAs[String]("l_tag"),
+        r.getAs[Long]("r_seq"))).toSet
+    val cols = spark.table("gij_out").columns.toSeq
+    q.stop()
+    assert(cols == Seq("device", "l_at", "l_tag", "r_at", "r_seq"))
+    assert(got == Set(("d1", "boot", 7L)))
+    }
+  }
+
+  test("row-generic streaming dedupe keys on any column of any schema " +
+      "and drops repeats across batches") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingDedupeRows(in.toDF(), keyCol = "text")
+      .writeStream.format("memory").queryName("rowdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(1L, ts("2024-01-01 00:00:00"), "alpha"),
+      Doc(2L, ts("2024-01-01 00:01:00"), "alpha"),   // in-batch dup text
+      Doc(3L, ts("2024-01-01 00:02:00"), "beta"))
+    q.processAllAvailable()
+    in.addData(Doc(4L, ts("2024-01-01 00:03:00"), "beta")) // cross-batch dup
+    q.processAllAvailable()
+    val got = spark.table("rowdedup_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 3L))
+    }
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
@@ -343,4 +396,6 @@ class EventStreamSpec extends SparkSpec {
 object EventStreamSpec {
   /** Top-level so spark.implicits can derive its Encoder. */
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class Ping(device: String, at: java.sql.Timestamp, tag: String)
+  final case class Pong(device: String, at: java.sql.Timestamp, seq: Long)
 }
