@@ -441,14 +441,30 @@ object Dedup {
     * codegen'd aggregate.
     *
     * `bits` widens the fingerprint (more md5 nibbles per word, up to
-    * 32): a wider code is what makes banded pair-generation scale —
+    * 64): a wider code is what makes banded pair-generation scale —
     * 16 bits split into 4 pigeonhole segments leaves only 16 bucket
     * values per segment, degenerating to ~n²/16 comparisons, while 32
-    * bits gives 256 values per segment. */
+    * bits gives 256 values per segment and 64 bits 65k. SIZE bits TO
+    * THE CORPUS: pigeonhole bucket width is ~N / 2^(bits/(maxHamming
+    * +1)), and candidate pairs grow as its SQUARE — the same fixed-
+    * code-space N^2 this repo measured on the sign-LSH side at a 100x
+    * corpus. At 500k docs, 32-bit codes put ~2000 docs in every
+    * 8-bit segment bucket (under any sane cap pairs explode; above
+    * it recall silently collapses to the cap) — 64-bit codes with
+    * 16-bit segments keep buckets ~8 wide at the same corpus.
+    * Widening bits also tightens what "hamming <= h" MEANS (h bit
+    * flips out of 64 is stricter similarity than out of 16) — it is
+    * a similarity-contract knob the caller owns, which is why it is
+    * explicit and not auto-sized.
+    *
+    * Long overflow in the 64-bit construction is benign by design:
+    * every nibble contribution and every `1L << k` term occupies
+    * disjoint bits, so wrap-around arithmetic still assembles the
+    * exact bit pattern. */
   def simhashCodes(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
-    require(bits % 4 == 0 && bits >= 4 && bits <= 32,
-      s"bits must be a multiple of 4 in [4,32], got $bits")
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64,
+      s"bits must be a multiple of 4 in [4,64], got $bits")
     val nNib = bits / 4
     val hexmap = "0123456789abcdef"
     val words = df.select(col(idCol).as("id"),
@@ -503,7 +519,10 @@ object Dedup {
     val banded = coded.select(col("id"), col("code"),
       explode(array((0 until nSeg).map { s =>
         val lo = bounds(s)
-        val mask = (1 << (bounds(s + 1) - lo)) - 1
+        // Long mask (an Int mask breaks at width >= 32); width == 64
+        // means one segment covering the whole code — mask everything
+        val w = bounds(s + 1) - lo
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
         struct(lit(s).as("seg"),
           shiftright(col("code"), lo).bitwiseAND(lit(mask)).as("sb"))
       }: _*)).as("bk"))

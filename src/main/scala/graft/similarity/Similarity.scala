@@ -89,11 +89,29 @@ object Similarity {
       df: DataFrame, // (id, vec)
       threshold: Double,
       dim: Int,
-      nBits: Int = 6,
+      nBits: Int = -1,
       nTables: Int = 4,
       seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
-    val coded = signCoded(df, dim, nBits, nTables, seed)
+      maxBucket: Int = 10000,
+      targetBucket: Int = 256): DataFrame = {
+    // nBits = -1 (default): AUTO-SIZE the code space from the corpus
+    // count so the EXPECTED bucket holds ~targetBucket vectors. A
+    // fixed code space is a scale bug this repo measured, not
+    // guessed: at sf0.1 (2k vectors) 6 bits gives ~31-row buckets
+    // and the candidate join is trivial, but bucket size grows as
+    // N/2^bits while candidate PAIRS grow as its square — at the
+    // 100x corpus (200k vectors) the same 6 bits made ~3k-row
+    // buckets, slid under the maxBucket hot-bucket cap, and produced
+    // ~1.2 BILLION candidate pairs (killed after 1100+ s; 2 s at
+    // sf0.1 — the N^2 signature, measured).
+    // With bits = log2(N / targetBucket), candidate volume is
+    // N * targetBucket * nTables / 2 — linear in N by construction.
+    // Recall per table drops as bits grow; spend nTables (linear
+    // cost) to buy it back rather than bucket width (quadratic).
+    // Explicit nBits >= 0 is honored untouched (0 = single bucket =
+    // the brute-force oracle regime).
+    val bits = autoBits(df, nBits, targetBucket)
+    val coded = signCoded(df, dim, bits, nTables, seed)
     val bucketSizes = coded.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
@@ -125,14 +143,35 @@ object Similarity {
   def oversizedCodeBuckets(
       df: DataFrame,
       dim: Int,
-      nBits: Int = 6,
+      nBits: Int = -1,
       nTables: Int = 4,
       seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame =
-    signCoded(df, dim, nBits, nTables, seed)
+      maxBucket: Int = 10000,
+      targetBucket: Int = 256): DataFrame = {
+    // same auto-sizing as cosineNearDupPairs, so the monitor reports
+    // on the buckets the pair generator would actually use
+    val bits = autoBits(df, nBits, targetBucket)
+    signCoded(df, dim, bits, nTables, seed)
       .groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
+  }
+
+  /** Code-space sizing for the sign-LSH pair generators: explicit
+    * nBits >= 0 passes through; -1 sizes bits = log2(count /
+    * targetBucket), clamped to [2, 20], so the expected bucket stays
+    * ~targetBucket rows as the corpus grows and candidate-pair volume
+    * is linear in N (N * targetBucket * nTables / 2), never
+    * quadratic. The count() is columnless — parquet answers it from
+    * footer metadata. */
+  private[similarity] def autoBits(df: DataFrame, nBits: Int, targetBucket: Int): Int =
+    if (nBits >= 0) nBits
+    else {
+      val n = df.count()
+      val raw = math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)
+      math.min(20, math.max(2, raw.ceil.toInt))
+    }
 
   private def signCoded(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
       seed: Long): DataFrame = {

@@ -41,7 +41,10 @@ import graft.{Sessions, Tables}
   * literal 0..factor-1 array, so the source is scanned once and the
   * multiplication happens row-parallel, never on the driver.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * `tables` is an optional comma-list (e.g. "documents,embeddings")
+  * restricting which tables are written — the 100x corpus-only run
+  * doesn't need to pay for 60M lineitem rows it will never read.
   */
 object ScaleUp {
 
@@ -54,10 +57,14 @@ object ScaleUp {
     col(keyCol) + col("__i") * lit(stride)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
-    val n = factorS.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <outDir> <factor> [tables]")
+    val src = args(0); val out = args(1)
+    val n = args(2).toInt
     require(n >= 1, s"factor must be >= 1, got $n")
+    val only: Set[String] =
+      if (args.length == 4) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val spark = Sessions.local("graft-scaleup")
 
     // One stride per key FAMILY (not per table): l_orderkey and
@@ -67,16 +74,7 @@ object ScaleUp {
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).collect()(0).getLong(0) + 1L
 
-    val orders = Tables.orders(spark, src)
-    val customer = Tables.customer(spark, src)
-    val part = Tables.part(spark, src)
-    val supplier = Tables.supplier(spark, src)
-    val sOrder = stride(orders, "o_orderkey")
-    val sCust = stride(customer, "c_custkey")
-    val sPart = stride(part, "p_partkey")
-    val sSupp = stride(supplier, "s_suppkey")
-
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       val parts = math.max(spark.sparkContext.defaultParallelism, n)
       df.drop("__i")
         .repartition(parts)
@@ -84,49 +82,68 @@ object ScaleUp {
       println(s"[scaleup] $name -> $out/$name.parquet")
     }
 
-    write("region", Tables.region(spark, src))
-    write("nation", Tables.nation(spark, src))
-    write("customer", fanOut(customer, n)
-      .withColumn("c_custkey", shifted("c_custkey", sCust)))
-    write("supplier", fanOut(supplier, n)
-      .withColumn("s_suppkey", shifted("s_suppkey", sSupp)))
-    write("part", fanOut(part, n)
-      .withColumn("p_partkey", shifted("p_partkey", sPart)))
-    write("orders", fanOut(orders, n)
-      .withColumn("o_orderkey", shifted("o_orderkey", sOrder))
-      .withColumn("o_custkey", shifted("o_custkey", sCust)))
-    write("lineitem", fanOut(Tables.lineitem(spark, src), n)
-      .withColumn("l_orderkey", shifted("l_orderkey", sOrder))
-      .withColumn("l_partkey", shifted("l_partkey", sPart))
-      .withColumn("l_suppkey", shifted("l_suppkey", sSupp)))
+    val relational =
+      Seq("customer", "supplier", "part", "orders", "lineitem").exists(wanted)
+    if (relational) {
+      val orders = Tables.orders(spark, src)
+      val customer = Tables.customer(spark, src)
+      val part = Tables.part(spark, src)
+      val supplier = Tables.supplier(spark, src)
+      val sOrder = stride(orders, "o_orderkey")
+      val sCust = stride(customer, "c_custkey")
+      val sPart = stride(part, "p_partkey")
+      val sSupp = stride(supplier, "s_suppkey")
+      write("region", Tables.region(spark, src))
+      write("nation", Tables.nation(spark, src))
+      write("customer", fanOut(customer, n)
+        .withColumn("c_custkey", shifted("c_custkey", sCust)))
+      write("supplier", fanOut(supplier, n)
+        .withColumn("s_suppkey", shifted("s_suppkey", sSupp)))
+      write("part", fanOut(part, n)
+        .withColumn("p_partkey", shifted("p_partkey", sPart)))
+      write("orders", fanOut(orders, n)
+        .withColumn("o_orderkey", shifted("o_orderkey", sOrder))
+        .withColumn("o_custkey", shifted("o_custkey", sCust)))
+      write("lineitem", fanOut(Tables.lineitem(spark, src), n)
+        .withColumn("l_orderkey", shifted("l_orderkey", sOrder))
+        .withColumn("l_partkey", shifted("l_partkey", sPart))
+        .withColumn("l_suppkey", shifted("l_suppkey", sSupp)))
+    }
 
-    val events = Tables.events(spark, src)
-    val sEvent = stride(events, "event_id")
-    val sUser = stride(events, "user_id")
-    write("events", fanOut(events, n)
-      .withColumn("event_id", shifted("event_id", sEvent))
-      .withColumn("user_id", shifted("user_id", sUser)))
+    if (wanted("events")) {
+      val events = Tables.events(spark, src)
+      val sEvent = stride(events, "event_id")
+      val sUser = stride(events, "user_id")
+      write("events", fanOut(events, n)
+        .withColumn("event_id", shifted("event_id", sEvent))
+        .withColumn("user_id", shifted("user_id", sUser)))
+    }
 
-    val docs = Tables.documents(spark, src)
-    val sDoc = stride(docs, "doc_id")
-    val salted = regexp_replace(col("text"), lit("(\\S+)"),
-      concat(lit("$1~c"), col("__i").cast("string")))
-    write("documents", fanOut(docs, n)
-      .withColumn("doc_id", shifted("doc_id", sDoc))
-      .withColumn("text", when(col("__i") === 0, col("text")).otherwise(salted))
-      .withColumn("n_chars",
-        when(col("__i") === 0, col("n_chars"))
-          .otherwise(length(col("text")).cast("long"))))
+    if (wanted("documents")) {
+      val docs = Tables.documents(spark, src)
+      val sDoc = stride(docs, "doc_id")
+      val salted = regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1~c"), col("__i").cast("string")))
+      write("documents", fanOut(docs, n)
+        .withColumn("doc_id", shifted("doc_id", sDoc))
+        .withColumn("text",
+          when(col("__i") === 0, col("text")).otherwise(salted))
+        .withColumn("n_chars",
+          when(col("__i") === 0, col("n_chars"))
+            .otherwise(length(col("text")).cast("long"))))
+    }
 
-    val emb = Tables.embeddings(spark, src)
-    val sVec = stride(emb, "vec_id")
-    val flipped = transform(col("embedding"), (x, j) =>
-      (x * (lit(1) - lit(2) * pmod(hash(col("__i"), j), lit(2))))
-        .cast("float"))
-    write("embeddings", fanOut(emb, n)
-      .withColumn("vec_id", shifted("vec_id", sVec))
-      .withColumn("embedding",
-        when(col("__i") === 0, col("embedding")).otherwise(flipped)))
+    if (wanted("embeddings")) {
+      val emb = Tables.embeddings(spark, src)
+      val sVec = stride(emb, "vec_id")
+      val flipped = transform(col("embedding"), (x, j) =>
+        (x * (lit(1) - lit(2) * pmod(hash(col("__i"), j), lit(2))))
+          .cast("float"))
+      write("embeddings", fanOut(emb, n)
+        .withColumn("vec_id", shifted("vec_id", sVec))
+        .withColumn("embedding",
+          when(col("__i") === 0, col("embedding")).otherwise(flipped)))
+    }
 
     spark.stop()
   }

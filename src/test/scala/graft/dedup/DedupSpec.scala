@@ -120,7 +120,7 @@ class DedupSpec extends SparkSpec {
     // bucket over the cap at this sf, recall must be 100% — the old
     // high-byte bucketing FAILS this test (cross-boundary misses).
     val docs = Tables.documents(spark, sf)
-    for ((maxH, bits) <- Seq((1, 16), (3, 16), (3, 32))) {
+    for ((maxH, bits) <- Seq((1, 16), (3, 16), (3, 32), (3, 64))) {
       val banded = Dedup.simhashPairs(docs, "doc_id", "text",
           maxHamming = maxH, bits = bits)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
     assert(row.dataType == org.apache.spark.sql.types.LongType)
     val vals = c32.collect().map(_.getLong(1))
     assert(vals.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("simhashCodes(bits=64) uses the full width: bit 63 is exercised " +
+      "(wrap-around assembly keeps the top nibble) and segments stay " +
+      "16-bit in the pair generator") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val vals = Dedup.simhashCodes(docs, "doc_id", "text", bits = 64)
+      .collect().map(_.getLong(1))
+    // bit 63 set <=> negative long; with ~100 docs of independent
+    // md5 votes P(no doc sets it) ~ 0.5^100 — a miss means the top
+    // nibble's overflow-wrapping construction dropped bits
+    assert(vals.exists(_ < 0L), "no code ever set bit 63")
+    assert(vals.distinct.length > 1)
   }
 
   test("connectedComponents converges to min-id clusters, including " +

@@ -152,6 +152,26 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped.forall(_.getAs[Long]("bsz") == 1000L))
   }
 
+  test("auto-sized code space keeps expected bucket width constant as " +
+      "the corpus grows (the 100x-measured N^2 candidate blowup guard)") {
+    import spark.implicits._
+    def dfOf(n: Int) = (0 until n).map(i => (i.toLong, Seq(1.0f))).toDF("id", "vec")
+    // explicit bits pass through untouched (0 = oracle single bucket)
+    assert(Similarity.autoBits(dfOf(10), 0, 256) == 0)
+    assert(Similarity.autoBits(dfOf(10), 6, 256) == 6)
+    // auto: bits = ceil(log2(n / target)), floor 2 — bucket width
+    // n / 2^bits stays in [target/2, target] for every corpus size
+    assert(Similarity.autoBits(dfOf(100), -1, 256) == 2)
+    assert(Similarity.autoBits(dfOf(2048), -1, 256) == 3)
+    assert(Similarity.autoBits(dfOf(20000), -1, 256) == 7)
+    for (n <- Seq(4096, 20000, 100000)) {
+      val bits = Similarity.autoBits(dfOf(n), -1, 256)
+      val width = n.toDouble / (1 << bits)
+      assert(width <= 256.0 && width > 64.0,
+        s"n=$n bits=$bits width=$width out of band")
+    }
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 2, 2, seed = 7L)
     val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)
