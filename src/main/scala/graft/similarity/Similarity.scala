@@ -115,25 +115,29 @@ object Similarity {
     val bucketSizes = coded.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    // the banded self-join and candidate dedupe carry only ids and
-    // 8-byte codes; the 256-byte vectors re-join AFTER dedupe, for
-    // candidates only (same shape as minhashLshPairs' shingle
-    // re-join) — at corpus scale the wide payload never multiplies
-    // through bucket hits
-    val kept = coded.select(col("tbl"), col("code"), col("id"))
-      .join(bucketSizes.select("tbl", "code"), Seq("tbl", "code"))
-    val cand = kept.alias("l").join(kept.alias("r"),
+    // Vectors RIDE THROUGH the bucket self-join and the cosine verify
+    // runs INSIDE it, pipelined: the join's probe output streams
+    // straight into the codegen'd cosine + threshold filter with no
+    // exchange in between, so only the handful of SURVIVING pairs
+    // reach a shuffle (the cross-table dedupe). The previous shape —
+    // ids-only candidates, dropDuplicates, then two vector re-joins —
+    // shuffled the FULL candidate list three times (at the 100x
+    // corpus: 3 x ~100M narrow rows) to save carrying vectors
+    // through one equi-join whose shuffled input is only
+    // N x nTables x ~(vec bytes) (~220 MB at 200k x dim 64 x 4
+    // tables). Candidates are identical either way (same buckets,
+    // same id_a < id_b), the cosine is the same deterministic double
+    // regardless of which table's bucket computed it, and duplicates
+    // across tables (<= nTables - 1 extra dots per pair) are cheaper
+    // to recompute than to shuffle-dedupe up front.
+    val kept = coded.join(bucketSizes.select("tbl", "code"), Seq("tbl", "code"))
+    kept.alias("l").join(kept.alias("r"),
         col("l.tbl") === col("r.tbl") && col("l.code") === col("r.code") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val vecs = df.select(col("id"), col("vec"))
-    cand
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosine(col("l.vec"), col("r.vec")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** (tbl, code, size) of the LSH buckets cosineNearDupPairs would
