@@ -59,13 +59,19 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
       "usage: ScaleUp <srcDir> <outDir> <factor> [tables]")
-    val src = args(0); val out = args(1)
-    val n = args(2).toInt
-    require(n >= 1, s"factor must be >= 1, got $n")
     val only: Set[String] =
       if (args.length == 4) args(3).split(",").map(_.trim).toSet else Set.empty
-    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val spark = Sessions.local("graft-scaleup")
+    run(spark, args(0), args(1), args(2).toInt, only)
+    spark.stop()
+  }
+
+  /** Library entry point — does NOT own the session (main stops the
+    * one it builds; tests pass their shared session). */
+  def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
+      n: Int, only: Set[String] = Set.empty): Unit = {
+    require(n >= 1, s"factor must be >= 1, got $n")
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
 
     // One stride per key FAMILY (not per table): l_orderkey and
     // o_orderkey must shift identically or the lineitem-orders join
@@ -144,7 +150,5 @@ object ScaleUp {
         .withColumn("embedding",
           when(col("__i") === 0, col("embedding")).otherwise(flipped)))
     }
-
-    spark.stop()
   }
 }

@@ -152,6 +152,36 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped.forall(_.getAs[Long]("bsz") == 1000L))
   }
 
+  test("cosineNearDupPairs plan: the cosine verify is pipelined in the " +
+      "bucket join — no exchange carries unverified candidate pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val plan = Similarity.cosineNearDupPairs(emb, threshold = 0.3, dim = 64)
+      .queryExecution.executedPlan.toString
+    // the pipelined shape: 3 joins TOTAL (each self-join side joins
+    // bucketSizes, plus the bucket self-join — Catalyst even folds
+    // the cosine>=t verify into the self-join's condition), and NO
+    // join ever sees a candidate pair column: a join keyed on id_a /
+    // id_b is the regressed 3-shuffle re-join shape (measured 9.3x
+    // slower at the 100x corpus)
+    val joins = "(?i)(sortmergejoin|broadcasthashjoin|shuffledhashjoin)".r
+      .findAllIn(plan).size
+    assert(joins == 3, s"expected 3 joins (2 bucket-size + self), " +
+      s"got $joins:\n$plan")
+    val candJoin = "(?i)(sortmergejoin|broadcasthashjoin|shuffledhashjoin)" +
+      "\\s*\\[id_[ab]"
+    assert(candJoin.r.findFirstIn(plan).isEmpty,
+      s"a join keyed on candidate pairs means the vector re-join is back:\n$plan")
+    // the only pair-keyed exchange is the survivors' dedupe, and the
+    // cosine verify sits BELOW it (already evaluated when pairs shuffle)
+    val exIdx = plan.indexOf("Exchange hashpartitioning(id_a")
+    val cosIdx = plan.indexOf("cosine_sim")
+    assert(exIdx >= 0 && cosIdx > exIdx,
+      s"expected the dedupe exchange above a pipelined cosine:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("auto-sized code space keeps expected bucket width constant as " +
       "the corpus grows (the 100x-measured N^2 candidate blowup guard)") {
     import spark.implicits._

@@ -323,6 +323,23 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("row-generic dedupe's TTL branch wires setTimeoutDuration without " +
+      "breaking first-wins semantics (batch execution, timeouts inert)") {
+    // flatMapGroupsWithState runs on static frames too (timeouts never
+    // fire); this pins the Some(TTL) code path — state writes + timeout
+    // re-arming — deterministically, leaving wall-clock expiry to the
+    // typed TTL test above
+    import EventStreamSpec.Doc
+    val in = Seq(
+      Doc(1L, ts("2024-01-01 00:00:00"), "alpha"),
+      Doc(2L, ts("2024-01-01 00:01:00"), "alpha"),
+      Doc(3L, ts("2024-01-01 00:02:00"), "beta")).toDF()
+    val got = EventStream.streamingDedupeRows(in, keyCol = "text",
+        stateTTL = Some("10 seconds"))
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
   test("bounded-state dedupe: per-key state EXPIRES after the TTL, " +
       "so an expired key is admitted again") {
     withFewPartitions {
