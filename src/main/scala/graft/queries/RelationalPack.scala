@@ -591,9 +591,17 @@ object RelationalPack extends QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
     "q_freq_items_exact" ->
+      // WHERE event_type IS NOT NULL on BOTH the groups and the total:
+      // the engine filters null keys before aggregating (a null can't
+      // be a Catalyst map key), so the oracle must exclude DuckDB's
+      // NULL group and count only non-null rows in err_bound too —
+      // identical on the current testdata (no null event_type), but
+      // the oracle should not depend on that.
       """SELECT event_type AS item, count(*) AS min_count,
-        |  CAST((SELECT count(*) FROM events) AS DOUBLE) / 65 AS err_bound
-        |FROM events GROUP BY 1 ORDER BY min_count DESC, item""".stripMargin,
+        |  CAST((SELECT count(*) FROM events
+        |        WHERE event_type IS NOT NULL) AS DOUBLE) / 65 AS err_bound
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY min_count DESC, item""".stripMargin,
     "q_zorder_key" -> {
       // ((m % n) + n) % n, not plain %: DuckDB's % is sign-preserving
       // while the Spark side uses pmod — identical for the testdata's

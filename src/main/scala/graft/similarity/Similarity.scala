@@ -166,8 +166,13 @@ object Similarity {
     * targetBucket), clamped to [2, 20], so the expected bucket stays
     * ~targetBucket rows as the corpus grows and candidate-pair volume
     * is linear in N (N * targetBucket * nTables / 2), never
-    * quadratic. The count() is columnless — parquet answers it from
-    * footer metadata. */
+    * quadratic. NOTE: auto mode runs the count() EAGERLY at
+    * DataFrame-construction time — columnless, so a plain parquet
+    * source answers from footer metadata, but a derived input
+    * (filters, joins, computed vectors) is executed once for it.
+    * Callers composing the pair generator with its monitoring
+    * companion over an expensive input should count once themselves
+    * and pass the same explicit nBits to both. */
   private[similarity] def autoBits(df: DataFrame, nBits: Int, targetBucket: Int): Int =
     if (nBits >= 0) nBits
     else {
@@ -251,8 +256,9 @@ object Similarity {
     // budget never binds (the row cap is the minimum); past that the
     // sample thins as 1/d while k-means quality holds — center
     // placement needs points-per-cell, not points-per-coordinate.
-    val dim = base.limit(1).select(size(col("vec"))).collect()
-      .headOption.map(_.getInt(0)).getOrElse(1).max(1)
+    val dim = base.filter(col("vec").isNotNull).limit(1)
+      .select(size(col("vec"))).collect()
+      .headOption.filter(!_.isNullAt(0)).map(_.getInt(0)).getOrElse(1).max(1)
     val fitBudgetBytes = 64L << 20
     val fitCap = math.min(
       math.max(nLists * 2000, 20000).toLong,

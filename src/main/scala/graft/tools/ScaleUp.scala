@@ -71,14 +71,23 @@ object ScaleUp {
   def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
       n: Int, only: Set[String] = Set.empty): Unit = {
     require(n >= 1, s"factor must be >= 1, got $n")
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val unknown = only -- known
+    require(unknown.isEmpty,
+      s"unknown tables ${unknown.mkString(",")}; known: ${known.mkString(",")}")
     def wanted(name: String): Boolean = only.isEmpty || only(name)
 
     // One stride per key FAMILY (not per table): l_orderkey and
     // o_orderkey must shift identically or the lineitem-orders join
     // breaks across copies. max+1 from the source keeps copies
     // disjoint with no magic constants.
-    def stride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).collect()(0).getLong(0) + 1L
+    def stride(df: DataFrame, c: String): Long = {
+      val row = df.agg(max(col(c))).collect()(0)
+      require(!row.isNullAt(0),
+        s"source table has no rows for key $c — nothing to scale")
+      row.getLong(0) + 1L
+    }
 
     def write(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       val parts = math.max(spark.sparkContext.defaultParallelism, n)
@@ -87,6 +96,11 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name -> $out/$name.parquet")
     }
+
+    // dims copy through unchanged and need no strides — writable with
+    // ANY subset (including a dims-only run)
+    write("region", Tables.region(spark, src))
+    write("nation", Tables.nation(spark, src))
 
     val relational =
       Seq("customer", "supplier", "part", "orders", "lineitem").exists(wanted)
@@ -99,8 +113,6 @@ object ScaleUp {
       val sCust = stride(customer, "c_custkey")
       val sPart = stride(part, "p_partkey")
       val sSupp = stride(supplier, "s_suppkey")
-      write("region", Tables.region(spark, src))
-      write("nation", Tables.nation(spark, src))
       write("customer", fanOut(customer, n)
         .withColumn("c_custkey", shifted("c_custkey", sCust)))
       write("supplier", fanOut(supplier, n)
