@@ -102,11 +102,24 @@ object Bench {
       val total = names.filter(n => okFlags.getOrElse(n, false)).map(times).sum
       val cpuTotal = names.filter(n => okFlags.getOrElse(n, false)).map(cpus).sum
       val failedS = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // Self-regression guard: queries whose best wall this run is
+      // >1.5x their previous run's recorded time (bench_last.json,
+      // captured into priorTimes BEFORE this run overwrites the file).
+      // Judged from the final min-of-N only — a partial line's pass-1
+      // sample under contention is exactly the noise min-of-N exists
+      // to remove, so flagging from it would cry wolf every round.
+      val regressed =
+        if (partial) Seq.empty
+        else done.filter(k => okFlags(k) && priorTimes.get(k)
+          .exists(prev => times(k) > 1.5 * prev))
+      val regressedS = regressed.map(k =>
+        s"""{"query":"$k","sec":${f"${times(k)}%.3f"},"prev_sec":${f"${priorTimes(k)}%.3f"}}""")
+        .mkString("[", ",", "]")
       val partialS = if (partial) ""","partial":true""" else ""
       val okSamples = names.filter(n => okFlags.getOrElse(n, false))
         .map(n => samples.getOrElse(n, 1))
       val passes = if (okSamples.isEmpty) 1 else math.max(okSamples.min, 1)
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_${passes}_passes","elapsed_wall":${f"$elapsedS%.1f"}$partialS}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_${passes}_passes","regressed":$regressedS,"elapsed_wall":${f"$elapsedS%.1f"}$partialS}"""
     }
 
     // Stdout is what the driver parses (its reader takes the last JSON

@@ -39,13 +39,26 @@ object Layout {
     * rank first; 21 bits each keeps the result within a long's
     * mantissa-safe range). Pure bit arithmetic on columns — codegen'd,
     * no UDF. */
-  def zorderKey(a: Column, b: Column, bits: Int = 21): Column = {
-    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val spread = (c: Column, offset: Int) =>
+  def zorderKey(a: Column, b: Column, bits: Int = 21): Column =
+    zorderKey(Seq(a, b), bits)
+
+  /** N-dimensional Morton key: column j contributes its bit i at
+    * output position `i * n + j` (round-robin interleave), so
+    * row-group min/max ranges stay tight on EVERY clustered dimension
+    * and a filter on any one of them skips. `bits * n` must fit a
+    * signed long (<= 63); with more selective dimensions, spend fewer
+    * bits per dimension — the high bits dominate the sort order, so
+    * truncated low bits only coarsen locality, never break it. */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "zorderKey needs at least one column")
+    require(bits > 0 && bits * n <= 63,
+      s"bits*cols must be in [1,63], got $bits*$n")
+    cols.zipWithIndex.map { case (c, j) =>
       (0 until bits).map { i =>
         shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
-          2 * i + offset)
+          i * n + j)
       }.reduce(_.bitwiseOR(_))
-    spread(a, 0).bitwiseOR(spread(b, 1))
+    }.reduce(_.bitwiseOR(_))
   }
 }

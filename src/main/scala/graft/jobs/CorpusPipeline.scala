@@ -34,10 +34,21 @@ import graft.text.{Packing, Redaction, TextStats}
   * left joins of tiny flag frames back onto the corpus. */
 object CorpusPipeline {
 
+  /** A driver-visible planning decision the pipeline took in response
+    * to a skew monitor — provenance for "why did this run take the
+    * shape it did", the analog of an AQE re-plan but at the operator
+    * level. `decision` is a closed vocabulary per stage (near_dup:
+    * "direct" | "tokenset_precollapse"). */
+  final case class StageDecision(stage: String, decision: String, detail: String)
+
   /** `annotated`: every input doc + per-stage verdict flags.
     * `cleaned`: kept docs with redacted text, split label, and shard
-    * id (null shard on the valid split — only train packs). */
-  final case class Result(annotated: DataFrame, cleaned: DataFrame)
+    * id (null shard on the valid split — only train packs).
+    * `decisions`: the skew-guard choices made while planning. */
+  final case class Result(
+      annotated: DataFrame,
+      cleaned: DataFrame,
+      decisions: Seq[StageDecision] = Nil)
 
   /** Stage verdicts for every input document. Flag semantics: null =
     * never reached the stage (dropped earlier); false = passed
@@ -54,7 +65,26 @@ object CorpusPipeline {
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       deconN: Int = 5,
-      exactNearDup: Boolean = false): DataFrame = {
+      exactNearDup: Boolean = false,
+      skewGuard: Boolean = true): DataFrame =
+    annotateWithDecisions(docs, idCol, textCol, benchmark, shingleN,
+      bands, rowsPerBand, threshold, maxBucket, deconN, exactNearDup,
+      skewGuard)._1
+
+  /** [[annotate]] plus the skew-guard [[StageDecision]]s it took. */
+  def annotateWithDecisions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000,
+      deconN: Int = 5,
+      exactNearDup: Boolean = false,
+      skewGuard: Boolean = true): (DataFrame, Seq[StageDecision]) = {
     val id = col(idCol)
 
     // 1. quality gate (row-local; evaluated for every doc)
@@ -82,9 +112,10 @@ object CorpusPipeline {
 
     // 3. near-dup clustering over exact-dedupe survivors (shared
     // min-original-id-keeper kernel — see nearDupFlag)
-    val nearFlag = nearDupFlag(e, idCol, textCol,
-      shingleN, bands, rowsPerBand, threshold, maxBucket, exactNearDup)
-      .localCheckpoint()
+    val (nearFlag0, nearDecision) = nearDupFlag(e, idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold, maxBucket, exactNearDup,
+      skewGuard)
+    val nearFlag = nearFlag0.localCheckpoint()
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 
@@ -94,7 +125,7 @@ object CorpusPipeline {
       .select(col("id").as(idCol), lit(true).as("__hit"))
       .localCheckpoint()
 
-    docs
+    val annotated = docs
       .withColumn("pass_quality", TextStats.gopherFilter(col(textCol)))
       .join(exactFlag, Seq(idCol), "left")
       .join(nearFlag, Seq(idCol), "left")
@@ -104,6 +135,7 @@ object CorpusPipeline {
           col("is_near_dup"), lit(null))
           .otherwise(coalesce(col("__hit"), lit(false))))
       .drop("__hit")
+    (annotated, Seq(nearDecision))
   }
 
   /** (id, is_near_dup) for every row of `e` (id + text columns) under
@@ -129,7 +161,8 @@ object CorpusPipeline {
       rowsPerBand: Int,
       threshold: Double,
       maxBucket: Int,
-      exactPairs: Boolean = false): DataFrame = {
+      exactPairs: Boolean = false,
+      skewGuard: Boolean = true): (DataFrame, StageDecision) = {
     val id = col(idCol)
     val idIsIntegral = e.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
@@ -147,34 +180,82 @@ object CorpusPipeline {
     // same Jaccard threshold, provably complete pairs, for corpora
     // where a missed near-dup costs more than the extra verify work.
     val pairSource = keyed.select(col(sidCol), col(textCol))
-    val pairs =
+
+    // Skew guard: ask the pair generator's own monitor whether this
+    // input would concentrate quadratic candidate mass (boilerplate
+    // clones sharing rare tokens / a minhash signature). If it fires,
+    // collapse token-SET-identical documents to one representative
+    // before pair generation — such a group is Jaccard exactly 1.0
+    // (>= any threshold <= 1), so flagging members directly off their
+    // representative is a semantics-preserving strength reduction: it
+    // turns the group's ~k^2/2 candidate pairs (or, worse, a capped
+    // LSH bucket that silently DROPS some of them) into k-1 linear
+    // edges fed straight to connected components. The monitor is one
+    // small aggregate over shingle state the join computes anyway —
+    // a planning read, not a hot-path collect.
+    val monitorRows: Long =
+      if (!skewGuard) 0L
+      else if (exactPairs)
+        graft.dedup.SimJoin.hotPrefixTokens(pairSource, sidCol, textCol,
+          shingleN, threshold, maxPrefixDf = maxBucket.toLong).count()
+      else
+        Dedup.oversizedMinhashBuckets(pairSource, sidCol, textCol,
+          shingleN, bands, rowsPerBand, maxBucket).count()
+
+    val (joinSource, preEdges, decision) =
+      if (monitorRows == 0L)
+        (pairSource, None,
+          StageDecision("near_dup", "direct", "skew_monitor_rows=0"))
+      else {
+        val sid = col(sidCol)
+        val digested = pairSource.withColumn("__sd",
+          md5(concat_ws(" ", array_sort(array_distinct(
+            Dedup.shingles(split(trim(col(textCol)), "\\s+"), shingleN))))))
+        // one digest-keyed shuffle (same shape as the exact-dedupe
+        // stage); consumed twice (reps + edges), so materialize once
+        val withRep = digested.withColumn("__rep",
+            min(sid).over(Window.partitionBy(col("__sd"))))
+          .localCheckpoint()
+        val reps = withRep.filter(sid === col("__rep"))
+          .select(sid, col(textCol))
+        val edges = withRep.filter(sid =!= col("__rep"))
+          .select(col("__rep").as("id_a"), sid.as("id_b"))
+        (reps, Some(edges),
+          StageDecision("near_dup", "tokenset_precollapse",
+            s"skew_monitor_rows=$monitorRows"))
+      }
+
+    val genPairs =
       (if (exactPairs)
         graft.dedup.SimJoin.prefixJaccardJoin(
-          pairSource, sidCol, textCol, shingleN, threshold)
+          joinSource, sidCol, textCol, shingleN, threshold)
       else
-        Dedup.minhashLshPairs(pairSource, sidCol, textCol,
+        Dedup.minhashLshPairs(joinSource, sidCol, textCol,
           shingleN, bands, rowsPerBand, threshold, maxBucket))
         .select(col("id_a"), col("id_b"))
+    val pairs = preEdges.map(genPairs.unionByName(_)).getOrElse(genPairs)
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    if (idIsIntegral)
-      keyed.select(id, col(sidCol))
-        .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
-        .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
-          .as("is_near_dup"))
-    else {
-      // members = only docs that belong to some cluster (inner join
-      // — never a window over the mostly-null-cluster full corpus,
-      // which would funnel every non-duplicate through one task)
-      val members = keyed.select(id, col(sidCol))
-        .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol))
-      val keepers = members.groupBy(col("cluster"))
-        .agg(min(id).as("__keep"))
-      val memberFlag = members.join(keepers, Seq("cluster"))
-        .select(id, (id =!= col("__keep")).as("is_near_dup"))
-      e.select(id).join(memberFlag, Seq(idCol), "left")
-        .select(id, coalesce(col("is_near_dup"), lit(false))
-          .as("is_near_dup"))
-    }
+    val flags =
+      if (idIsIntegral)
+        keyed.select(id, col(sidCol))
+          .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol), "left")
+          .select(id, coalesce(col("cluster") =!= col(sidCol), lit(false))
+            .as("is_near_dup"))
+      else {
+        // members = only docs that belong to some cluster (inner join
+        // — never a window over the mostly-null-cluster full corpus,
+        // which would funnel every non-duplicate through one task)
+        val members = keyed.select(id, col(sidCol))
+          .join(clusters.withColumnRenamed("id", sidCol), Seq(sidCol))
+        val keepers = members.groupBy(col("cluster"))
+          .agg(min(id).as("__keep"))
+        val memberFlag = members.join(keepers, Seq("cluster"))
+          .select(id, (id =!= col("__keep")).as("is_near_dup"))
+        e.select(id).join(memberFlag, Seq(idCol), "left")
+          .select(id, coalesce(col("is_near_dup"), lit(false))
+            .as("is_near_dup"))
+      }
+    (flags, decision)
   }
 
   /** Run the full pipeline. `benchmark` must carry the same id/text
@@ -194,11 +275,12 @@ object CorpusPipeline {
       deconN: Int = 5,
       validPerMille: Int = 50,
       shardBudget: Long = 2048,
-      exactNearDup: Boolean = false): Result = {
+      exactNearDup: Boolean = false,
+      skewGuard: Boolean = true): Result = {
     val id = col(idCol)
-    val annotated = annotate(docs, idCol, textCol, benchmark,
-      shingleN, bands, rowsPerBand, threshold, maxBucket, deconN,
-      exactNearDup)
+    val (annotated, decisions) = annotateWithDecisions(docs, idCol,
+      textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
+      maxBucket, deconN, exactNearDup, skewGuard)
     val kept = annotated
       .filter(col("pass_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"))
@@ -208,7 +290,7 @@ object CorpusPipeline {
     val train = cleaned.filter(col("split") === "train")
     val shards = Packing.packShards(train, idCol,
       TextStats.tokenCount(col(textCol)), shardBudget)
-    Result(annotated, cleaned.join(shards, Seq(idCol), "left"))
+    Result(annotated, cleaned.join(shards, Seq(idCol), "left"), decisions)
   }
 
   /** Batch admission against an already-curated corpus — the
@@ -237,7 +319,8 @@ object CorpusPipeline {
       annotated: DataFrame,
       admitted: DataFrame,
       newDigests: DataFrame,
-      newBands: DataFrame)
+      newBands: DataFrame,
+      decisions: Seq[StageDecision] = Nil)
 
   def admitBatch(
       corpus: DataFrame,
@@ -283,9 +366,10 @@ object CorpusPipeline {
       corpusNearIds.select(id), Seq(idCol), "left_anti")
 
     // batch-internal near-dup among what's left (min-id keeper)
-    val batchNearFlag = nearDupFlag(
+    val (batchNearFlag0, batchNearDecision) = nearDupFlag(
       afterCorpusNear.select(id, col(textCol)), idCol, textCol,
-      shingleN, bands, rowsPerBand, threshold, maxBucket).localCheckpoint()
+      shingleN, bands, rowsPerBand, threshold, maxBucket)
+    val batchNearFlag = batchNearFlag0.localCheckpoint()
 
     val annotated = batch
       .join(exactFlags, Seq(idCol), "left")
@@ -308,7 +392,8 @@ object CorpusPipeline {
       admitted,
       Dedup.contentDigests(admitted, idCol, textCol),
       Dedup.minhashBandRows(admitted, idCol, textCol,
-        shingleN, bands, rowsPerBand))
+        shingleN, bands, rowsPerBand),
+      Seq(batchNearDecision))
   }
 
   /** Per-stage drop counts in ONE aggregate over the annotated frame

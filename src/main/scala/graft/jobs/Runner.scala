@@ -182,12 +182,23 @@ object Runner {
     * exact join phaseCBucketed runs. */
   def canonicalSpecForTest: Merge.MergeSpec = canonicalSpec(joinOnRawKey = true)
 
-  /** Phase C: TSV -> clean -> dedupe -> merge into canonical table. */
+  /** Phase C: TSV -> clean -> dedupe -> merge into canonical table.
+    *
+    * The snapshot is written RANGE-CLUSTERED on (provider, updated_on)
+    * (io/Layout.clusteredWrite): the canonical table's two standing
+    * access patterns are a provider slice (every reingestion read,
+    * Provider.py:256-257 analog) and "what changed since <date>"
+    * maintenance scans, and clustering makes both prune at the Parquet
+    * row-group level instead of reading the full history. Cost is one
+    * range exchange on a write that already rewrites every row.
+    * `clusterFiles` <= 0 sizes the layout to the session's shuffle
+    * parallelism; at real scale pass ~(table size / target file size). */
   def phaseC(
       spark: SparkSession,
       tsvDir: String,
       canonicalDir: String,
-      now: org.apache.spark.sql.Column): DataFrame = {
+      now: org.apache.spark.sql.Column,
+      clusterFiles: Int = 0): DataFrame = {
     val cleaned = loadCleaned(spark, tsvDir)
     val spec = canonicalSpec(joinOnRawKey = false)
     val empty = spark.createDataFrame(
@@ -209,7 +220,11 @@ object Runner {
     val merged = Merge.upsertMerge(target,
       cleaned.withColumn("created_on", now).withColumn("updated_on", now),
       spec, now)
-    merged.write.mode("overwrite").parquet(s"$canonicalDir.next")
+    val nFiles =
+      if (clusterFiles > 0) clusterFiles
+      else spark.sessionState.conf.numShufflePartitions
+    graft.io.Layout.clusteredWrite(merged,
+      Seq(col("provider"), col("updated_on")), nFiles, s"$canonicalDir.next")
     // Recompute-and-swap snapshot (the matview stand-in, SURVEY §4).
     // The swap is rename-based: retire current -> .old, promote .next
     // -> current, then drop .old. A crash at any point leaves at least

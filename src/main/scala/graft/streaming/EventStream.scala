@@ -246,11 +246,13 @@ object EventStream {
     * `Temporal.rangeJoinBucketed`, with the state store playing the
     * bucket role.
     *
-    * `joinType` "inner" (default) or "left_outer": the outer form
-    * emits an unmatched left row WITH NULL right columns once the
-    * watermark proves no partner can still arrive (l_ts + within
-    * below the global watermark) — the same eviction that bounds the
-    * state also makes the no-match verdict safe to declare. */
+    * `joinType` "inner" (default), "left_outer", "right_outer", or
+    * "full_outer": the outer forms emit an unmatched row WITH NULL
+    * partner columns once the watermark proves no partner can still
+    * arrive (its ts + within below the global watermark) — the same
+    * eviction that bounds the state also makes the no-match verdict
+    * safe to declare. The output `keyCol` is side-coalesced, so an
+    * unmatched RIGHT row (right/full outer) still carries its key. */
   def streamingIntervalJoinOn(
       left: DataFrame,
       right: DataFrame,
@@ -259,8 +261,8 @@ object EventStream {
       within: String = "10 minutes",
       watermark: String = "1 hour",
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer, got $joinType")
     def prefixed(df: DataFrame, p: String, keepKey: Boolean): DataFrame =
       df.select(df.columns.map { c =>
         if (c == keyCol) { if (keepKey) col(c) else col(c).as(p + c) }
@@ -270,7 +272,13 @@ object EventStream {
     val rTs = "r_" + tsCol
     val l = prefixed(left, "l_", keepKey = true).withWatermark(lTs, watermark)
     val r = prefixed(right, "r_", keepKey = false).withWatermark(rTs, watermark)
-    val outCols: Seq[Column] = col(keyCol) +:
+    // right/full outer emit rows whose LEFT side is all-null — the key
+    // must then come from the surviving side
+    val outKey =
+      if (joinType == "right_outer" || joinType == "full_outer")
+        coalesce(col(keyCol), col("r_" + keyCol)).as(keyCol)
+      else col(keyCol)
+    val outCols: Seq[Column] = outKey +:
       (left.columns.filter(_ != keyCol).map(c => col("l_" + c)) ++
         right.columns.filter(_ != keyCol).map(c => col("r_" + c))).toIndexedSeq
     l.join(r,

@@ -52,6 +52,36 @@ class LayoutSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L, 12L, 27L))
   }
 
+  test("N-dim zorderKey: 3-column round-robin interleave matches a " +
+      "reference bit-walk, and the 2-col overload is the n=2 case") {
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.size
+      vals.zipWithIndex.map { case (v, j) =>
+        (0 until bits).map(i => ((v >> i) & 1L) << (i * n + j))
+          .reduce(_ | _)
+      }.reduce(_ | _)
+    }
+    val rows = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (5L, 3L, 7L), (255L, 0L, 128L), (13L, 200L, 77L))
+    val got = rows.toDF("a", "b", "c")
+      .select(Layout.zorderKey(Seq(col("a"), col("b"), col("c")), bits = 8)
+        .as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == rows.map { case (a, b, c) => ref(Seq(a, b, c), 8) })
+    // unit vectors land on positions 0,1,2 — the round-robin base case
+    assert(got.take(3) == Seq(1L, 2L, 4L))
+    // 2-col overload == Seq form with n=2
+    val two = Seq((5, 3)).toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b")).as("z2"),
+        Layout.zorderKey(Seq(col("a"), col("b")), bits = 21).as("zn"))
+      .collect().head
+    assert(two.getLong(0) == two.getLong(1))
+    // bits*n must fit a signed long
+    intercept[IllegalArgumentException] {
+      Layout.zorderKey(Seq(col("a"), col("b"), col("c")), bits = 22)
+    }
+  }
+
   test("z-order layout skips on BOTH dimensions; single-key sort only on its own") {
     val side = 256 // 64k rows over a side x side grid
     val tmp = Files.createTempDirectory("layout-z").toString

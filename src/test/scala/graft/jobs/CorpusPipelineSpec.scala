@@ -144,6 +144,62 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(adm2.admitted.count() == 0)
   }
 
+  test("skew guard: planted boilerplate trips the bucket monitor, the " +
+      "pipeline pre-collapses token-set clones before pair generation " +
+      "(recorded in provenance), and flags ALL clones despite a bucket " +
+      "cap that would otherwise drop them") {
+    // 60 rotations of one 60-word text: pairwise-distinct strings (no
+    // exact-dedupe rescue) sharing ONE unigram shingle set — the
+    // boilerplate shape that concentrates an entire LSH bucket
+    val words = cleanText("boil").split(" ").toSeq
+    val boiler = (0 until 60).map(i =>
+      (100L + i, (words.drop(i) ++ words.take(i)).mkString(" ")))
+    val d1 = cleanText("apple")
+    val d2 = { // ordinary near-dup pair, must still flag through LSH
+      val w = d1.split(" ")
+      (w.take(50) ++ Seq("zebraA", "zebraB") ++ w.drop(52)).mkString(" ")
+    }
+    val sdocs = (Seq((1L, d1), (2L, d2)) ++ boiler).toDF("doc_id", "text")
+
+    def verdicts(skewGuard: Boolean) = {
+      val (ann, dec) = CorpusPipeline.annotateWithDecisions(
+        sdocs, "doc_id", "text", benchmark, shingleN = 1,
+        maxBucket = 10, skewGuard = skewGuard)
+      val near = ann.filter(col("is_near_dup")).select("doc_id")
+        .as[Long].collect().toSet
+      (near, dec)
+    }
+
+    val (near, dec) = verdicts(skewGuard = true)
+    assert(dec.map(d => (d.stage, d.decision)) ==
+      Seq(("near_dup", "tokenset_precollapse")), s"decisions: $dec")
+    assert(dec.head.detail.startsWith("skew_monitor_rows="))
+    // all 59 non-keeper clones flagged (min-id keeper 100), plus the
+    // ordinary near-dup — the cap never saw the clone bucket
+    assert(near == ((101L to 159L).toSet + 2L), s"flagged: $near")
+
+    // without the guard the same run is structurally broken: the
+    // bucket cap (the only other defense) silently DROPS clone pairs
+    val (nearOff, decOff) = verdicts(skewGuard = false)
+    assert(decOff == Nil ||
+      decOff.forall(_.decision == "direct"), s"unexpected: $decOff")
+    assert((101L to 159L).exists(i => !nearOff.contains(i)),
+      "cap should have lost clone pairs without the guard")
+
+    // exact-pairs mode: hotPrefixTokens fires, same collapse, and the
+    // provably-complete join over representatives flags everything
+    val (annEx, decEx) = CorpusPipeline.annotateWithDecisions(
+      sdocs, "doc_id", "text", benchmark, shingleN = 1,
+      maxBucket = 10, exactNearDup = true)
+    assert(decEx.map(_.decision) == Seq("tokenset_precollapse"))
+    val nearEx = annEx.filter(col("is_near_dup")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(nearEx == ((101L to 159L).toSet + 2L))
+
+    // a benign corpus records the no-action decision
+    assert(result.decisions.map(_.decision) == Seq("direct"))
+  }
+
   test("stats aggregates every stage's drop count in one row") {
     val s = CorpusPipeline.stats(result.annotated).collect().head
     assert(s.getAs[Long]("input") == 7)

@@ -270,6 +270,46 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("full-outer interval join emits null-partner rows on BOTH sides " +
+      "after watermark eviction, with the key surviving from either side") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.streamingIntervalJoin(
+        clicks.toDF(), views.toDF(), within = "10 minutes",
+        watermark = "30 minutes", joinType = "full_outer")
+      .writeStream.format("memory").queryName("ssj_full_out")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),  // matched
+      Event(2, ts("2024-01-01 00:10:00"), 2, "click", 1.0))  // no partner
+    views.addData(
+      Event(10, ts("2024-01-01 00:05:00"), 1, "view", 1.0),  // matched
+      Event(14, ts("2024-01-01 00:08:00"), 3, "view", 1.0))  // no partner
+    q.processAllAvailable()
+    // advance both watermarks well past the horizon, extra batches so
+    // the eviction pass emits the unmatched rows
+    clicks.addData(Event(3, ts("2024-01-01 06:00:00"), 9, "click", 1.0))
+    views.addData(Event(11, ts("2024-01-01 06:00:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    clicks.addData(Event(4, ts("2024-01-01 07:00:00"), 8, "click", 1.0))
+    views.addData(Event(12, ts("2024-01-01 07:00:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    val got = spark.table("ssj_full_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), opt(r, "l_id"), opt(r, "r_id")))
+      .toSet
+    q.stop()
+    assert(got.contains((1L, Some(1L), Some(10L))), s"matched missing: $got")
+    assert(got.contains((2L, Some(2L), None)), s"left-unmatched missing: $got")
+    // the right-unmatched row must carry ITS key, not a null from the
+    // absent left side
+    assert(got.contains((3L, None, Some(14L))), s"right-unmatched missing: $got")
+    }
+  }
+
   test("generic interval join works on an arbitrary schema: caller-chosen " +
       "key/ts columns, all payload columns prefixed l_/r_") {
     withFewPartitions {
