@@ -388,16 +388,31 @@ object RelationalPack extends QueryPack {
           graft.io.Layout.zorderKey(x, y, bits = 11).as("z"))
         .orderBy(col("event_id"))
     }),
+
+    // N-dimensional Morton key (io/Layout.zorderKey Seq form): three
+    // selective dimensions round-robin interleaved — same bit-exact
+    // oracle discipline as q_zorder_key, stride 3.
+    "q_zorder3_key" -> ((s, d) => {
+      val x = pmod(col("user_id"), lit(2048)).cast("int")
+      val y = expr("(cast(ts as long) div 60) % 1440").cast("int")
+      val w = pmod(col("event_id"), lit(2048)).cast("int")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.io.Layout.zorderKey(Seq(x, y, w), bits = 11).as("z"))
+        .orderBy(col("event_id"))
+    }),
   )
 
-  /** ((x>>i)&1)<<(2i+off) interleave terms, generated rather than
-    * hand-typed — the oracle must mirror Layout.zorderKey exactly. */
-  private def zorderSql(expr: String, off: Int, bits: Int): String =
+  /** ((x>>i)&1)<<(stride*i+off) interleave terms, generated rather
+    * than hand-typed — the oracle must mirror Layout.zorderKey
+    * exactly (stride = number of interleaved dimensions). */
+  private def zorderSql(
+      expr: String, off: Int, bits: Int, stride: Int = 2): String =
     (0 until bits)
       // every term FULLY parenthesized: DuckDB gives |, &, << the same
       // flat left-associative precedence (PostgreSQL rules), so an
       // unwrapped `a << k | b << m` parses as ((a << k) | b) << m
-      .map(i => s"(((($expr) >> $i) & 1) << ${2 * i + off})")
+      .map(i => s"(((($expr) >> $i) & 1) << ${stride * i + off})")
       .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
@@ -610,6 +625,15 @@ object RelationalPack extends QueryPack {
       val y = "CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT)"
       s"""SELECT event_id,
          |  CAST(${zorderSql(x, 0, 11)} | ${zorderSql(y, 1, 11)} AS BIGINT) AS z
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+    "q_zorder3_key" -> {
+      val x = "CAST(((user_id % 2048) + 2048) % 2048 AS BIGINT)"
+      val y = "CAST((epoch_us(ts) // 60000000) % 1440 AS BIGINT)"
+      val w = "CAST(((event_id % 2048) + 2048) % 2048 AS BIGINT)"
+      s"""SELECT event_id,
+         |  CAST(${zorderSql(x, 0, 11, 3)} | ${zorderSql(y, 1, 11, 3)} |
+         |       ${zorderSql(w, 2, 11, 3)} AS BIGINT) AS z
          |FROM events ORDER BY event_id""".stripMargin
     },
   )
