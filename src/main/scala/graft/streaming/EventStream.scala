@@ -228,6 +228,102 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming NEAR-dup admission against a persisted LSH band index
+    * — the streaming face of `CorpusPipeline.admitBatch`'s
+    * corpus-near-dup stage, completing [[streamingAdmission]] (exact
+    * digests) to Jaccard similarity: documents arriving on a stream
+    * are dropped when some already-indexed corpus document is within
+    * `threshold` Jaccard of them.
+    *
+    * The whole minhash signature is computed ROW-LOCALLY
+    * (`array_min(transform(...))` per hash function — no streaming
+    * aggregation), producing BIT-IDENTICAL band hashes to
+    * `graft.dedup.Dedup.minhashBandRows`, so the static index needs
+    * no special streaming build: write it once with the batch API
+    * (same shingleN/bands/rowsPerBand) and both faces share it.
+    * Candidates come from the stateless stream-static equi-join of
+    * the batch's band keys against `corpusBands`; corpus text joins
+    * back only for candidate ids; exact Jaccard verifies. The one
+    * stateful step is the per-document verdict ("NO candidate
+    * reached threshold" is universally quantified, so it must wait
+    * for all of a doc's candidate rows): a watermarked tumbling
+    * window aggregation, append-mode, state bounded by arrival rate
+    * x watermark — a verdict emits once the watermark passes its
+    * window.
+    *
+    * Skew: corpus-side buckets larger than `maxBucket` are excluded
+    * (same policy and same reasoning as
+    * `Dedup.incrementalNearDupPairs` — a stream doc landing in a
+    * dropped bucket is boilerplate the exact-digest admission owns).
+    * Within-stream near-dups are out of scope by construction (two
+    * stream docs never compare); chain the batch pipeline over
+    * admitted rows for those, and append their band rows to the
+    * index between restarts exactly as with [[streamingAdmission]].
+    *
+    * Output: (idCol, tsCol, textCol, best_jaccard) for ADMITTED
+    * documents only — best_jaccard is the highest corpus similarity
+    * found (0.0 when no candidate), always < threshold. */
+  def streamingNearDupAdmission(
+      docs: DataFrame,
+      corpus: DataFrame,
+      corpusBands: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.3,
+      watermark: String = "10 minutes",
+      maxBucket: Int = 5000): DataFrame = {
+    import graft.dedup.Dedup
+    val nH = bands * rowsPerBand
+    // row-local minhash signature: min_{s in sh} xxhash64(i, s) for
+    // each seeded hash i — same values Dedup.minhashSignatures
+    // aggregates, but computed inside the row so a streaming frame
+    // never needs a groupBy to get its band keys
+    val sh = array_distinct(
+      Dedup.shingles(split(trim(col(textCol)), "\\s+"), shingleN))
+    val sig = array((0 until nH).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    // identical band-hash expression to Dedup.bandRowsOf (1-based
+    // slice over the signature, concat_ws, xxhash64) — key parity
+    // with a batch-built index is the whole contract
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+    }: _*)
+    val keyed = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(textCol),
+        explode(bandKeys).as("bk"))
+      .select(col(idCol), col(tsCol), col(textCol),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val okBuckets = corpusBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val index = corpusBands.join(okBuckets, Seq("band", "bh"))
+      .select(col("band"), col("bh"), col("id").as("__cid"))
+    val corpusSh = corpus.select(col(idCol).as("__cid"),
+      array_distinct(Dedup.shingles(
+        split(trim(col(textCol)), "\\s+"), shingleN)).as("__csh"))
+
+    keyed
+      .join(index, Seq("band", "bh"), "left")
+      .join(corpusSh, Seq("__cid"), "left")
+      .withColumn("__j",
+        when(col("__csh").isNull, lit(0.0))
+          .otherwise(Dedup.jaccard(sh, col("__csh"))))
+      .groupBy(window(col(tsCol), watermark), col(idCol))
+      .agg(max(col("__j")).as("best_jaccard"),
+        first(col(tsCol)).as(tsCol), first(col(textCol)).as(textCol))
+      .filter(col("best_jaccard") < threshold)
+      .select(col(idCol), col(tsCol), col(textCol), col("best_jaccard"))
+  }
+
   /** SCHEMA-GENERIC stream-stream interval join: match each left row
     * to the right rows with the same `keyCol` value within `within`
     * of event time (|l.ts - r.ts| <= within). Both sides carry

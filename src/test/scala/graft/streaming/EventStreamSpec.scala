@@ -207,6 +207,54 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup admission: a batch-built band index drops " +
+      "near and exact corpus duplicates on the stream, admits novel " +
+      "docs after the watermark closes their window") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    // same text shapes as the batch admitBatch spec: 60 words, a
+    // near-dup swaps two content words
+    def text(prefix: String): String =
+      (0 until 54).map(i => s"$prefix$i").grouped(9).toSeq
+        .zip(Seq("the", "of", "and", "in", "is", "it"))
+        .flatMap { case (g, s) => g :+ s }.mkString(" ")
+    def near(t: String): String = {
+      val w = t.split(" ")
+      (w.take(10) ++ Seq("zzA", "zzB") ++ w.drop(12)).mkString(" ")
+    }
+    val tA = text("aa"); val tB = text("bb"); val tC = text("cc")
+    val corpus = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val corpusBands = graft.dedup.Dedup.minhashBandRows(
+      corpus, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingNearDupAdmission(
+        in.toDF(), corpus, corpusBands,
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.3,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_admit_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:00"), near(tA)), // corpus near-dup
+      Doc(11L, ts("2024-01-01 00:01:00"), tC),       // novel -> admitted
+      Doc(12L, ts("2024-01-01 00:02:00"), tB))       // corpus exact dup
+    q.processAllAvailable()
+    // verdicts are watermark-gated: advance event time past the
+    // window end + watermark so the first window's verdicts emit
+    in.addData(Doc(99L, ts("2024-01-01 02:00:00"), text("zz")))
+    q.processAllAvailable()
+    val rows = spark.table("neardup_admit_out").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L),
+      s"admitted: ${rows.mkString(";")}")
+    // the admitted doc's best corpus similarity is reported and below
+    // threshold; its payload survives the verdict aggregation
+    assert(rows.head.getAs[Double]("best_jaccard") < 0.3)
+    assert(rows.head.getAs[String]("text") == tC)
+    }
+  }
+
   test("stream-stream interval join matches same-user events within the " +
       "bound, across micro-batches, and never outside it") {
     withFewPartitions {
