@@ -53,25 +53,32 @@ object Bench {
     def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
 
     // Cheapest-first order when a previous run's times are available
-    // (bench_last.json in cwd): under heavy host contention a pass may
+    // (bench_last.json in cwd; falling back to the COMMITTED
+    // bench_baseline.json so a fresh checkout — e.g. the driver's
+    // per-round run — still has a prior for ordering and the
+    // regression guard): under heavy host contention a pass may
     // be killed partway, and running the known-fast majority first
     // maximizes how many queries the surviving partial line covers.
     // Unknown/new queries run after the known ones, alphabetically;
     // no file -> plain alphabetical. Order never affects the
     // per-query min-wall semantics, only kill-time coverage.
-    val priorTimes: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_last.json")), "UTF-8")
-        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
-            txt.substring(txt.indexOf("\"queries\""),
-              txt.indexOf("\"cpu_queries\"")))
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          // failures are recorded as -1; without this filter a query
-          // that hung-then-failed last run would be scheduled FIRST,
-          // defeating the kill-time-coverage purpose of this ordering
-          .filter(_._2 > 0).toMap
-      } catch { case _: Throwable => Map.empty }
+    def priorSection(from: String, to: String): Map[String, Double] =
+      Seq("bench_last.json", "bench_baseline.json").view.flatMap { f =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8")
+          Some(""""([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+              txt.substring(txt.indexOf("\"" + from + "\""),
+                txt.indexOf("\"" + to + "\"")))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            // failures are recorded as -1; without this filter a query
+            // that hung-then-failed last run would be scheduled FIRST,
+            // defeating the kill-time-coverage purpose of this ordering
+            .filter(_._2 > 0).toMap)
+        } catch { case _: Throwable => None }
+      }.headOption.getOrElse(Map.empty)
+    val priorTimes: Map[String, Double] = priorSection("queries", "cpu_queries")
+    val priorCpus: Map[String, Double] = priorSection("cpu_queries", "cpu_total")
     val requested =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
@@ -104,14 +111,24 @@ object Bench {
       val failedS = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       // Self-regression guard: queries whose best wall this run is
       // >1.5x their previous run's recorded time (bench_last.json,
-      // captured into priorTimes BEFORE this run overwrites the file).
+      // falling back to the committed bench_baseline.json; captured
+      // into priorTimes BEFORE this run overwrites the file).
       // Judged from the final min-of-N only — a partial line's pass-1
       // sample under contention is exactly the noise min-of-N exists
       // to remove, so flagging from it would cry wolf every round.
+      // CPU corroboration: when the prior run recorded cpu for the
+      // query, the flag also requires cpu > 1.5x prior cpu — the
+      // repo's standing diagnostic is that host contention inflates
+      // wall with cpu flat while a real regression inflates both, so
+      // a contended driver sweep doesn't report the whole suite as
+      // regressed against an idle baseline.
       val regressed =
         if (partial) Seq.empty
-        else done.filter(k => okFlags(k) && priorTimes.get(k)
-          .exists(prev => times(k) > 1.5 * prev))
+        else done.filter { k =>
+          okFlags(k) &&
+            priorTimes.get(k).exists(prev => times(k) > 1.5 * prev) &&
+            priorCpus.get(k).forall(prevC => cpus(k) > 1.5 * prevC)
+        }
       val regressedS = regressed.map(k =>
         s"""{"query":"$k","sec":${f"${times(k)}%.3f"},"prev_sec":${f"${priorTimes(k)}%.3f"}}""")
         .mkString("[", ",", "]")

@@ -396,6 +396,26 @@ object CorpusPipeline {
       Seq(batchNearDecision))
   }
 
+  /** Write the pipeline's cleaned output in training-read order:
+    * PARTITIONED by split (a training job opens only split=train/,
+    * an eval job only split=valid/ — directory pruning, no data
+    * read) and, within the train partition, RANGE-CLUSTERED on shard
+    * id (graft.io.Layout discipline), so "read shard k" — the unit
+    * of work a data-loader actually requests — touches one narrow
+    * file/row-group range instead of scanning the corpus. One range
+    * exchange on a write that already rewrites every row; at real
+    * scale pass numFiles ~ (output size / target file size). */
+  def writeCleaned(
+      cleaned: DataFrame, path: String, numFiles: Int = 0): Unit = {
+    val n =
+      if (numFiles > 0) numFiles
+      else cleaned.sparkSession.sessionState.conf.numShufflePartitions
+    cleaned
+      .repartitionByRange(n, col("split"), col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"))
+      .write.mode("overwrite").partitionBy("split").parquet(path)
+  }
+
   /** Per-stage drop counts in ONE aggregate over the annotated frame
     * (not one count() job per stage). */
   def stats(annotated: DataFrame): DataFrame = {

@@ -263,6 +263,45 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("writeCleaned lays the corpus out in training-read order: split " +
+      "partitions prune at the scan and a shard slice skips row groups") {
+    // 300 distinct quality-passing docs; tiny shard budget -> many
+    // shards, so a one-shard slice is a genuinely narrow read
+    val many = (0 until 300).map(i => (i.toLong, cleanText(s"w$i")))
+      .toDF("doc_id", "text")
+    val res = CorpusPipeline.run(
+      many, "doc_id", "text", benchmark, shardBudget = 256L)
+    assert(res.cleaned.count() >= 250, "fixture must mostly survive")
+    val out = java.nio.file.Files.createTempDirectory("cleaned").toString
+    CorpusPipeline.writeCleaned(res.cleaned, out, numFiles = 8)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == res.cleaned.count())
+
+    // split is a PARTITION column: the filter prunes directories
+    val train = back.filter(col("split") === "train")
+    val planStr = train.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*split".r.findFirstIn(planStr).isDefined,
+      s"split must prune at the scan:\n$planStr")
+
+    def rowsRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.executedPlan.resetMetrics()
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val nTrain = train.count()
+    val shards = train.select("shard").distinct().count()
+    assert(shards >= 4, s"want several shards to slice, got $shards")
+    // one shard's read surfaces a small fraction of the train split —
+    // the clustered layout concentrating each shard in few row groups
+    val one = train.select(min(col("shard"))).collect().head.getInt(0)
+    val read = rowsRead(back.filter(col("split") === "train" &&
+      col("shard") === one))
+    assert(read <= nTrain / 2,
+      s"shard slice read $read of $nTrain train rows; layout not clustering")
+  }
+
   test("cleaned output: keepers only, PII redacted, deterministic " +
       "splits, shards packed for the train split only") {
     val rows = result.cleaned.collect()
