@@ -62,23 +62,34 @@ object Bench {
     // Unknown/new queries run after the known ones, alphabetically;
     // no file -> plain alphabetical. Order never affects the
     // per-query min-wall semantics, only kill-time coverage.
-    def priorSection(from: String, to: String): Map[String, Double] =
-      Seq("bench_last.json", "bench_baseline.json").view.flatMap { f =>
-        try {
-          val txt = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f)), "UTF-8")
-          Some(""""([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+    // Both sections parse from the SAME file in one pass (falling back
+    // to the next candidate as a unit) — independent fallbacks could
+    // pair a truncated bench_last's wall times with the baseline's cpu
+    // times and judge regressions across two different runs. A prior
+    // is only usable if it measured the SAME dataset (its "sf" field
+    // matches this run's) and finished cleanly (no "partial":true —
+    // a SIGKILL'd run's contended pass-1 samples are not a baseline).
+    def priorOf(f: String): Option[(Map[String, Double], Map[String, Double])] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+        def section(from: String, to: String): Map[String, Double] =
+          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
               txt.substring(txt.indexOf("\"" + from + "\""),
                 txt.indexOf("\"" + to + "\"")))
             .map(m => m.group(1) -> m.group(2).toDouble)
             // failures are recorded as -1; without this filter a query
             // that hung-then-failed last run would be scheduled FIRST,
             // defeating the kill-time-coverage purpose of this ordering
-            .filter(_._2 > 0).toMap)
-        } catch { case _: Throwable => None }
-      }.headOption.getOrElse(Map.empty)
-    val priorTimes: Map[String, Double] = priorSection("queries", "cpu_queries")
-    val priorCpus: Map[String, Double] = priorSection("cpu_queries", "cpu_total")
+            .filter(_._2 > 0).toMap
+        if (!txt.contains(s""""sf":"$sfDir"""") ||
+            txt.contains(""""partial":true""")) None
+        else Some((section("queries", "cpu_queries"),
+          section("cpu_queries", "cpu_total")))
+      } catch { case _: Throwable => None }
+    val (priorTimes, priorCpus) =
+      Seq("bench_last.json", "bench_baseline.json").view.flatMap(priorOf)
+        .headOption.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     val requested =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted

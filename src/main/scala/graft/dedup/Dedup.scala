@@ -74,8 +74,13 @@ object Dedup {
     * token array materialized in its own projection BEFORE the
     * shingle lambda references it. CollapseProject keeps the split
     * materialized (non-cheap producer, referenced more than once), so
-    * tokenization runs once per row instead of once per shingle. */
-  private def shingled(
+    * tokenization runs once per row instead of once per shingle.
+    * Public so callers that need BOTH the skew monitor and the pair
+    * join (jobs/CorpusPipeline.nearDupFlag) can build this state
+    * once, checkpoint it, and feed [[bandRowsFromShingles]] /
+    * [[lshPairsFromShingles]] — instead of re-hashing the corpus per
+    * consumer. */
+  def shingled(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
       .select(col("id"), array_distinct(shingles(col("__t"), n)).as("sh"))
@@ -259,22 +264,36 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** (band, bh) struct array from a signature array column — THE
+    * band-hash composition (1-based signature slice, comma
+    * concat_ws, xxhash64). This is the single definition both the
+    * batch index build ([[bandRowsFromShingles]]) and the row-local
+    * streaming face (streaming/EventStream.streamingNearDupAdmission)
+    * compose from: index-key parity across the two is structural,
+    * not a convention two copies must keep. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+    }: _*)
+
   /** One row per (doc, band): (id, band, bh) — each document's LSH
     * bucket keys, from `docs` already in (id, sh) shingle form. The
     * banded shuffle carries (id, band, 8-byte band hash) — never the
     * shingle arrays. */
-  private def bandRowsOf(
+  def bandRowsFromShingles(
       docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(docs, "id", col("sh"), bands * rowsPerBand)
     sigs.select(
       col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
-      }: _*)).as("bk"))
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
   }
+
+  private def bandRowsOf(
+      docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandRowsFromShingles(docs, bands, rowsPerBand)
 
   /** (id, band, bh) LSH bucket keys for a corpus — the PERSISTED side
     * of incremental near-dup: write this once (at scale, bucketed by
@@ -310,16 +329,30 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 5000): DataFrame = {
     val docs = shingled(df, idCol, textCol, shingleN)
-    val bandedAll = bandRowsOf(docs, bands, rowsPerBand)
+    lshPairsFromShingles(docs, bandRowsOf(docs, bands, rowsPerBand),
+      threshold, maxBucket)
+  }
+
+  /** The candidate-join half of [[minhashLshPairs]], over PRECOMPUTED
+    * state: `docs` in (id, sh) form ([[shingled]]) and `bandRows` in
+    * (id, band, bh) form ([[bandRowsFromShingles]]). Callers that
+    * also need the bucket-size monitor build both once (checkpointed)
+    * and share them between the monitor aggregate and this join —
+    * the corpus is hashed exactly once. */
+  def lshPairsFromShingles(
+      docs: DataFrame,
+      bandRows: DataFrame,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     // skew guard: a bucket of n docs contributes n^2/2 candidate
     // pairs; degenerate buckets (near-identical clusters, all-same
     // boilerplate) are capped — exact-dup and smaller bands cover
     // those, and at 100 TB an uncapped hot bucket is THE failure mode
     // of LSH joins.
-    val bucketSizes = bandedAll.groupBy(col("band"), col("bh"))
+    val bucketSizes = bandRows.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val banded = bandedAll.join(bucketSizes, Seq("band", "bh"))
+    val banded = bandRows.join(bucketSizes, Seq("band", "bh"))
       .select(col("id"), col("band"), col("bh"))
     val cand = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&

@@ -38,7 +38,10 @@ object CorpusPipeline {
     * to a skew monitor — provenance for "why did this run take the
     * shape it did", the analog of an AQE re-plan but at the operator
     * level. `decision` is a closed vocabulary per stage (near_dup:
-    * "direct" | "tokenset_precollapse"). */
+    * "direct" = monitor quiet; "tokenset_precollapse" = monitor fired
+    * and `collapsed` clones were folded out; "precollapse_noop" =
+    * monitor fired but nothing was token-set-identical, so the bucket
+    * cap remains the only defense — a verdict worth alerting on). */
   final case class StageDecision(stage: String, decision: String, detail: String)
 
   /** `annotated`: every input doc + per-stage verdict flags.
@@ -190,50 +193,101 @@ object CorpusPipeline {
     // representative is a semantics-preserving strength reduction: it
     // turns the group's ~k^2/2 candidate pairs (or, worse, a capped
     // LSH bucket that silently DROPS some of them) into k-1 linear
-    // edges fed straight to connected components. The monitor is one
-    // small aggregate over shingle state the join computes anyway —
-    // a planning read, not a hot-path collect.
-    val monitorRows: Long =
-      if (!skewGuard) 0L
-      else if (exactPairs)
-        graft.dedup.SimJoin.hotPrefixTokens(pairSource, sidCol, textCol,
-          shingleN, threshold, maxPrefixDf = maxBucket.toLong).count()
-      else
-        Dedup.oversizedMinhashBuckets(pairSource, sidCol, textCol,
-          shingleN, bands, rowsPerBand, maxBucket).count()
-
-    val (joinSource, preEdges, decision) =
+    // edges fed straight to connected components. On the LSH path
+    // the monitor is one aggregate over the SAME checkpointed
+    // shingle/band state the candidate join consumes — the corpus is
+    // hashed once whether or not the guard fires. The collapse only
+    // helps when clones are token-set-IDENTICAL; near-identical but
+    // EDITED boilerplate (distinct token sets) cannot be collapsed,
+    // so a fired monitor with nothing to collapse records the
+    // distinct "precollapse_noop" verdict — the residual risk (the
+    // bucket cap dropping those pairs) stays visible in provenance
+    // instead of reading as mitigated.
+    def decide(monitorRows: Long, collapsed: Long): StageDecision =
       if (monitorRows == 0L)
-        (pairSource, None,
-          StageDecision("near_dup", "direct", "skew_monitor_rows=0"))
-      else {
-        val sid = col(sidCol)
-        val digested = pairSource.withColumn("__sd",
-          md5(concat_ws(" ", array_sort(array_distinct(
-            Dedup.shingles(split(trim(col(textCol)), "\\s+"), shingleN))))))
-        // one digest-keyed shuffle (same shape as the exact-dedupe
-        // stage); consumed twice (reps + edges), so materialize once
-        val withRep = digested.withColumn("__rep",
-            min(sid).over(Window.partitionBy(col("__sd"))))
-          .localCheckpoint()
-        val reps = withRep.filter(sid === col("__rep"))
-          .select(sid, col(textCol))
-        val edges = withRep.filter(sid =!= col("__rep"))
-          .select(col("__rep").as("id_a"), sid.as("id_b"))
-        (reps, Some(edges),
-          StageDecision("near_dup", "tokenset_precollapse",
-            s"skew_monitor_rows=$monitorRows"))
-      }
-
-    val genPairs =
-      (if (exactPairs)
-        graft.dedup.SimJoin.prefixJaccardJoin(
-          joinSource, sidCol, textCol, shingleN, threshold)
+        StageDecision("near_dup", "direct", "skew_monitor_rows=0")
+      else if (collapsed > 0L)
+        StageDecision("near_dup", "tokenset_precollapse",
+          s"skew_monitor_rows=$monitorRows, collapsed=$collapsed")
       else
-        Dedup.minhashLshPairs(joinSource, sidCol, textCol,
-          shingleN, bands, rowsPerBand, threshold, maxBucket))
-        .select(col("id_a"), col("id_b"))
-    val pairs = preEdges.map(genPairs.unionByName(_)).getOrElse(genPairs)
+        StageDecision("near_dup", "precollapse_noop",
+          s"skew_monitor_rows=$monitorRows, collapsed=0")
+
+    val (pairs, decision) =
+      if (exactPairs) {
+        // Exact path: the prefix join pipelines its own checkpointed
+        // token stream, so the guard's monitor costs one extra prefix
+        // pass here — exactNearDup is the opt-in thorough mode and
+        // pays it knowingly.
+        val monitorRows: Long =
+          if (!skewGuard) 0L
+          else graft.dedup.SimJoin.hotPrefixTokens(pairSource, sidCol,
+            textCol, shingleN, threshold,
+            maxPrefixDf = maxBucket.toLong).count()
+        val sid = col(sidCol)
+        val (joinSource, preEdges, collapsed) =
+          if (monitorRows == 0L) (pairSource, None, 0L)
+          else {
+            // digest separator "\n": shingles are \s+-tokenized words
+            // joined by single spaces, so a newline can never occur
+            // inside one — the join is collision-free by construction
+            // (a space separator would conflate {"a b","c"}/{"a","b c"})
+            val withRep = pairSource.withColumn("__sd",
+                md5(concat_ws("\n", array_sort(array_distinct(
+                  Dedup.shingles(split(trim(col(textCol)), "\\s+"),
+                    shingleN))))))
+              .withColumn("__rep",
+                min(sid).over(Window.partitionBy(col("__sd"))))
+              .localCheckpoint()
+            val edges = withRep.filter(sid =!= col("__rep"))
+              .select(col("__rep").as("id_a"), sid.as("id_b"))
+              .localCheckpoint()
+            (withRep.filter(sid === col("__rep")).select(sid, col(textCol)),
+              Some(edges), edges.count())
+          }
+        val gen = graft.dedup.SimJoin.prefixJaccardJoin(
+            joinSource, sidCol, textCol, shingleN, threshold)
+          .select(col("id_a"), col("id_b"))
+        (preEdges.map(gen.unionByName(_)).getOrElse(gen),
+          decide(monitorRows, collapsed))
+      } else {
+        // LSH path: shingle + band state built ONCE and checkpointed,
+        // then shared by the monitor aggregate, the collapse digest,
+        // and the candidate join.
+        val sh = Dedup.shingled(pairSource, sidCol, textCol, shingleN)
+          .localCheckpoint()
+        val bandRows = Dedup.bandRowsFromShingles(sh, bands, rowsPerBand)
+          .localCheckpoint()
+        val monitorRows: Long =
+          if (!skewGuard) 0L
+          else bandRows.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") > maxBucket).count()
+        val (joinSh, joinBands, preEdges, collapsed) =
+          if (monitorRows == 0L) (sh, bandRows, None, 0L)
+          else {
+            // collapse key straight from the checkpointed shingle
+            // arrays — no re-tokenization ("\n" separator: see above)
+            val withRep = sh.withColumn("__sd",
+                md5(concat_ws("\n", array_sort(col("sh")))))
+              .withColumn("__rep",
+                min(col("id")).over(Window.partitionBy(col("__sd"))))
+              .localCheckpoint()
+            val reps = withRep.filter(col("id") === col("__rep"))
+              .select(col("id"), col("sh"))
+            val edges = withRep.filter(col("id") =!= col("__rep"))
+              .select(col("__rep").as("id_a"), col("id").as("id_b"))
+              .localCheckpoint()
+            (reps,
+              bandRows.join(reps.select(col("id")), Seq("id"), "left_semi"),
+              Some(edges), edges.count())
+          }
+        val gen = Dedup.lshPairsFromShingles(joinSh, joinBands,
+            threshold, maxBucket)
+          .select(col("id_a"), col("id_b"))
+        (preEdges.map(gen.unionByName(_)).getOrElse(gen),
+          decide(monitorRows, collapsed))
+      }
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val flags =
       if (idIsIntegral)
@@ -410,7 +464,9 @@ object CorpusPipeline {
     val n =
       if (numFiles > 0) numFiles
       else cleaned.sparkSession.sessionState.conf.numShufflePartitions
-    cleaned
+    // range sampling + shuffle would otherwise execute the whole
+    // pipeline lineage twice — materialize once (consumed-twice rule)
+    cleaned.localCheckpoint()
       .repartitionByRange(n, col("split"), col("shard"))
       .sortWithinPartitions(col("split"), col("shard"))
       .write.mode("overwrite").partitionBy("split").parquet(path)

@@ -223,7 +223,11 @@ object Runner {
     val nFiles =
       if (clusterFiles > 0) clusterFiles
       else spark.sessionState.conf.numShufflePartitions
-    graft.io.Layout.clusteredWrite(merged,
+    // repartitionByRange's RangePartitioner runs a SAMPLING job over
+    // its child before the shuffle executes it again — materialize the
+    // merge once so the load+upsert join isn't computed twice per
+    // snapshot (the repo's standing consumed-twice discipline)
+    graft.io.Layout.clusteredWrite(merged.localCheckpoint(),
       Seq(col("provider"), col("updated_on")), nFiles, s"$canonicalDir.next")
     // Recompute-and-swap snapshot (the matview stand-in, SURVEY §4).
     // The swap is rename-based: retire current -> .old, promote .next

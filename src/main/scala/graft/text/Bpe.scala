@@ -68,8 +68,20 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 2L,
+      checkpointEvery: Int = 4): Trained =
+    trainFromWordCounts(wordCounts(docs, textCol), numMerges,
+      minPairCount, checkpointEvery)
+
+  /** [[train]] over a PRECOMPUTED (word, cnt) table — the entry point
+    * when the caller already paid the one full-corpus reduction (and
+    * the one a measurement harness uses so training time never
+    * re-includes the corpus scan). */
+  def trainFromWordCounts(
+      counts: DataFrame,
+      numMerges: Int,
+      minPairCount: Long = 2L,
       checkpointEvery: Int = 4): Trained = {
-    var words = wordCounts(docs, textCol)
+    var words = counts
       .select(col("cnt"), split(col("word"), "").as("sym"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

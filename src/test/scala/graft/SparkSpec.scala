@@ -16,4 +16,16 @@ object SparkSpec {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  /** Rows the scan leaves actually SURFACED for `df` (after Parquet
+    * row-group/partition skipping, before any later filter): the
+    * summed numOutputRows metric of the executed plan's leaves. The
+    * layout specs (LayoutSpec, RunnerSpec, CorpusPipelineSpec) share
+    * this one definition so they all measure the same thing. */
+  def rowsRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.queryExecution.executedPlan.resetMetrics()
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+  }
 }

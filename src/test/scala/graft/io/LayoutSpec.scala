@@ -10,16 +10,6 @@ import graft.SparkSpec
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Rows the Parquet reader actually SURFACED for `df` (after
-    * row-group skipping, before any later filter): the scan leaf's
-    * numOutputRows metric, populated by running the query. */
-  private def rowsRead(df: DataFrame): Long = {
-    df.queryExecution.executedPlan.resetMetrics()
-    df.collect()
-    df.queryExecution.executedPlan.collectLeaves()
-      .map(_.metrics("numOutputRows").value).sum
-  }
-
   test("range-clustered layout skips row groups a shuffled layout reads") {
     val n = 100000
     val tmp = Files.createTempDirectory("layout").toString

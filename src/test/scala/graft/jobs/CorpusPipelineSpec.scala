@@ -200,6 +200,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(result.decisions.map(_.decision) == Seq("direct"))
   }
 
+  test("skew guard records precollapse_noop when boilerplate is EDITED " +
+      "(distinct token sets): the monitor fired, nothing collapsed, and " +
+      "the exact join still flags every clone (no cap to lose them)") {
+    // 30 docs sharing 50 words plus ONE unique word each: pairwise
+    // Jaccard 50/52 ~ 0.96, token sets all DISTINCT, and the shared
+    // words land in every rare-first prefix (df 30 > maxBucket 10)
+    val shared = cleanText("boil").split(" ").take(50)
+    val edited = (0 until 30).map(i =>
+      (200L + i, (shared :+ s"uniq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (ann, dec) = CorpusPipeline.annotateWithDecisions(
+      edited, "doc_id", "text", benchmark, shingleN = 1,
+      maxBucket = 10, exactNearDup = true)
+    assert(dec.map(_.decision) == Seq("precollapse_noop"), s"got: $dec")
+    assert(dec.head.detail.endsWith("collapsed=0"), s"got: ${dec.head}")
+    // exactness is the safety net the noop verdict leans on: min-id
+    // keeper 200, all 29 others flagged
+    val near = ann.filter(col("is_near_dup")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(near == (201L to 229L).toSet, s"flagged: $near")
+  }
+
   test("stats aggregates every stage's drop count in one row") {
     val s = CorpusPipeline.stats(result.annotated).collect().head
     assert(s.getAs[Long]("input") == 7)
@@ -284,12 +306,6 @@ class CorpusPipelineSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*split".r.findFirstIn(planStr).isDefined,
       s"split must prune at the scan:\n$planStr")
 
-    def rowsRead(df: org.apache.spark.sql.DataFrame): Long = {
-      df.queryExecution.executedPlan.resetMetrics()
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves()
-        .map(_.metrics("numOutputRows").value).sum
-    }
     val nTrain = train.count()
     val shards = train.select("shard").distinct().count()
     assert(shards >= 4, s"want several shards to slice, got $shards")

@@ -309,12 +309,6 @@ class RunnerSpec extends SparkSpec {
     Runner.phaseC(spark, s"$work/tsv", s"$work/image", now,
       clusterFiles = nProv * 2)
 
-    def rowsRead(df: org.apache.spark.sql.DataFrame): Long = {
-      df.queryExecution.executedPlan.resetMetrics()
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves()
-        .map(_.metrics("numOutputRows").value).sum
-    }
     val canon = spark.read.parquet(s"$work/image")
     val total = nProv.toLong * perProv
     assert(canon.count() == total)
