@@ -549,6 +549,39 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Product-quantization ANN, the memory-side scale path: base
+    // vectors stored as 16 one-byte codes, per-query ADC tables, a
+    // bounded refine re-ranked by exact cosine. Rows-only; PqSpec
+    // asserts exact-top-1 containment.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.similarity.Pq.pqTopK(queries, base, k = 3,
+          m = 16, kCodes = 32, refine = 16)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The PQ machinery under the hard driver gate: refine covering
+    // the whole base means every row reaches the exact re-rank, so
+    // codebook fit, encode, ADC scan, and both windows must together
+    // reproduce brute-force top-k exactly — q_ann_pq only adds the
+    // ADC candidate cut on top.
+    "q_ann_pq_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.similarity.Pq.pqTopK(queries, base, k = 3,
+          m = 16, kCodes = 32, refine = 1000000)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The IVF ANN machinery under the hard driver gate: nProbe=nLists
     // probes every cell, so the deterministic k-means fit, the
     // nAssign-cell assignment explode, the candidate equi-join, and
@@ -1178,6 +1211,15 @@ object LlmPack extends QueryPack {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // exhaustive-mode ANN == brute force by construction (see the
     // query comments) — the oracle IS the brute-force top-k
+    "q_ann_pq_exact" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "q_ann_lsh_exact" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,
