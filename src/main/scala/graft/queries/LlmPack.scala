@@ -582,6 +582,36 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-PQ composition: coarse cells bound the candidate COUNT,
+    // ADC bounds cost PER candidate. Rows-only; PqSpec asserts
+    // containment.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.similarity.Pq.ivfPqTopK(queries, base, k = 3,
+          nLists = 16, nProbe = 4, m = 16, kCodes = 32, refine = 16)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF-PQ under the hard driver gate: every cell probed + full
+    // refine == brute force by construction.
+    "q_ann_ivfpq_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.similarity.Pq.ivfPqTopK(queries, base, k = 3,
+          nLists = 16, nProbe = 16, m = 16, kCodes = 32,
+          refine = 1000000)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The IVF ANN machinery under the hard driver gate: nProbe=nLists
     // probes every cell, so the deterministic k-means fit, the
     // nAssign-cell assignment explode, the candidate equi-join, and
@@ -1211,6 +1241,15 @@ object LlmPack extends QueryPack {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // exhaustive-mode ANN == brute force by construction (see the
     // query comments) — the oracle IS the brute-force top-k
+    "q_ann_ivfpq_exact" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "q_ann_pq_exact" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,

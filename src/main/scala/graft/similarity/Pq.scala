@@ -151,19 +151,10 @@ object Pq {
     * the driver to build their ADC tables (the query side is small
     * by the family's standing assumption — it is broadcast in every
     * ANN variant here); qid keeps its source type. */
-  def pqTopK(
-      queries: DataFrame, // (qid, qvec: array<float>)
-      base: DataFrame, // (id, vec: array<float>)
-      k: Int,
-      m: Int = 8,
-      kCodes: Int = 16,
-      refine: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val spark = base.sparkSession
-    val cb = fit(base, m, kCodes, seed)
-    val coded = base.select(col("id"), col("vec"),
-      encode(col("vec"), cb).as("codes"))
-
+  /** (qid, qvec, qtab): the collected query side with per-query ADC
+    * tables — the broadcastable frame every PQ search variant probes
+    * with. qid keeps its source type. */
+  private def queryTableFrame(queries: DataFrame, cb: Codebooks): DataFrame = {
     val qSchema = StructType(Seq(
       queries.schema("qid"),
       StructField("qvec", ArrayType(FloatType), nullable = true),
@@ -172,21 +163,75 @@ object Pq {
       val qv = r.getSeq[Float](1).toArray
       Row(r.get(0), qv.toSeq, adcTable(qv, cb).toSeq)
     }
-    val qdf = spark.createDataFrame(
+    queries.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](qRows.asJava), qSchema)
+  }
 
+  /** ADC cut (refine*k per query) then exact cosine re-rank (k). */
+  private def adcThenRefine(
+      cand: DataFrame, cb: Codebooks, k: Int, refine: Int): DataFrame = {
     val adcRanked = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("id"))
-    val cand = coded.crossJoin(broadcast(qdf))
+    val cut = cand
       .withColumn("adc", adc(col("codes"), col("qtab"), cb))
       .withColumn("arank", row_number().over(adcRanked))
       .filter(col("arank") <= refine.toLong * k)
-
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    cand
+    cut
       .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  def pqTopK(
+      queries: DataFrame, // (qid, qvec: array<float>)
+      base: DataFrame, // (id, vec: array<float>)
+      k: Int,
+      m: Int = 8,
+      kCodes: Int = 16,
+      refine: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cb = fit(base, m, kCodes, seed)
+    val coded = base.select(col("id"), col("vec"),
+      encode(col("vec"), cb).as("codes"))
+    adcThenRefine(
+      coded.crossJoin(broadcast(queryTableFrame(queries, cb))),
+      cb, k, refine)
+  }
+
+  /** IVF-PQ: the coarse quantizer ([[Similarity.coarseCells]], the
+    * exact fit ivfTopK uses) prunes candidates to the query's nProbe
+    * cells via an equi-join on cell, and PQ's ADC scores what
+    * remains — cell pruning bounds the candidate COUNT
+    * (~N*nProbe/nLists per query instead of N), ADC bounds the cost
+    * PER candidate (m lookups instead of a d-wide dot). Exactness
+    * regime: nProbe >= nLists and refine covering the base probes
+    * every cell and re-ranks every row — equal to brute force by
+    * construction (q_ann_ivfpq_exact's oracle). */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qvec: array<float>)
+      base: DataFrame, // (id, vec: array<float>)
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kCodes: Int = 16,
+      refine: Int = 4,
+      seed: Long = 42L,
+      nAssign: Int = 2): DataFrame = {
+    val cents = Similarity.coarseCells(base, nLists, seed)
+    val cb = fit(base, m, kCodes, seed)
+    val assigned = base.select(col("id"), col("vec"),
+      encode(col("vec"), cb).as("codes"),
+      explode(Similarity.nearestCells(cents, col("vec"), nAssign)).as("cell"))
+    val qCells = queryTableFrame(queries, cb)
+      .select(col("qid"), col("qvec"), col("qtab"),
+        explode(Similarity.nearestCells(cents, col("qvec"), nProbe)).as("cell"))
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
+      // nAssign x nProbe can surface the same (query, base) pair via
+      // several cells — identical rows, any one survives
+      .dropDuplicates("qid", "id")
+    adcThenRefine(cand, cb, k, refine)
   }
 }

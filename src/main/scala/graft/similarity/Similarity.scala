@@ -229,71 +229,11 @@ object Similarity {
       nProbe: Int = 4,
       seed: Long = 42L,
       nAssign: Int = 2): DataFrame = {
-    // L2-normalize the quantizer's feature space: fitting on raw
-    // magnitudes splits cells by vector length, which cosine search
-    // doesn't care about, and costs recall. The norm is broadcast
-    // across elements via array_repeat + zip_with so the lambda only
-    // touches element variables — a norm referenced INSIDE a
-    // transform() lambda would re-evaluate per element (O(d^2) per
-    // vector; interpreted lambdas have no subexpression elimination).
-    val norm = sqrt(aggregate(
-      transform(col("vec"), y => y.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val unitVec = zip_with(col("vec"),
-      array_repeat(norm, size(col("vec"))),
-      (x, nn) => x.cast("double") / nn)
-    // Deterministic bounded fit sample: top-fitCap rows by hash of id
-    // (plus id tiebreak) — a TakeOrderedAndProject, never a global
-    // sort or a counting pass, and the same rows win on every run.
-    // Normalization happens AFTER the limit: only the <=fitCap fit
-    // rows pay for feature construction, never the full base.
-    // The cap is DIMENSION-AWARE: the collected sample is dim doubles
-    // per row, so a row cap alone scales driver memory linearly with
-    // embedding width (nLists*2000 rows at d=4096 is ~1 GB). Budget
-    // ~64 MB of fit sample instead: rows = budget/(8*dim), floored at
-    // nLists*50 so every cell still sees enough points to place a
-    // center, ceilinged at the d-independent row cap. At d<=250 the
-    // budget never binds (the row cap is the minimum); past that the
-    // sample thins as 1/d while k-means quality holds — center
-    // placement needs points-per-cell, not points-per-coordinate.
-    val dim = base.filter(col("vec").isNotNull).limit(1)
-      .select(size(col("vec"))).collect()
-      .headOption.filter(!_.isNullAt(0)).map(_.getInt(0)).getOrElse(1).max(1)
-    val fitBudgetBytes = 64L << 20
-    val fitCap = math.min(
-      math.max(nLists * 2000, 20000).toLong,
-      math.max(nLists * 50L, fitBudgetBytes / (8L * dim))).toInt
-    val sampleRows = base
-      .orderBy(xxhash64(col("id").cast("string")), col("id"))
-      .limit(fitCap)
-      .select(unitVec.as("uvec"))
-      .collect()
-    val pts = sampleRows.iterator
-      .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0).toArray)
-      .filter(p => p != null && p.forall(d => !d.isNaN && !d.isInfinite))
-      .toArray
-    // If the cap undershoots on a tiny base, the fit just returns
-    // fewer than nLists centers and every cell gets probed — still
-    // correct, verified empirically.
-    val centers = localKMeans(pts, nLists, maxIter = 10, seed)
-
-    // Centroids inline as literals (tiny, they ship with the plan):
-    // each side picks its nearest cells with one row-local
-    // sorted-array scan — same metric both sides, no shuffle.
-    val cents = centers.zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat)) }
-    def nearestCells(vecCol: Column, n: Int): Column = {
-      val scored = array(cents.map { case (i, c) =>
-        struct(cosine(vecCol, array(c.map(lit(_)): _*)).as("s"),
-          lit(i).as("cell"))
-      }: _*)
-      transform(slice(sort_array(scored, asc = false), 1, n),
-        s => s.getField("cell"))
-    }
+    val cents = coarseCells(base, nLists, seed)
     val assigned = base.select(col("id"), col("vec"),
-      explode(nearestCells(col("vec"), nAssign)).as("cell"))
+      explode(nearestCells(cents, col("vec"), nAssign)).as("cell"))
     val qCells = queries.select(col("qid"), col("qvec"),
-      explode(nearestCells(col("qvec"), nProbe)).as("cell"))
+      explode(nearestCells(cents, col("qvec"), nProbe)).as("cell"))
 
     val cand = assigned.join(broadcast(qCells), Seq("cell"))
       .select(col("qid"), col("qvec"), col("id"), col("vec"))
@@ -303,6 +243,65 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /** The IVF coarse quantizer, extracted so IVF and IVF-PQ share one
+    * fit: deterministic bounded sample -> driver-local Lloyd's ->
+    * (cell index, float centroid) pairs.
+    *
+    * L2-normalizes the quantizer's feature space (fitting on raw
+    * magnitudes splits cells by vector length, which cosine search
+    * doesn't care about). Deterministic bounded fit sample:
+    * top-fitCap rows by hash of id (plus id tiebreak) — a
+    * TakeOrderedAndProject, never a global sort or a counting pass,
+    * and the same rows win on every run; normalization happens AFTER
+    * the limit so only the fit rows pay for feature construction.
+    * The cap is DIMENSION-AWARE: the collected sample is dim doubles
+    * per row, so a row cap alone scales driver memory linearly with
+    * embedding width (nLists*2000 rows at d=4096 is ~1 GB). Budget
+    * ~64 MB of fit sample instead: rows = budget/(8*dim), floored at
+    * nLists*50 so every cell still sees enough points to place a
+    * center, ceilinged at the d-independent row cap. If the cap
+    * undershoots on a tiny base, the fit just returns fewer than
+    * nLists centers and every cell gets probed — still correct. */
+  private[similarity] def coarseCells(
+      base: DataFrame, nLists: Int, seed: Long): Seq[(Int, Array[Float])] = {
+    val norm = sqrt(aggregate(
+      transform(col("vec"), y => y.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val unitVec = zip_with(col("vec"),
+      array_repeat(norm, size(col("vec"))),
+      (x, nn) => x.cast("double") / nn)
+    val dim = base.filter(col("vec").isNotNull).limit(1)
+      .select(size(col("vec"))).collect()
+      .headOption.filter(!_.isNullAt(0)).map(_.getInt(0)).getOrElse(1).max(1)
+    val fitBudgetBytes = 64L << 20
+    val fitCap = math.min(
+      math.max(nLists * 2000, 20000).toLong,
+      math.max(nLists * 50L, fitBudgetBytes / (8L * dim))).toInt
+    val pts = base
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(fitCap)
+      .select(unitVec.as("uvec"))
+      .collect().iterator
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0).toArray)
+      .filter(p => p != null && p.forall(d => !d.isNaN && !d.isInfinite))
+      .toArray
+    localKMeans(pts, nLists, maxIter = 10, seed).zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+  }
+
+  /** The n nearest cells of a vector column — centroids inline as
+    * literals (tiny, they ship with the plan), one row-local
+    * sorted-array scan, same metric both sides, no shuffle. */
+  private[similarity] def nearestCells(
+      cents: Seq[(Int, Array[Float])], vecCol: Column, n: Int): Column = {
+    val scored = array(cents.map { case (i, c) =>
+      struct(cosine(vecCol, array(c.map(lit(_)): _*)).as("s"),
+        lit(i).as("cell"))
+    }: _*)
+    transform(slice(sort_array(scored, asc = false), 1, n),
+      s => s.getField("cell"))
   }
 
   /** Deterministic driver-local Lloyd's k-means with seeded k-means++

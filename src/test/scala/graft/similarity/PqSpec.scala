@@ -109,6 +109,37 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: probing every cell with full refine reproduces brute " +
+      "force; the pruned scale path still recovers the exact top-1") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.bruteForceTopK(queries, base, 3)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Pq.ivfPqTopK(queries, base, k = 3, nLists = 8, nProbe = 8,
+        m = 16, kCodes = 32, refine = 1000000)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == exact)
+
+    val top1 = Similarity.bruteForceTopK(queries, base, 1)
+      .select("qid", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = Pq.ivfPqTopK(queries, base, k = 3, nLists = 8, nProbe = 4,
+        m = 16, kCodes = 32, refine = 16)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    top1.foreach { case (qid, id) =>
+      assert(pruned(qid).contains(id),
+        s"query $qid: exact top-1 $id missing from IVF-PQ top-3")
+    }
+  }
+
   test("pq_adc is SQL-callable with literal arguments") {
     val got = spark.sql(
       """SELECT pq_adc(array(1, 0), cast(array(0.5, 1.5, 10.0, 20.0) as array<float>), 2)"""
