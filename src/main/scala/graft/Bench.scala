@@ -133,10 +133,13 @@ object Bench {
       // wall with cpu flat while a real regression inflates both, so
       // a contended driver sweep doesn't report the whole suite as
       // regressed against an idle baseline.
+      // ...and never from a single sample: a budget-truncated run's
+      // only measurement is the cold-JVM pass 1 (JIT + codegen
+      // warm-up), which routinely reads 1.5-2x a warm min-of-3 prior.
       val regressed =
         if (partial) Seq.empty
         else done.filter { k =>
-          okFlags(k) &&
+          okFlags(k) && samples.getOrElse(k, 0) >= 2 &&
             priorTimes.get(k).exists(prev => times(k) > 1.5 * prev) &&
             priorCpus.get(k).forall(prevC => cpus(k) > 1.5 * prevC)
         }
