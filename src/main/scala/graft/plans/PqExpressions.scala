@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * `ctx.addReferenceObj` — never re-evaluated per row.
   */
 case class PqEncode(
-    child: Expression, cb: Array[Float], m: Int, k: Int, dsub: Int)
+    child: Expression, cb: IndexedSeq[Float], m: Int, k: Int, dsub: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -41,8 +41,12 @@ case class PqEncode(
   // wrong-width vectors encode as null rather than garbage codes
   override def nullable: Boolean = true
 
-  /** Shared by eval and the generated code's reference object. */
-  @transient private lazy val cbArr: Array[Float] = cb
+  // the codebook field is an IndexedSeq so case-class equality is
+  // STRUCTURAL (a raw Array compares by reference, which would defeat
+  // subexpression elimination / plan canonicalization for repeated
+  // pq_encode calls); the primitive array both execution paths index
+  // is derived once per task
+  @transient private lazy val cbArr: Array[Float] = cb.toArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -71,17 +75,31 @@ case class PqEncode(
 object PqEncode {
   /** Registry builder: (vec, cbLiteral, m, k, dsub) with the last
     * four FOLDABLE — evaluated once at resolution into constructor
-    * data. */
+    * data. Argument types are validated here (the builder runs before
+    * checkInputDataTypes can), accepting float/double codebooks and
+    * int/long scalars so SQL-typed literals don't ClassCastException. */
   def fromChildren(ch: Seq[Expression]): PqEncode = {
     require(ch.length == 5,
       "pq_encode(vec, codebook, m, k, dsub) expects 5 arguments")
     require(ch.drop(1).forall(_.foldable),
       "pq_encode codebook/m/k/dsub must be literals")
-    val cb = ch(1).eval().asInstanceOf[ArrayData].toFloatArray()
-    PqEncode(ch(0), cb,
-      ch(2).eval().asInstanceOf[Int],
-      ch(3).eval().asInstanceOf[Int],
-      ch(4).eval().asInstanceOf[Int])
+    val cb = ch(1).dataType match {
+      case ArrayType(FloatType, _) =>
+        ch(1).eval().asInstanceOf[ArrayData].toFloatArray().toIndexedSeq
+      case ArrayType(DoubleType, _) =>
+        ch(1).eval().asInstanceOf[ArrayData].toDoubleArray()
+          .map(_.toFloat).toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"pq_encode codebook must be array<float|double>, got ${other.simpleString}")
+    }
+    def intArg(i: Int, name: String): Int = ch(i).eval() match {
+      case v: Int => v
+      case v: Long => v.toInt
+      case v: Short => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"pq_encode $name must be an integer literal, got $other")
+    }
+    PqEncode(ch(0), cb, intArg(2, "m"), intArg(3, "k"), intArg(4, "dsub"))
   }
 
   /** One implementation for BOTH execution paths (interpreted eval
@@ -189,6 +207,13 @@ object PqAdc {
   def fromChildren(ch: Seq[Expression]): PqAdc = {
     require(ch.length == 3, "pq_adc(codes, table, k) expects 3 arguments")
     require(ch(2).foldable, "pq_adc k must be a literal")
-    PqAdc(ch(0), ch(1), ch(2).eval().asInstanceOf[Int])
+    val k = ch(2).eval() match {
+      case v: Int => v
+      case v: Long => v.toInt
+      case v: Short => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"pq_adc k must be an integer literal, got $other")
+    }
+    PqAdc(ch(0), ch(1), k)
   }
 }

@@ -577,7 +577,7 @@ object LlmPack extends QueryPack {
       val base = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.similarity.Pq.pqTopK(queries, base, k = 3,
-          m = 16, kCodes = 32, refine = 1000000)
+          m = 16, kCodes = 32, refine = Int.MaxValue)
         .select(col("qid"), col("rank"), col("id"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -607,7 +607,7 @@ object LlmPack extends QueryPack {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.similarity.Pq.ivfPqTopK(queries, base, k = 3,
           nLists = 16, nProbe = 16, m = 16, kCodes = 32,
-          refine = 1000000)
+          refine = Int.MaxValue)
         .select(col("qid"), col("rank"), col("id"))
         .orderBy(col("qid"), col("rank"))
     }),

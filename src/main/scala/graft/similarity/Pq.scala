@@ -37,8 +37,12 @@ import graft.plans.{PqAdc, PqEncode}
   *    re-rank by EXACT cosine on the true vectors (the standard
   *    PQ-then-refine cascade) — so PQ approximation error affects
   *    only which candidates reach the exact pass, never the final
-  *    scores. `refine >= base rows / k` degenerates to brute force
-  *    exactly (the oracle's exactness regime, q_ann_pq_exact).
+  *    scores. `refine = Int.MaxValue` is the explicit no-cut
+  *    sentinel: every row reaches the exact pass and the result
+  *    equals brute force by construction at ANY base size (the
+  *    oracle's exactness regime, q_ann_pq_exact) — never encode
+  *    exactness as a large-looking constant a bigger corpus can
+  *    silently outgrow.
   *
   * Metric: cosine via unit-normalization everywhere (fit, encode,
   * tables), consistent with the rest of the similarity family. */
@@ -58,32 +62,27 @@ object Pq {
       m: Int,
       k: Int = 16,
       seed: Long = 42L): Codebooks = {
-    val dim = base.filter(col("vec").isNotNull).limit(1)
-      .select(size(col("vec"))).collect()
-      .headOption.filter(!_.isNullAt(0)).map(_.getInt(0)).getOrElse(m).max(m)
-    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    // the SHARED deterministic bounded sample (Similarity.unitSample
+    // — the same definition the IVF coarse fit draws from, so the two
+    // sampling policies cannot drift apart)
+    val (dim, pts) = Similarity.unitSample(base, centers = k)
+    fitFromSample(dim, pts, m, k, seed)
+  }
+
+  /** The codebook-fit half of [[fit]] over an already-collected
+    * sample — lets a composed index build (IVF-PQ) draw ONE sample
+    * for both quantizers. */
+  private[similarity] def fitFromSample(
+      dim: Int,
+      pts: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      seed: Long): Codebooks = {
+    // a real width smaller than m must REJECT loudly, never be padded
+    // up: a silently-degenerate codebook would null out every code
+    require(dim >= m && dim % m == 0,
+      s"vector dim $dim must be a positive multiple of m=$m")
     val dsub = dim / m
-    val norm = sqrt(aggregate(
-      transform(col("vec"), y => y.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val unitVec = zip_with(col("vec"),
-      array_repeat(norm, size(col("vec"))),
-      (x, nn) => x.cast("double") / nn)
-    // same dimension-aware fit budget as ivfTopK: rows scale as 1/d
-    // past the byte budget, floored so every subspace still sees points
-    val fitBudgetBytes = 64L << 20
-    val fitCap = math.min(
-      math.max(k * 2000, 20000).toLong,
-      math.max(k * 50L, fitBudgetBytes / (8L * dim))).toInt
-    val pts = base
-      .orderBy(xxhash64(col("id").cast("string")), col("id"))
-      .limit(fitCap)
-      .select(unitVec.as("uvec"))
-      .collect().iterator
-      .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0).toArray)
-      .filter(p => p != null && p.length == dim &&
-        p.forall(d => !d.isNaN && !d.isInfinite))
-      .toArray
     val flat = new Array[Float](m * k * dsub)
     var j = 0
     while (j < m) {
@@ -146,38 +145,61 @@ object Pq {
     out
   }
 
-  /** PQ-accelerated top-k: ADC scan keeps `refine * k` candidates
-    * per query, exact cosine re-ranks them. Queries are collected to
-    * the driver to build their ADC tables (the query side is small
-    * by the family's standing assumption — it is broadcast in every
-    * ANN variant here); qid keeps its source type. */
   /** (qid, qvec, qtab): the collected query side with per-query ADC
     * tables — the broadcastable frame every PQ search variant probes
-    * with. qid keeps its source type. */
+    * with. Queries are collected to the driver to build their tables
+    * (the query side is small by the family's standing assumption —
+    * it is broadcast in every ANN variant here); qid keeps its source
+    * type. Null or wrong-width query vectors are DROPPED here — they
+    * have no well-defined neighbors, and the other ANN variants
+    * null-propagate the same rows out of every window. */
   private def queryTableFrame(queries: DataFrame, cb: Codebooks): DataFrame = {
     val qSchema = StructType(Seq(
       queries.schema("qid"),
       StructField("qvec", ArrayType(FloatType), nullable = true),
       StructField("qtab", ArrayType(FloatType, containsNull = false))))
-    val qRows = queries.select(col("qid"), col("qvec")).collect().toSeq.map { r =>
-      val qv = r.getSeq[Float](1).toArray
-      Row(r.get(0), qv.toSeq, adcTable(qv, cb).toSeq)
-    }
+    val d = cb.m * cb.dsub
+    val qRows = queries.select(col("qid"), col("qvec")).collect().toSeq
+      .flatMap { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val qv = r.getSeq[Float](1).toArray
+          if (qv.length != d) None
+          else Some(Row(r.get(0), qv.toSeq, adcTable(qv, cb).toSeq))
+        }
+      }
     queries.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](qRows.asJava), qSchema)
   }
 
-  /** ADC cut (refine*k per query) then exact cosine re-rank (k). */
+  /** ADC cut (`refine * k` candidates per query; `Int.MaxValue` is
+    * the no-cut sentinel) then exact cosine re-rank (k). The cut's
+    * window shuffles ONLY (qid, id, adc) — wide columns never cross
+    * the exchange; the surviving candidates (refine*k per query,
+    * tiny) broadcast back onto `base` to fetch true vectors for the
+    * exact pass — the re-read-candidates-only shape the incremental
+    * dedup paths use. */
   private def adcThenRefine(
-      cand: DataFrame, cb: Codebooks, k: Int, refine: Int): DataFrame = {
+      cand: DataFrame, // (qid, id, codes, qtab)
+      base: DataFrame, // (id, vec)
+      qdf: DataFrame, // (qid, qvec, qtab)
+      cb: Codebooks,
+      k: Int,
+      refine: Int,
+      dedupe: Boolean): DataFrame = {
+    val narrow0 = cand.select(col("qid"), col("id"),
+      adc(col("codes"), col("qtab"), cb).as("adc"))
+    val narrow = if (dedupe) narrow0.dropDuplicates("qid", "id") else narrow0
     val adcRanked = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("id"))
-    val cut = cand
-      .withColumn("adc", adc(col("codes"), col("qtab"), cb))
+    val cut = narrow
       .withColumn("arank", row_number().over(adcRanked))
       .filter(col("arank") <= refine.toLong * k)
+      .select(col("qid"), col("id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    cut
+    base.select(col("id"), col("vec"))
+      .join(broadcast(cut), Seq("id"))
+      .join(broadcast(qdf.select(col("qid"), col("qvec"))), Seq("qid"))
       .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -193,11 +215,11 @@ object Pq {
       refine: Int = 4,
       seed: Long = 42L): DataFrame = {
     val cb = fit(base, m, kCodes, seed)
-    val coded = base.select(col("id"), col("vec"),
-      encode(col("vec"), cb).as("codes"))
+    val qdf = queryTableFrame(queries, cb)
+    val coded = base.select(col("id"), encode(col("vec"), cb).as("codes"))
     adcThenRefine(
-      coded.crossJoin(broadcast(queryTableFrame(queries, cb))),
-      cb, k, refine)
+      coded.crossJoin(broadcast(qdf.select(col("qid"), col("qtab")))),
+      base, qdf, cb, k, refine, dedupe = false)
   }
 
   /** IVF-PQ: the coarse quantizer ([[Similarity.coarseCells]], the
@@ -220,18 +242,26 @@ object Pq {
       refine: Int = 4,
       seed: Long = 42L,
       nAssign: Int = 2): DataFrame = {
-    val cents = Similarity.coarseCells(base, nLists, seed)
-    val cb = fit(base, m, kCodes, seed)
-    val assigned = base.select(col("id"), col("vec"),
+    // ONE deterministic sample feeds both quantizers (cap sized for
+    // the larger of the two center counts — a superset sample is
+    // still deterministic and serves both fits)
+    val (dim, pts) = Similarity.unitSample(base,
+      centers = math.max(nLists, kCodes))
+    val cents = Similarity.coarseCellsFromPoints(pts, nLists, seed)
+    val cb = fitFromSample(dim, pts, m, kCodes, seed)
+    val qdf = queryTableFrame(queries, cb)
+    val assigned = base.select(col("id"),
       encode(col("vec"), cb).as("codes"),
       explode(Similarity.nearestCells(cents, col("vec"), nAssign)).as("cell"))
-    val qCells = queryTableFrame(queries, cb)
+    val qCells = qdf
       .select(col("qid"), col("qvec"), col("qtab"),
         explode(Similarity.nearestCells(cents, col("qvec"), nProbe)).as("cell"))
-    val cand = assigned.join(broadcast(qCells), Seq("cell"))
-      // nAssign x nProbe can surface the same (query, base) pair via
-      // several cells — identical rows, any one survives
-      .dropDuplicates("qid", "id")
-    adcThenRefine(cand, cb, k, refine)
+    // nAssign x nProbe can surface the same (query, base) pair via
+    // several cells — identical ADC rows, the narrow dedupe inside
+    // adcThenRefine keeps one
+    adcThenRefine(
+      assigned.join(broadcast(qCells.select(col("qid"), col("qtab"),
+        col("cell"))), Seq("cell")),
+      base, qdf, cb, k, refine, dedupe = true)
   }
 }

@@ -266,6 +266,28 @@ object Similarity {
     * nLists centers and every cell gets probed — still correct. */
   private[similarity] def coarseCells(
       base: DataFrame, nLists: Int, seed: Long): Seq[(Int, Array[Float])] = {
+    val (_, pts) = unitSample(base, centers = nLists)
+    coarseCellsFromPoints(pts, nLists, seed)
+  }
+
+  /** The k-means half of [[coarseCells]], over an already-collected
+    * sample — lets a composed index build (IVF-PQ) draw ONE sample
+    * and fit both quantizers from it. */
+  private[similarity] def coarseCellsFromPoints(
+      pts: Array[Array[Double]], nLists: Int,
+      seed: Long): Seq[(Int, Array[Float])] =
+    localKMeans(pts, nLists, maxIter = 10, seed).zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+
+  /** The deterministic bounded fit sample EVERY driver-local
+    * quantizer fit draws from (IVF's coarse cells and PQ's subspace
+    * codebooks — one definition, no drift): (dim, unit-normalized
+    * finite points of the probed width). `centers` sizes the cap:
+    * the d-independent row ceiling scales with it, the 64 MB byte
+    * budget divides by the probed dim, and the floor keeps ~50
+    * points per center. */
+  private[similarity] def unitSample(
+      base: DataFrame, centers: Int): (Int, Array[Array[Double]]) = {
     val norm = sqrt(aggregate(
       transform(col("vec"), y => y.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v))
@@ -277,18 +299,18 @@ object Similarity {
       .headOption.filter(!_.isNullAt(0)).map(_.getInt(0)).getOrElse(1).max(1)
     val fitBudgetBytes = 64L << 20
     val fitCap = math.min(
-      math.max(nLists * 2000, 20000).toLong,
-      math.max(nLists * 50L, fitBudgetBytes / (8L * dim))).toInt
+      math.max(centers * 2000, 20000).toLong,
+      math.max(centers * 50L, fitBudgetBytes / (8L * dim))).toInt
     val pts = base
       .orderBy(xxhash64(col("id").cast("string")), col("id"))
       .limit(fitCap)
       .select(unitVec.as("uvec"))
       .collect().iterator
       .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0).toArray)
-      .filter(p => p != null && p.forall(d => !d.isNaN && !d.isInfinite))
+      .filter(p => p != null && p.length == dim &&
+        p.forall(d => !d.isNaN && !d.isInfinite))
       .toArray
-    localKMeans(pts, nLists, maxIter = 10, seed).zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+    (dim, pts)
   }
 
   /** The n nearest cells of a vector column — centroids inline as

@@ -82,7 +82,7 @@ class PqSpec extends SparkSpec {
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val pq = Pq.pqTopK(queries, base, k = 3, m = 8, kCodes = 16,
-        refine = 1000000)
+        refine = Int.MaxValue)
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(pq == exact)
@@ -122,7 +122,7 @@ class PqSpec extends SparkSpec {
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val full = Pq.ivfPqTopK(queries, base, k = 3, nLists = 8, nProbe = 8,
-        m = 16, kCodes = 32, refine = 1000000)
+        m = 16, kCodes = 32, refine = Int.MaxValue)
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(full == exact)
