@@ -69,10 +69,12 @@ object CorpusPipeline {
       maxBucket: Int = 5000,
       deconN: Int = 5,
       exactNearDup: Boolean = false,
-      skewGuard: Boolean = true): DataFrame =
+      skewGuard: Boolean = true,
+      quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextStats.gopherFilter(_)): DataFrame =
     annotateWithDecisions(docs, idCol, textCol, benchmark, shingleN,
       bands, rowsPerBand, threshold, maxBucket, deconN, exactNearDup,
-      skewGuard)._1
+      skewGuard, quality)._1
 
   /** [[annotate]] plus the skew-guard [[StageDecision]]s it took. */
   def annotateWithDecisions(
@@ -87,12 +89,17 @@ object CorpusPipeline {
       maxBucket: Int = 5000,
       deconN: Int = 5,
       exactNearDup: Boolean = false,
-      skewGuard: Boolean = true): (DataFrame, Seq[StageDecision]) = {
+      skewGuard: Boolean = true,
+      quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextStats.gopherFilter(_)): (DataFrame, Seq[StageDecision]) = {
     val id = col(idCol)
 
-    // 1. quality gate (row-local; evaluated for every doc)
+    // 1. quality gate (row-local; evaluated for every doc). The rule
+    // is PLUGGABLE — Gopher by default, but real corpora tune
+    // thresholds per source/language, so the gate is a parameter,
+    // not a constant
     val base = docs.select(id, col(textCol),
-      TextStats.gopherFilter(col(textCol)).as("pass_quality"))
+      quality(col(textCol)).as("pass_quality"))
     val q = base.filter(col("pass_quality"))
 
     // 2. exact dedupe on whitespace-normalized content digest
@@ -129,7 +136,7 @@ object CorpusPipeline {
       .localCheckpoint()
 
     val annotated = docs
-      .withColumn("pass_quality", TextStats.gopherFilter(col(textCol)))
+      .withColumn("pass_quality", quality(col(textCol)))
       .join(exactFlag, Seq(idCol), "left")
       .join(nearFlag, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")
@@ -330,11 +337,13 @@ object CorpusPipeline {
       validPerMille: Int = 50,
       shardBudget: Long = 2048,
       exactNearDup: Boolean = false,
-      skewGuard: Boolean = true): Result = {
+      skewGuard: Boolean = true,
+      quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextStats.gopherFilter(_)): Result = {
     val id = col(idCol)
     val (annotated, decisions) = annotateWithDecisions(docs, idCol,
       textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
-      maxBucket, deconN, exactNearDup, skewGuard)
+      maxBucket, deconN, exactNearDup, skewGuard, quality)
     val kept = annotated
       .filter(col("pass_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"))

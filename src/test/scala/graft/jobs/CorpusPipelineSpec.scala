@@ -263,14 +263,27 @@ class CorpusPipelineSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
     val docs = graft.Tables.documents(spark, dir)
+    // the synthetic corpus draws from a ~31-word vocabulary with no
+    // English stopwords, so the default Gopher gate drops ALL of it
+    // and every downstream stage would run on an empty frame — use
+    // the pluggable gate with a fixture-appropriate length rule so
+    // the real data actually flows through dedupe/decontaminate/
+    // split/pack (the default-gate path is covered by the planted
+    // fixtures above)
     val res = CorpusPipeline.run(
       docs.filter(col("doc_id") >= 10), "doc_id", "text",
       benchmark = docs.filter(col("doc_id") < 10),
-      shardBudget = 4096L)
+      shardBudget = 4096L,
+      quality = t => graft.text.TextStats.tokenCount(t) >= 10)
     val s = CorpusPipeline.stats(res.annotated).collect().head
     val input = s.getAs[Long]("input")
     val kept = s.getAs[Long]("kept")
     assert(input == docs.filter(col("doc_id") >= 10).count())
+    // the fixture must EXERCISE the pipeline, not vacuously drop
+    // everything at the quality gate (writeCleaned's layout test
+    // learned this the hard way — an empty cleaned frame passes
+    // every downstream assertion)
+    assert(kept > 0, s"sf0.001 corpus kept nothing: $s")
     // stage drops + kept must cover the input exactly (provenance
     // flags partition the corpus; nothing vanishes untracked)
     val drops = Seq("quality_fail", "exact_dup", "near_dup", "contaminated")
