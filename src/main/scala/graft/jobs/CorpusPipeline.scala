@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,10 @@ import graft.text.{Packing, Redaction, TextStats}
   * shuffle shapes); the orchestration itself adds only id-keyed
   * left joins of tiny flag frames back onto the corpus. */
 object CorpusPipeline {
+
+  /** The default quality gate — ONE definition for every entry
+    * point's default argument. */
+  private val defaultQuality: Column => Column = TextStats.gopherFilter(_)
 
   /** A driver-visible planning decision the pipeline took in response
     * to a skew monitor — provenance for "why did this run take the
@@ -70,8 +74,7 @@ object CorpusPipeline {
       deconN: Int = 5,
       exactNearDup: Boolean = false,
       skewGuard: Boolean = true,
-      quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextStats.gopherFilter(_)): DataFrame =
+      quality: Column => Column = defaultQuality): DataFrame =
     annotateWithDecisions(docs, idCol, textCol, benchmark, shingleN,
       bands, rowsPerBand, threshold, maxBucket, deconN, exactNearDup,
       skewGuard, quality)._1
@@ -90,17 +93,26 @@ object CorpusPipeline {
       deconN: Int = 5,
       exactNearDup: Boolean = false,
       skewGuard: Boolean = true,
-      quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextStats.gopherFilter(_)): (DataFrame, Seq[StageDecision]) = {
+      quality: Column => Column = defaultQuality): (DataFrame, Seq[StageDecision]) = {
     val id = col(idCol)
 
     // 1. quality gate (row-local; evaluated for every doc). The rule
     // is PLUGGABLE — Gopher by default, but real corpora tune
     // thresholds per source/language, so the gate is a parameter,
-    // not a constant
-    val base = docs.select(id, col(textCol),
-      quality(col(textCol)).as("pass_quality"))
-    val q = base.filter(col("pass_quality"))
+    // not a constant. The verdict is computed ONCE into a
+    // checkpointed (id, pass_quality) frame shared by the stage
+    // filter and the final assembly: an injected rule may be
+    // expensive (two corpus passes would double its cost) or even
+    // non-deterministic, and re-evaluating it per consumer would let
+    // a doc pass into later stages yet read pass_quality=false in
+    // the output — contradictory provenance the single evaluation
+    // makes impossible.
+    val qualFlag = docs
+      .select(id, quality(col(textCol)).as("pass_quality"))
+      .localCheckpoint()
+    val q = docs.select(id, col(textCol))
+      .join(qualFlag.filter(col("pass_quality")).select(id),
+        Seq(idCol), "left_semi")
 
     // 2. exact dedupe on whitespace-normalized content digest
     val exactFlag = q
@@ -136,7 +148,7 @@ object CorpusPipeline {
       .localCheckpoint()
 
     val annotated = docs
-      .withColumn("pass_quality", quality(col(textCol)))
+      .join(qualFlag, Seq(idCol), "left")
       .join(exactFlag, Seq(idCol), "left")
       .join(nearFlag, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")
@@ -338,8 +350,7 @@ object CorpusPipeline {
       shardBudget: Long = 2048,
       exactNearDup: Boolean = false,
       skewGuard: Boolean = true,
-      quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextStats.gopherFilter(_)): Result = {
+      quality: Column => Column = defaultQuality): Result = {
     val id = col(idCol)
     val (annotated, decisions) = annotateWithDecisions(docs, idCol,
       textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
