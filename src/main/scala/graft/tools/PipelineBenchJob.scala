@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.functions.col
+
+import graft.{Sessions, Tables}
+import graft.jobs.CorpusPipeline
+import graft.text.TextStats
+
+/** Timed end-to-end corpus-pipeline run over a testdata documents
+  * table — the measurement for the COMPOSITION (quality -> exact ->
+  * near-dup -> decontaminate -> redact -> split -> pack), whose
+  * stages are audited individually but whose orchestration
+  * (checkpoint placement, flag-frame joins, skew-guard decision)
+  * only shows its cost end-to-end. Args: <sfDir>.
+  *
+  * docs >= 10 form the corpus, docs < 10 the decontamination
+  * benchmark. The quality gate is the fixture-appropriate length
+  * rule (the synthetic corpus has no English stopwords, so the
+  * default Gopher gate would empty the pipeline and the measurement
+  * would time nothing — CorpusPipelineSpec documents the same). */
+object PipelineBenchJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: PipelineBenchJob <sfDir>")
+    val sfDir = args(0)
+    val spark = Sessions.local("graft-pipebench")
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val bench = docs.filter(col("doc_id") < 10)
+
+    val t0 = System.nanoTime()
+    val res = CorpusPipeline.run(corpus, "doc_id", "text", bench,
+      shardBudget = 4096L,
+      quality = t => TextStats.tokenCount(t) >= 10)
+    val s = CorpusPipeline.stats(res.annotated).collect().head
+    val cleanedRows = res.cleaned.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val dec = res.decisions.map(d =>
+      s"""{"stage":"${d.stage}","decision":"${d.decision}","detail":"${d.detail}"}""")
+      .mkString("[", ",", "]")
+    println(s"""{"input":${s.getAs[Long]("input")},""" +
+      s""""quality_fail":${s.getAs[Long]("quality_fail")},""" +
+      s""""exact_dup":${s.getAs[Long]("exact_dup")},""" +
+      s""""near_dup":${s.getAs[Long]("near_dup")},""" +
+      s""""contaminated":${s.getAs[Long]("contaminated")},""" +
+      s""""kept":${s.getAs[Long]("kept")},"cleaned":$cleanedRows,""" +
+      s""""decisions":$dec,"wall_s":${f"$wall%.2f"},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
