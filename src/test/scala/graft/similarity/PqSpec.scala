@@ -81,6 +81,7 @@ class PqSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(queries, base, 3)
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture must produce neighbors to compare")
     val pq = Pq.pqTopK(queries, base, k = 3, m = 8, kCodes = 16,
         refine = Int.MaxValue)
       .select("qid", "rank", "id").collect()
@@ -100,6 +101,7 @@ class PqSpec extends SparkSpec {
     val top1 = Similarity.bruteForceTopK(queries, base, 1)
       .select("qid", "id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.nonEmpty, "fixture must produce a top-1 to recover")
     val pq = Pq.pqTopK(queries, base, k = 3, m = 16, kCodes = 32, refine = 16)
       .select("qid", "id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
@@ -121,6 +123,7 @@ class PqSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(queries, base, 3)
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture must produce neighbors to compare")
     val full = Pq.ivfPqTopK(queries, base, k = 3, nLists = 8, nProbe = 8,
         m = 16, kCodes = 32, refine = Int.MaxValue)
       .select("qid", "rank", "id").collect()
