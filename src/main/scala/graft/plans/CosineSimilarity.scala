@@ -117,5 +117,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_table"),
+      new ExpressionInfo(classOf[PqAdcTable].getName, "pq_adc_table"),
+      (children: Seq[Expression]) => PqAdcTable.fromChildren(children)))
   }
 }

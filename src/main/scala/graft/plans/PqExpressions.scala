@@ -143,7 +143,8 @@ object PqEncode {
 /** Sum of per-subspace table lookups: `table[j*k + codes[j]]` over
   * j = 0..m-1 (m inferred from the codes array). Out-of-range codes
   * (possible only if codes and table come from different codebook
-  * shapes) contribute 0 rather than reading garbage. */
+  * shapes) and null elements contribute 0 rather than reading
+  * garbage. */
 case class PqAdc(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
 
@@ -166,9 +167,14 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     val m = codes.numElements()
     val n = table.numElements()
     while (j < m) {
-      val idx = j * k + codes.getInt(j)
-      if (codes.getInt(j) >= 0 && codes.getInt(j) < k && idx < n)
-        acc += table.getFloat(idx).toDouble
+      // a null element (the input type may carry containsNull=true)
+      // contributes 0 — same policy as an out-of-range code; getInt on
+      // a null slot would silently read 0 and score centroid 0 instead
+      if (!codes.isNullAt(j)) {
+        val idx = j * k + codes.getInt(j)
+        if (codes.getInt(j) >= 0 && codes.getInt(j) < k && idx < n)
+          acc += table.getFloat(idx).toDouble
+      }
       j += 1
     }
     acc
@@ -187,10 +193,12 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
          |int $n = $b.numElements();
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  int $c = $a.getInt($j);
-         |  int $idx = $j * $k + $c;
-         |  if ($c >= 0 && $c < $k && $idx < $n) {
-         |    $acc += (double) $b.getFloat($idx);
+         |  if (!$a.isNullAt($j)) {
+         |    int $c = $a.getInt($j);
+         |    int $idx = $j * $k + $c;
+         |    if ($c >= 0 && $c < $k && $idx < $n) {
+         |      $acc += (double) $b.getFloat($idx);
+         |    }
          |  }
          |}
          |${ev.value} = $acc;
@@ -215,5 +223,108 @@ object PqAdc {
         s"pq_adc k must be an integer literal, got $other")
     }
     PqAdc(ch(0), ch(1), k)
+  }
+}
+
+/** Per-query ADC lookup table, computed DISTRIBUTED: entry (j, c) is
+  * the dot product of the unit-normalized query's subspace j with
+  * centroid c, so summing m [[PqAdc]] lookups reconstructs
+  * query·(reconstructed base). This is the expression that removes
+  * the one driver-side materialization PQ search used to need — the
+  * query frame keeps arbitrary size because its tables are built
+  * row-local on executors, exactly like [[PqEncode]] builds base
+  * codes. Wrong-width or null vectors yield null (they have no
+  * well-defined neighbors; the caller filters them out). */
+case class PqAdcTable(
+    child: Expression, cb: IndexedSeq[Float], m: Int, k: Int, dsub: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_adc_table"
+  override def nullable: Boolean = true
+
+  @transient private lazy val cbArr: Array[Float] = cb.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dsub) return null
+    new GenericArrayData(PqAdcTable.table(v, cbArr, m, k, dsub))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("pqCb", cbArr, "float[]")
+      s"""
+         |if ($v.numElements() != ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  float[] tab = graft.plans.PqAdcTable.table($v, $cbRef, $m, $k, $dsub);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(tab);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+object PqAdcTable {
+  /** Registry builder: (qvec, cbLiteral, m, k, dsub) — same literal
+    * contract as [[PqEncode.fromChildren]]. */
+  def fromChildren(ch: Seq[Expression]): PqAdcTable = {
+    require(ch.length == 5,
+      "pq_adc_table(vec, codebook, m, k, dsub) expects 5 arguments")
+    require(ch.drop(1).forall(_.foldable),
+      "pq_adc_table codebook/m/k/dsub must be literals")
+    val cb = ch(1).dataType match {
+      case ArrayType(FloatType, _) =>
+        ch(1).eval().asInstanceOf[ArrayData].toFloatArray().toIndexedSeq
+      case ArrayType(DoubleType, _) =>
+        ch(1).eval().asInstanceOf[ArrayData].toDoubleArray()
+          .map(_.toFloat).toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"pq_adc_table codebook must be array<float|double>, got ${other.simpleString}")
+    }
+    def intArg(i: Int, name: String): Int = ch(i).eval() match {
+      case v: Int => v
+      case v: Long => v.toInt
+      case v: Short => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"pq_adc_table $name must be an integer literal, got $other")
+    }
+    PqAdcTable(ch(0), cb, intArg(2, "m"), intArg(3, "k"), intArg(4, "dsub"))
+  }
+
+  /** One static kernel for both execution paths (bit parity by
+    * construction) — the same math as the former driver-side table
+    * builder, which now survives only as a test reference. */
+  def table(v: ArrayData, cb: Array[Float], m: Int, k: Int, dsub: Int): Array[Float] = {
+    val d = m * dsub
+    var nrm = 0.0
+    var i = 0
+    while (i < d) { val x = v.getFloat(i).toDouble; nrm += x * x; i += 1 }
+    val inv = if (nrm > 0) 1.0 / math.sqrt(nrm) else 0.0
+    val out = new Array[Float](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var s = 0.0
+        var t = 0
+        while (t < dsub) {
+          s += v.getFloat(j * dsub + t) * inv * cb((j * k + c) * dsub + t)
+          t += 1
+        }
+        out(j * k + c) = s.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    out
   }
 }

@@ -1,14 +1,11 @@
 package graft.similarity
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
 
-import graft.plans.{PqAdc, PqEncode}
+import graft.plans.{PqAdc, PqAdcTable, PqEncode}
 
 /** Product quantization for embedding search — the memory side of
   * the ANN story (public literature: Jégou et al., "Product
@@ -18,9 +15,9 @@ import graft.plans.{PqAdc, PqEncode}
   * stored as m small code indices — 8 bytes of codes standing in
   * for 256 bytes of floats at (m=8, d=64). Queries score candidates
   * with ASYMMETRIC DISTANCE (ADC): one m x k table of
-  * query-to-centroid dot products computed per query on the driver,
-  * then every candidate costs m table lookups instead of a d-wide
-  * float dot product.
+  * query-to-centroid dot products per query (built row-local on
+  * executors by [[graft.plans.PqAdcTable]]), then every candidate
+  * costs m table lookups instead of a d-wide float dot product.
   *
   * Scale shape, mirroring [[Similarity.ivfTopK]]'s decisions:
   *  - codebooks fit DRIVER-LOCALLY on the same deterministic bounded
@@ -29,10 +26,14 @@ import graft.plans.{PqAdc, PqEncode}
   *    codebooks every run;
   *  - encoding is one codegen'd expression pass over base
   *    ([[graft.plans.PqEncode]]), run once at index-build time;
-  *  - search broadcasts the (tiny) query side WITH its precomputed
-  *    ADC tables; the base side streams its codes through
-  *    [[graft.plans.PqAdc]] — no base-side shuffle of vectors, only
-  *    (qid, id, score) tuples move for the top-k window;
+  *  - the query side's ADC tables are built DISTRIBUTED
+  *    ([[graft.plans.PqAdcTable]], row-local) — the query frame never
+  *    materializes on the driver; search then broadcasts it (the ANN
+  *    family's broadcastable-Q assumption, failing loudly at Spark's
+  *    broadcast limit rather than silently OOMing the driver) and the
+  *    base side streams its codes through [[graft.plans.PqAdc]] — no
+  *    base-side shuffle of vectors, only (qid, id, score) tuples move
+  *    for the top-k window;
   *  - the ADC pass keeps `refine * k` candidates per query, which
   *    re-rank by EXACT cosine on the true vectors (the standard
   *    PQ-then-refine cascade) — so PQ approximation error affects
@@ -119,58 +120,34 @@ object Pq {
   /** The per-query ADC table: entry (j, c) is the dot product of the
     * UNIT query's subspace j with center c — summing m looked-up
     * entries reconstructs the query·(reconstructed base) dot product,
-    * i.e. approximate cosine of unit vectors. */
-  private[similarity] def adcTable(q: Array[Float], cb: Codebooks): Array[Float] = {
-    val d = cb.m * cb.dsub
-    var nrm = 0.0
-    var i = 0
-    while (i < d) { nrm += q(i).toDouble * q(i); i += 1 }
-    val inv = if (nrm > 0) 1.0 / math.sqrt(nrm) else 0.0
-    val out = new Array[Float](cb.m * cb.k)
-    var j = 0
-    while (j < cb.m) {
-      var c = 0
-      while (c < cb.k) {
-        var s = 0.0
-        var t = 0
-        while (t < cb.dsub) {
-          s += q(j * cb.dsub + t) * inv * cb.flat((j * cb.k + c) * cb.dsub + t)
-          t += 1
-        }
-        out(j * cb.k + c) = s.toFloat
-        c += 1
-      }
-      j += 1
-    }
-    out
-  }
+    * i.e. approximate cosine of unit vectors. Column form of the
+    * codegen'd [[graft.plans.PqAdcTable]] expression; null or
+    * wrong-width vectors yield null. */
+  def adcTableCol(qvec: Column, cb: Codebooks): Column =
+    call_function("pq_adc_table", qvec, lit(cb.flat),
+      lit(cb.m), lit(cb.k), lit(cb.dsub))
 
-  /** (qid, qvec, qtab): the collected query side with per-query ADC
-    * tables — the broadcastable frame every PQ search variant probes
-    * with. Queries are collected to the driver to build their tables
-    * (the query side is small by the family's standing assumption —
-    * it is broadcast in every ANN variant here); qid keeps its source
-    * type. Null or wrong-width query vectors are DROPPED here — they
-    * have no well-defined neighbors, and the other ANN variants
+  /** Driver-side entry to the same static kernel the expression runs
+    * (kept for spec-level parity checks). */
+  private[similarity] def adcTable(q: Array[Float], cb: Codebooks): Array[Float] =
+    PqAdcTable.table(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+      cb.flat, cb.m, cb.k, cb.dsub)
+
+  /** (qid, qvec, qtab): the query side with per-query ADC tables,
+    * built DISTRIBUTED by [[adcTableCol]] — no driver materialization,
+    * so the query frame keeps arbitrary size (the search itself still
+    * broadcasts it under the ANN family's broadcastable-Q assumption,
+    * where an oversized Q fails Spark's broadcast limit with a clear
+    * message instead of a silent driver OOM at table-build time).
+    * Null or wrong-width query vectors are DROPPED here — they have
+    * no well-defined neighbors, and the other ANN variants
     * null-propagate the same rows out of every window. */
-  private def queryTableFrame(queries: DataFrame, cb: Codebooks): DataFrame = {
-    val qSchema = StructType(Seq(
-      queries.schema("qid"),
-      StructField("qvec", ArrayType(FloatType), nullable = true),
-      StructField("qtab", ArrayType(FloatType, containsNull = false))))
-    val d = cb.m * cb.dsub
-    val qRows = queries.select(col("qid"), col("qvec")).collect().toSeq
-      .flatMap { r =>
-        if (r.isNullAt(1)) None
-        else {
-          val qv = r.getSeq[Float](1).toArray
-          if (qv.length != d) None
-          else Some(Row(r.get(0), qv.toSeq, adcTable(qv, cb).toSeq))
-        }
-      }
-    queries.sparkSession.createDataFrame(
-      new java.util.ArrayList[Row](qRows.asJava), qSchema)
-  }
+  private def queryTableFrame(queries: DataFrame, cb: Codebooks): DataFrame =
+    queries
+      .select(col("qid"), col("qvec"),
+        adcTableCol(col("qvec"), cb).as("qtab"))
+      .filter(col("qtab").isNotNull)
 
   /** ADC cut (`refine * k` candidates per query; `Int.MaxValue` is
     * the no-cut sentinel) then exact cosine re-rank (k). The cut's
@@ -178,7 +155,16 @@ object Pq {
     * the exchange; the surviving candidates (refine*k per query,
     * tiny) broadcast back onto `base` to fetch true vectors for the
     * exact pass — the re-read-candidates-only shape the incremental
-    * dedup paths use. */
+    * dedup paths use.
+    *
+    * The no-cut sentinel changes SHAPE, not just bound: with every
+    * candidate surviving, the "cut" is |Q|x|base| rows, so ranking it
+    * (an O(N log N) per-query sort that keeps everything) and
+    * broadcasting it (driver collect of the whole pair set) would
+    * both be scale bugs. The exact regime therefore skips the window
+    * and ships the pair frame through an ordinary shuffle join —
+    * every row reaches the exact pass, equal to brute force by
+    * construction at ANY base size, operationally too. */
   private def adcThenRefine(
       cand: DataFrame, // (qid, id, codes, qtab)
       base: DataFrame, // (id, vec)
@@ -187,18 +173,21 @@ object Pq {
       k: Int,
       refine: Int,
       dedupe: Boolean): DataFrame = {
+    val exact = refine == Int.MaxValue
     val narrow0 = cand.select(col("qid"), col("id"),
       adc(col("codes"), col("qtab"), cb).as("adc"))
     val narrow = if (dedupe) narrow0.dropDuplicates("qid", "id") else narrow0
     val adcRanked = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("id"))
-    val cut = narrow
-      .withColumn("arank", row_number().over(adcRanked))
-      .filter(col("arank") <= refine.toLong * k)
-      .select(col("qid"), col("id"))
+    val cut =
+      if (exact) narrow.select(col("qid"), col("id"))
+      else narrow
+        .withColumn("arank", row_number().over(adcRanked))
+        .filter(col("arank") <= refine.toLong * k)
+        .select(col("qid"), col("id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     base.select(col("id"), col("vec"))
-      .join(broadcast(cut), Seq("id"))
+      .join(if (exact) cut else broadcast(cut), Seq("id"))
       .join(broadcast(qdf.select(col("qid"), col("qvec"))), Seq("qid"))
       .withColumn("score", Similarity.cosine(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))

@@ -150,4 +150,54 @@ class PqSpec extends SparkSpec {
     // codes (1,0): table[0*2+1] + table[1*2+0] = 1.5 + 10.0
     assert(got == 11.5)
   }
+
+  test("pq_adc treats a null code element as contributing 0, not as centroid 0") {
+    val got = spark.sql(
+      """SELECT pq_adc(array(1, cast(null as int)),
+        |              cast(array(0.5, 1.5, 10.0, 20.0) as array<float>), 2)""".stripMargin
+    ).collect().head.getDouble(0)
+    // codes (1, null): table[0*2+1] + nothing = 1.5 (a raw getInt on
+    // the null slot would have read 0 and added table[2] = 10.0)
+    assert(got == 1.5)
+  }
+
+  test("pq_adc_table (distributed) matches the driver-side kernel bit-for-bit " +
+      "and nulls out wrong-width or null vectors") {
+    val cb = Pq.fit(smallDf, m = 4, k = 8)
+    val rows: Seq[(Long, Option[Array[Float]])] =
+      testVectors(50, 16).map { case (id, v) => (id, Some(v)) } ++
+        Seq((100L, None), (101L, Some(Array.fill(7)(1.0f))))
+    val df = rows.toDF("qid", "qvec")
+    val got = df.select(col("qid"), Pq.adcTableCol(col("qvec"), cb).as("qtab"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray))
+      .toMap
+    assert(got(100L) == null, "null vector must yield null table")
+    assert(got(101L) == null, "wrong-width vector must yield null table")
+    testVectors(50, 16).foreach { case (id, v) =>
+      assert(got(id).toSeq == Pq.adcTable(v, cb).toSeq,
+        s"table diverges from the driver kernel for qid $id")
+    }
+  }
+
+  test("a deliberately large query side flows through without driver " +
+      "materialization and stays exact in the no-cut regime") {
+    // Q (2000) >> base (120): the former driver-side table build is
+    // gone, so the only driver-bound artifact is the broadcast of the
+    // query frame itself — and in the exact regime the |Q|x|base| pair
+    // frame must NOT be broadcast (it ships through a shuffle join)
+    val qs = testVectors(2000, 16).map { case (i, v) => (i + 10000L, v) }
+      .toDF("qid", "qvec")
+    val base = testVectors(120, 16).toDF("id", "vec")
+    val exact = Similarity.bruteForceTopK(qs, base, 1)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pqTopK(qs, base, k = 1, m = 4, kCodes = 8,
+        refine = Int.MaxValue)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == exact)
+    assert(pq.size == 2000)
+  }
 }
