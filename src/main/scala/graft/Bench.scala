@@ -69,24 +69,40 @@ object Bench {
     // is only usable if it measured the SAME dataset (its "sf" field
     // matches this run's) and finished cleanly (no "partial":true —
     // a SIGKILL'd run's contended pass-1 samples are not a baseline).
-    def priorOf(f: String): Option[(Map[String, Double], Map[String, Double])] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(f)), "UTF-8")
-        def section(from: String, to: String): Map[String, Double] =
-          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
-              txt.substring(txt.indexOf("\"" + from + "\""),
-                txt.indexOf("\"" + to + "\"")))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            // failures are recorded as -1; without this filter a query
-            // that hung-then-failed last run would be scheduled FIRST,
-            // defeating the kill-time-coverage purpose of this ordering
-            .filter(_._2 > 0).toMap
-        if (!txt.contains(s""""sf":"$sfDir"""") ||
-            txt.contains(""""partial":true""")) None
-        else Some((section("queries", "cpu_queries"),
-          section("cpu_queries", "cpu_total")))
-      } catch { case _: Throwable => None }
+    // Parsed with a REAL JSON reader (Jackson — already on the Spark
+    // classpath), not a regex over assumed field order: format drift
+    // must either parse correctly or be VISIBLE (stderr note below),
+    // never silently disarm the ordering and the regression guard.
+    def priorOf(f: String): Option[(Map[String, Double], Map[String, Double])] = {
+      val p = java.nio.file.Paths.get(f)
+      if (!java.nio.file.Files.exists(p)) None
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        if (root.path("sf").asText("") != sfDir ||
+            root.path("partial").asBoolean(false)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          def section(field: String): Map[String, Double] = {
+            val node = root.path(field)
+            if (!node.isObject) Map.empty
+            else node.fields().asScala
+              .map(e => e.getKey -> e.getValue.asDouble(-1.0))
+              // failures are recorded as -1; without this filter a query
+              // that hung-then-failed last run would be scheduled FIRST,
+              // defeating the kill-time-coverage purpose of this ordering
+              .filter(_._2 > 0).toMap
+          }
+          Some((section("queries"), section("cpu_queries")))
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] prior file $f exists but failed to parse " +
+              s"(ordering + regression guard fall back): $e")
+          None
+      }
+    }
     val (priorTimes, priorCpus) =
       Seq("bench_last.json", "bench_baseline.json").view.flatMap(priorOf)
         .headOption.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))

@@ -38,6 +38,43 @@ object CorpusPipeline {
     * point's default argument. */
   private val defaultQuality: Column => Column = TextStats.gopherFilter(_)
 
+  /** Pluggable near-dup PAIR SOURCE for stage 3 — three ways to decide
+    * "these two documents are near-duplicates", all feeding the same
+    * connected-components + min-id-keeper machinery:
+    *  - [[PairSource.TokenLsh]] (default): MinHash-LSH banded
+    *    candidates + exact Jaccard verify — probabilistic recall,
+    *    the cheapest at corpus scale;
+    *  - [[PairSource.ExactTokens]]: prefix-filtered similarity join —
+    *    provably complete pairs at the same Jaccard threshold;
+    *  - [[PairSource.Embeddings]]: sign-LSH bucketed candidates +
+    *    exact COSINE verify over an embedding column — catches
+    *    paraphrase-level duplication token overlap can't see.
+    * Each source brings its own skew monitor (oversized band buckets /
+    * hot prefix tokens / oversized code buckets) and its own
+    * semantics-preserving pre-collapse (token-set-identical docs /
+    * bit-identical vectors are similarity exactly 1.0, so folding
+    * them to a representative before pair generation converts a
+    * quadratic bucket into linear edges). */
+  sealed trait PairSource
+  object PairSource {
+    case object TokenLsh extends PairSource
+    case object ExactTokens extends PairSource
+    /** `embeddings`: (embIdCol, vecCol) with ids matching the docs
+      * frame's `idCol` values. `dim = -1` reads the width off the
+      * first vector. Docs with no embedding row simply generate no
+      * pairs from this source (they can still be exact dups).
+      * `simThreshold` is COSINE, not Jaccard — `threshold` in the
+      * pipeline signature is ignored by this source. */
+    final case class Embeddings(
+        embeddings: DataFrame,
+        simThreshold: Double = 0.9,
+        dim: Int = -1,
+        embIdCol: String = "id",
+        vecCol: String = "vec",
+        nTables: Int = 4,
+        seed: Long = 42L) extends PairSource
+  }
+
   /** A driver-visible planning decision the pipeline took in response
     * to a skew monitor — provenance for "why did this run take the
     * shape it did", the analog of an AQE re-plan but at the operator
@@ -72,11 +109,11 @@ object CorpusPipeline {
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       deconN: Int = 5,
-      exactNearDup: Boolean = false,
+      pairSource: PairSource = PairSource.TokenLsh,
       skewGuard: Boolean = true,
       quality: Column => Column = defaultQuality): DataFrame =
     annotateWithDecisions(docs, idCol, textCol, benchmark, shingleN,
-      bands, rowsPerBand, threshold, maxBucket, deconN, exactNearDup,
+      bands, rowsPerBand, threshold, maxBucket, deconN, pairSource,
       skewGuard, quality)._1
 
   /** [[annotate]] plus the skew-guard [[StageDecision]]s it took. */
@@ -91,10 +128,21 @@ object CorpusPipeline {
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       deconN: Int = 5,
-      exactNearDup: Boolean = false,
+      pairSource: PairSource = PairSource.TokenLsh,
       skewGuard: Boolean = true,
-      quality: Column => Column = defaultQuality): (DataFrame, Seq[StageDecision]) = {
+      quality: Column => Column = defaultQuality,
+      onStage: (String, Double) => Unit = (_, _) => ()): (DataFrame, Seq[StageDecision]) = {
     val id = col(idCol)
+    // per-stage wall marks, for measurement harnesses: each stage's
+    // flag frame is EAGERLY localCheckpoint'ed, so the wall between
+    // marks is that stage's real materialization cost (the callback
+    // defaults to a no-op; PipelineBenchJob feeds PERF.md with it)
+    var tPrev = System.nanoTime()
+    def mark(stage: String): Unit = {
+      val now = System.nanoTime()
+      onStage(stage, (now - tPrev) / 1e9)
+      tPrev = now
+    }
 
     // 1. quality gate (row-local; evaluated for every doc). The rule
     // is PLUGGABLE — Gopher by default, but real corpora tune
@@ -110,6 +158,7 @@ object CorpusPipeline {
     val qualFlag = docs
       .select(id, quality(col(textCol)).as("pass_quality"))
       .localCheckpoint()
+    mark("quality")
     val q = docs.select(id, col(textCol))
       .join(qualFlag.filter(col("pass_quality")).select(id),
         Seq(idCol), "left_semi")
@@ -129,15 +178,17 @@ object CorpusPipeline {
       // blocks are GC-released with the frame, so repeated annotate()
       // calls in a long session don't accumulate pinned memory
       .localCheckpoint()
+    mark("exact_dedupe")
     val e = q.join(exactFlag, Seq(idCol)).filter(!col("is_exact_dup"))
       .select(id, col(textCol))
 
     // 3. near-dup clustering over exact-dedupe survivors (shared
     // min-original-id-keeper kernel — see nearDupFlag)
     val (nearFlag0, nearDecision) = nearDupFlag(e, idCol, textCol,
-      shingleN, bands, rowsPerBand, threshold, maxBucket, exactNearDup,
+      shingleN, bands, rowsPerBand, threshold, maxBucket, pairSource,
       skewGuard)
     val nearFlag = nearFlag0.localCheckpoint()
+    mark("near_dup")
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
 
@@ -146,6 +197,7 @@ object CorpusPipeline {
         benchmark.select(col(idCol), col(textCol)), deconN)
       .select(col("id").as(idCol), lit(true).as("__hit"))
       .localCheckpoint()
+    mark("decontaminate")
 
     val annotated = docs
       .join(qualFlag, Seq(idCol), "left")
@@ -183,7 +235,7 @@ object CorpusPipeline {
       rowsPerBand: Int,
       threshold: Double,
       maxBucket: Int,
-      exactPairs: Boolean = false,
+      pairSource0: PairSource = PairSource.TokenLsh,
       skewGuard: Boolean = true): (DataFrame, StageDecision) = {
     val id = col(idCol)
     val idIsIntegral = e.schema(idCol).dataType match {
@@ -222,18 +274,19 @@ object CorpusPipeline {
     // distinct "precollapse_noop" verdict — the residual risk (the
     // bucket cap dropping those pairs) stays visible in provenance
     // instead of reading as mitigated.
-    def decide(monitorRows: Long, collapsed: Long): StageDecision =
+    def decide(monitorRows: Long, collapsed: Long,
+        collapseKind: String = "tokenset_precollapse"): StageDecision =
       if (monitorRows == 0L)
         StageDecision("near_dup", "direct", "skew_monitor_rows=0")
       else if (collapsed > 0L)
-        StageDecision("near_dup", "tokenset_precollapse",
+        StageDecision("near_dup", collapseKind,
           s"skew_monitor_rows=$monitorRows, collapsed=$collapsed")
       else
         StageDecision("near_dup", "precollapse_noop",
           s"skew_monitor_rows=$monitorRows, collapsed=0")
 
-    val (pairs, decision) =
-      if (exactPairs) {
+    val (pairs, decision) = pairSource0 match {
+      case PairSource.ExactTokens => {
         // Exact path: the prefix join pipelines its own checkpointed
         // token stream, so the guard's monitor costs one extra prefix
         // pass here — exactNearDup is the opt-in thorough mode and
@@ -269,7 +322,60 @@ object CorpusPipeline {
           .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
           decide(monitorRows, collapsed))
-      } else {
+      }
+
+      case emb: PairSource.Embeddings => {
+        import graft.similarity.Similarity
+        // (sid, vec) for docs that HAVE an embedding — join on the
+        // ORIGINAL id (the surrogate exists only for clustering; for
+        // integral ids sid IS the id, so select it once)
+        val sidKeyed =
+          if (idIsIntegral) keyed.select(id) else keyed.select(id, col(sidCol))
+        val vecs = sidKeyed
+          .join(emb.embeddings.select(
+            col(emb.embIdCol).as(idCol), col(emb.vecCol).as("vec")),
+            Seq(idCol))
+          .select(col(sidCol).as("id"), col("vec"))
+          .localCheckpoint()
+        val dim =
+          if (emb.dim > 0) emb.dim
+          else vecs.select(size(col("vec")).as("d")).limit(1).collect()
+            .headOption.map(_.getInt(0)).getOrElse(0)
+        val monitorRows: Long =
+          if (!skewGuard || dim == 0) 0L
+          else Similarity.oversizedCodeBuckets(vecs, dim,
+            nTables = emb.nTables, seed = emb.seed,
+            maxBucket = maxBucket).count()
+        // pre-collapse: BIT-IDENTICAL vectors are cosine exactly 1.0
+        // (>= any threshold <= 1) — group by the vector value itself
+        // (no digest, no collision risk) and fold members to linear
+        // rep->member edges, the vector-space analog of the token-set
+        // collapse
+        val (joinVecs, preEdges, collapsed) =
+          if (monitorRows == 0L) (vecs, None, 0L)
+          else {
+            val withRep = vecs.withColumn("__rep",
+                min(col("id")).over(Window.partitionBy(col("vec"))))
+              .localCheckpoint()
+            val edges = withRep.filter(col("id") =!= col("__rep"))
+              .select(col("__rep").as("id_a"), col("id").as("id_b"))
+              .localCheckpoint()
+            (withRep.filter(col("id") === col("__rep"))
+              .select(col("id"), col("vec")),
+              Some(edges), edges.count())
+          }
+        val gen =
+          if (dim == 0) joinVecs.sparkSession.emptyDataFrame
+            .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+          else Similarity.cosineNearDupPairs(joinVecs, emb.simThreshold,
+              dim, nTables = emb.nTables, seed = emb.seed,
+              maxBucket = maxBucket)
+            .select(col("id_a"), col("id_b"))
+        (preEdges.map(gen.unionByName(_)).getOrElse(gen),
+          decide(monitorRows, collapsed, "vector_precollapse"))
+      }
+
+      case PairSource.TokenLsh => {
         // LSH path: shingle + band state built ONCE and checkpointed,
         // then shared by the monitor aggregate, the collapse digest,
         // and the candidate join.
@@ -307,6 +413,7 @@ object CorpusPipeline {
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
           decide(monitorRows, collapsed))
       }
+    }
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val flags =
       if (idIsIntegral)
@@ -348,13 +455,14 @@ object CorpusPipeline {
       deconN: Int = 5,
       validPerMille: Int = 50,
       shardBudget: Long = 2048,
-      exactNearDup: Boolean = false,
+      pairSource: PairSource = PairSource.TokenLsh,
       skewGuard: Boolean = true,
-      quality: Column => Column = defaultQuality): Result = {
+      quality: Column => Column = defaultQuality,
+      onStage: (String, Double) => Unit = (_, _) => ()): Result = {
     val id = col(idCol)
     val (annotated, decisions) = annotateWithDecisions(docs, idCol,
       textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
-      maxBucket, deconN, exactNearDup, skewGuard, quality)
+      maxBucket, deconN, pairSource, skewGuard, quality, onStage)
     val kept = annotated
       .filter(col("pass_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"))

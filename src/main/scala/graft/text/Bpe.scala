@@ -60,17 +60,40 @@ object Bpe {
     * `minPairCount` (no useful merges left).
     *
     * `checkpointEvery` bounds lineage: the fold column stacks one
-    * expression layer per merge, so every few rounds the word table
-    * is localCheckpoint'ed (at real scale: persisted to storage) —
-    * identical discipline to connectedComponents' label rounds. */
+    * expression layer per merge, so every few applied merges the word
+    * table is localCheckpoint'ed (at real scale: persisted to
+    * storage) — identical discipline to connectedComponents' label
+    * rounds.
+    *
+    * `batch` is the per-round merge budget (the standard batched-BPE
+    * trick): each distributed pair-count aggregate yields up to
+    * `batch` SYMBOL-DISJOINT merges instead of one, accepted in rank
+    * order — a candidate joins the batch only if neither of its
+    * symbols appears in an already-accepted pair (or its merged
+    * symbol). Disjointness makes the batch exact, not approximate:
+    * applying merge (a,b) can only change the count of a pair (c,d)
+    * that shares a symbol with it (c=b, d=a, or (c,d)=(a,b) — greedy-
+    * left consumes the shared occurrence), so every accepted pair's
+    * start-of-round count is still its true count when it applies,
+    * and the applications commute. `batch=1` IS the sequential
+    * algorithm. What batching changes is CADENCE, not data cost: a
+    * 32k-merge vocab at batch=8 is ~4k Spark jobs instead of 32k —
+    * driver/scheduler round-trips were the binding constraint, the
+    * per-round aggregate already touched the whole word table either
+    * way. What it can change semantically: a merge involving a
+    * symbol CREATED this round (e.g. "ab"+"c") waits for the next
+    * round's counts, so the merge ORDER can differ from sequential
+    * when a fresh symbol's pair would out-rank remaining candidates
+    * (the spec pins both regimes). */
   def train(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 2L,
-      checkpointEvery: Int = 4): Trained =
+      checkpointEvery: Int = 4,
+      batch: Int = 1): Trained =
     trainFromWordCounts(wordCounts(docs, textCol), numMerges,
-      minPairCount, checkpointEvery)
+      minPairCount, checkpointEvery, batch)
 
   /** [[train]] over a PRECOMPUTED (word, cnt) table — the entry point
     * when the caller already paid the one full-corpus reduction (and
@@ -80,17 +103,22 @@ object Bpe {
       counts: DataFrame,
       numMerges: Int,
       minPairCount: Long = 2L,
-      checkpointEvery: Int = 4): Trained = {
+      checkpointEvery: Int = 4,
+      batch: Int = 1): Trained = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var words = counts
       .select(col("cnt"), split(col("word"), "").as("sym"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var rounds = 0
+    var foldsSinceCheckpoint = 0
     var done = false
     while (!done && merges.size < numMerges) {
+      val want = math.min(batch, numMerges - merges.size)
       // adjacent-pair counts weighted by word frequency: zip the
-      // symbol array with its own tail
-      val best = words
+      // symbol array with its own tail. Collect a few times the batch
+      // budget so the disjointness filter usually fills it; a short
+      // round just means the next aggregate runs sooner.
+      val top = words
         .select(col("cnt"),
           explode(zip_with(
             slice(col("sym"), lit(1), size(col("sym")) - 1),
@@ -98,18 +126,42 @@ object Bpe {
             (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("cnt")).as("n"))
-        // deterministic argmax: count desc, then lexicographic pair
+        .filter(col("n") >= minPairCount)
+        // deterministic argmax: count desc, then lexicographic pair —
+        // UTF-8 BINARY order (Spark's string comparison), which the
+        // spec's reference comparator mirrors byte-for-byte
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getAs[Long]("n") < minPairCount) {
+        .limit(math.max(want * 4, 8)).collect()
+      if (top.isEmpty) {
         done = true
       } else {
-        val a: String = best.head.getAs[String]("a")
-        val b: String = best.head.getAs[String]("b")
-        merges += ((a, b))
-        words = words.select(col("cnt"), mergeOnce(col("sym"), a, b).as("sym"))
-        rounds += 1
-        if (rounds % checkpointEvery == 0) words = words.localCheckpoint()
+        // greedy symbol-disjoint selection in rank order; the top
+        // candidate always qualifies, so every round makes progress
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = top.iterator
+        while (accepted.size < want && it.hasNext) {
+          val r = it.next()
+          val a = r.getAs[String]("a")
+          val b = r.getAs[String]("b")
+          if (!touched(a) && !touched(b)) {
+            accepted += ((a, b))
+            touched ++= Seq(a, b, a + b)
+          }
+        }
+        merges ++= accepted
+        // all of the round's merges apply in ONE pass (nested folds
+        // inside a single projection — one job, `accepted.size`
+        // expression layers)
+        val folded = accepted.foldLeft(col("sym")) {
+          case (c, (a, b)) => mergeOnce(c, a, b)
+        }
+        words = words.select(col("cnt"), folded.as("sym"))
+        foldsSinceCheckpoint += accepted.size
+        if (foldsSinceCheckpoint >= checkpointEvery) {
+          words = words.localCheckpoint()
+          foldsSinceCheckpoint = 0
+        }
       }
     }
     val vocab = words
@@ -117,6 +169,58 @@ object Bpe {
       .groupBy("symbol").agg(sum(col("cnt")).as("weight"))
     Trained(merges.toSeq, vocab)
   }
+
+  /** Write the trained artifacts in the standard tokenizer-consumable
+    * layout: `<dir>/merges.txt` — a `#version` header then one
+    * space-separated pair per line in rank order (the GPT-2/HF
+    * convention; BPE symbols come from whitespace tokenization so
+    * they can never contain spaces, enforced here) — and
+    * `<dir>/vocab.tsv/` (symbol, weight) through the engine's TSV
+    * sink, sorted weight-desc for stable files. merges.txt is a
+    * driver-local artifact by nature (the ranked list IS the
+    * trainer's driver-side output, a few hundred KB at 32k merges);
+    * the vocab table is written by Spark. */
+  def save(trained: Trained, dir: String): Unit = {
+    trained.merges.foreach { case (a, b) =>
+      require(!(a + b).exists(_.isWhitespace),
+        s"BPE symbols cannot contain whitespace: ($a, $b)")
+    }
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val lines = "#version: 0.2" +: trained.merges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(p.resolve("merges.txt"),
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.io.Tsv.write(
+      trained.vocab.orderBy(col("weight").desc, col("symbol")),
+      p.resolve("vocab.tsv").toString, singleFile = true)
+  }
+
+  /** Re-read a saved merge list, rank order preserved (`#`-prefixed
+    * header lines skipped) — the round-trip counterpart of [[save]],
+    * consumable by [[encode]]. */
+  def loadMerges(dir: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir).resolve("merges.txt"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.toSeq
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && l.indexOf(' ', i + 1) < 0,
+          s"malformed merges.txt line: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+  }
+
+  /** Schema of the saved vocab TSV, for [[graft.io.Tsv.read]]. */
+  val vocabSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("symbol",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.LongType)))
 
   /** Apply a trained merge list to text, row-locally: tokenize on
     * whitespace, split each word to characters, replay the merges in

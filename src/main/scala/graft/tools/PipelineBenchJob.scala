@@ -13,6 +13,12 @@ import graft.text.TextStats
   * (checkpoint placement, flag-frame joins, skew-guard decision)
   * only shows its cost end-to-end. Args: <sfDir>.
   *
+  * Per-stage walls come from the pipeline's own `onStage` marks
+  * (each stage's flag frame is eagerly checkpointed, so the mark
+  * deltas are real materialization costs); `finalize_s` is the
+  * remainder — redact/split/pack plus the provenance assembly the
+  * final counts force.
+  *
   * docs >= 10 form the corpus, docs < 10 the decontamination
   * benchmark. The quality gate is the fixture-appropriate length
   * rule (the synthetic corpus has no English stopwords, so the
@@ -27,24 +33,32 @@ object PipelineBenchJob {
     val corpus = docs.filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)
 
+    val stageWalls =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val t0 = System.nanoTime()
     val res = CorpusPipeline.run(corpus, "doc_id", "text", bench,
       shardBudget = 4096L,
-      quality = t => TextStats.tokenCount(t) >= 10)
+      quality = t => TextStats.tokenCount(t) >= 10,
+      onStage = (s, w) => stageWalls(s) = w)
     val s = CorpusPipeline.stats(res.annotated).collect().head
     val cleanedRows = res.cleaned.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    stageWalls("finalize") = wall - stageWalls.values.sum
 
     val dec = res.decisions.map(d =>
       s"""{"stage":"${d.stage}","decision":"${d.decision}","detail":"${d.detail}"}""")
       .mkString("[", ",", "]")
+    val stagesJson = stageWalls
+      .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+      .mkString("{", ",", "}")
     println(s"""{"input":${s.getAs[Long]("input")},""" +
       s""""quality_fail":${s.getAs[Long]("quality_fail")},""" +
       s""""exact_dup":${s.getAs[Long]("exact_dup")},""" +
       s""""near_dup":${s.getAs[Long]("near_dup")},""" +
       s""""contaminated":${s.getAs[Long]("contaminated")},""" +
       s""""kept":${s.getAs[Long]("kept")},"cleaned":$cleanedRows,""" +
-      s""""decisions":$dec,"wall_s":${f"$wall%.2f"},"sf":"$sfDir"}""")
+      s""""decisions":$dec,"stage_walls":$stagesJson,""" +
+      s""""wall_s":${f"$wall%.2f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

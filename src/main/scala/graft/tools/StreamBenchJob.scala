@@ -1,0 +1,169 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.Sessions
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Rate-measurement harness for the streaming family — the claim
+  * under test is that STATE IS BOUNDED BY THE WATERMARK, NOT BY
+  * STREAM LENGTH: the state store should hold ~rate x horizon rows
+  * no matter how many total events flow through, and per-batch
+  * latency should stay flat across a 10x/100x longer stream.
+  *
+  * Deterministic synthetic stream: event i carries event time
+  * base + i/simRate seconds (a simulated arrival rate in EVENT time,
+  * which is what watermark eviction keys on) and key i % nKeys.
+  * Events feed a MemoryStream in fixed-size chunks — one micro-batch
+  * per chunk — through a noop sink; per-batch metrics come from the
+  * StreamingQueryListener (numInputRows, triggerExecution ms, state
+  * rows total across stateful operators).
+  *
+  * Ops: `admission` ([[EventStream.streamingAdmission]] — digest
+  * anti-join + dropDuplicatesWithinWatermark), `interval_join`
+  * ([[EventStream.streamingIntervalJoinOn]], inner, ±within), and
+  * `windowed` ([[EventStream.windowedCounts]]) as the aggregation
+  * baseline. Args:
+  *   <op> <nEvents> [chunk=20000] [watermarkMin=5] [simRate=100]
+  * Prints ONE JSON line.
+  */
+object StreamBenchJob {
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  private val Base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def eventTs(i: Long, simRate: Int): Timestamp =
+    new Timestamp(Base + i * 1000L / simRate)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: StreamBenchJob <admission|interval_join|windowed> <nEvents> " +
+        "[chunk] [watermarkMin] [simRate]")
+    val op = args(0)
+    val nEvents = args(1).toLong
+    val chunk = if (args.length >= 3) args(2).toInt else 20000
+    val wmMin = if (args.length >= 4) args(3).toInt else 5
+    val simRate = if (args.length >= 5) args(4).toInt else 100
+    val watermark = s"$wmMin minutes"
+    val nKeys = 10000
+
+    val spark = Sessions.local("graft-streambench")
+    // one state partition: hermetic and fork-free in this container
+    // (see EventStreamSpec's note); state-row totals are unaffected
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // per-batch metrics, captured for EVERY batch (recentProgress
+    // truncates; the listener does not)
+    final case class BatchMetric(rows: Long, ms: Long, stateRows: Long)
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetric]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val ms = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+        val state = p.stateOperators.map(_.numRowsTotal).sum
+        metrics.add(BatchMetric(p.numInputRows, ms, state))
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val t0 = System.nanoTime()
+    op match {
+      case "admission" =>
+        // ~2% of stream docs collide with the 200-digest static index;
+        // ~1% repeat an earlier stream doc's text (within-watermark dup)
+        def text(i: Long): String =
+          if (i % 50 == 0) s"indexed shared passage number ${i / 50 % 200}"
+          else if (i % 100 == 7) s"stream doc body ${i - 100} tokens"
+          else s"stream doc body $i tokens"
+        val index = (0 until 200)
+          .map(j => s"indexed shared passage number $j").toDF("text")
+          .select(md5(trim(regexp_replace(col("text"), "\\s+", " ")))
+            .as("digest"))
+          .localCheckpoint()
+        val in = MemoryStream[Doc]
+        val q = EventStream.streamingAdmission(
+            in.toDF(), index, textCol = "text", watermark = watermark)
+          .writeStream.format("noop").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j => Doc(j, eventTs(j, simRate), text(j))))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "interval_join" =>
+        // two streams, half the events each, same simulated clock
+        val lIn = MemoryStream[Event]
+        val rIn = MemoryStream[Event]
+        val q = EventStream.streamingIntervalJoinOn(
+            lIn.toDF(), rIn.toDF(), keyCol = "user_id", tsCol = "ts",
+            within = "2 minutes", watermark = watermark)
+          .writeStream.format("noop").start()
+        val perSide = nEvents / 2
+        var i = 0L
+        while (i < perSide) {
+          val hi = math.min(i + chunk / 2, perSide)
+          lIn.addData((i until hi).map(j =>
+            Event(j, eventTs(j, simRate / 2), j % nKeys, "click", 1.0)))
+          rIn.addData((i until hi).map(j =>
+            Event(j, eventTs(j, simRate / 2), j % nKeys, "view", 1.0)))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "windowed" =>
+        val in = MemoryStream[Event]
+        val q = EventStream.windowedCounts(in.toDF(), watermark = watermark)
+          .writeStream.format("noop").outputMode("append").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            Event(j, eventTs(j, simRate), j % nKeys,
+              if (j % 3 == 0) "click" else "view", 1.0)))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case other => sys.error(s"unknown op '$other'")
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+
+    import scala.jdk.CollectionConverters._
+    val ms = metrics.asScala.toVector
+    val data = ms.filter(_.rows > 0) // no-data watermark-commit batches excluded from latency
+    val durs = data.map(_.ms).sorted
+    def pct(p: Double): Long =
+      if (durs.isEmpty) 0L else durs(math.min(durs.size - 1,
+        (p * durs.size).toInt))
+    val maxState = if (ms.isEmpty) 0L else ms.map(_.stateRows).max
+    val horizonRows = // the bound the claim predicts: rate x (wm [+within])
+      simRate.toLong * (wmMin * 60L + (if (op == "interval_join") 240L else 0L))
+    println(s"""{"op":"$op","events":$nEvents,"batches":${data.size},""" +
+      s""""chunk":$chunk,"watermark":"$watermark","sim_rate_eps":$simRate,""" +
+      s""""max_state_rows":$maxState,"horizon_rows":$horizonRows,""" +
+      s""""p50_batch_ms":${pct(0.50)},"p95_batch_ms":${pct(0.95)},""" +
+      s""""wall_s":${f"$wallS%.1f"},""" +
+      s""""throughput_eps":${(nEvents / math.max(wallS, 0.001)).toLong}}""")
+    spark.stop()
+  }
+}

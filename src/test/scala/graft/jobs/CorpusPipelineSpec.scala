@@ -62,10 +62,10 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(m(7L) == ((T, F, F, F)))
   }
 
-  test("exactNearDup=true routes pair generation through the prefix " +
+  test("PairSource.ExactTokens routes pair generation through the prefix " +
       "similarity join and reproduces every planted verdict") {
     val exact = CorpusPipeline.annotate(
-      docs, "doc_id", "text", benchmark, exactNearDup = true)
+      docs, "doc_id", "text", benchmark, pairSource = CorpusPipeline.PairSource.ExactTokens)
     val m = exact.collect().map { r =>
       def f(c: String): Option[Boolean] =
         if (r.isNullAt(r.fieldIndex(c))) None
@@ -190,7 +190,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // provably-complete join over representatives flags everything
     val (annEx, decEx) = CorpusPipeline.annotateWithDecisions(
       sdocs, "doc_id", "text", benchmark, shingleN = 1,
-      maxBucket = 10, exactNearDup = true)
+      maxBucket = 10, pairSource = CorpusPipeline.PairSource.ExactTokens)
     assert(decEx.map(_.decision) == Seq("tokenset_precollapse"))
     val nearEx = annEx.filter(col("is_near_dup")).select("doc_id")
       .as[Long].collect().toSet
@@ -212,7 +212,7 @@ class CorpusPipelineSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val (ann, dec) = CorpusPipeline.annotateWithDecisions(
       edited, "doc_id", "text", benchmark, shingleN = 1,
-      maxBucket = 10, exactNearDup = true)
+      maxBucket = 10, pairSource = CorpusPipeline.PairSource.ExactTokens)
     assert(dec.map(_.decision) == Seq("precollapse_noop"), s"got: $dec")
     assert(dec.head.detail.endsWith("collapsed=0"), s"got: ${dec.head}")
     // exactness is the safety net the noop verdict leans on: min-id
@@ -220,6 +220,96 @@ class CorpusPipelineSpec extends SparkSpec {
     val near = ann.filter(col("is_near_dup")).select("doc_id")
       .as[Long].collect().toSet
     assert(near == (201L to 229L).toSet, s"flagged: $near")
+  }
+
+  test("embedding pair source: cosine near-dups flag through the same " +
+      "clustering machinery, provenance records the source's decision, " +
+      "and stats reconcile") {
+    // doc 3's EMBEDDING is near-parallel to doc 1's (the paraphrase
+    // shape token overlap may or may not see — here the verdict must
+    // come from the vectors); 4/6/7 are well-separated; 2 is an exact
+    // text dup (never reaches near-dup); 5 fails quality (no vector
+    // on purpose — absence must not break the join)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (3L, v(0.99, 0.1, 0, 0, 0, 0, 0, 0)),
+      (4L, v(0, 1, 0, 0, 0, 0, 0, 0)),
+      (6L, v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (7L, v(0, 0, 0, 1, 0, 0, 0, 0))
+    ).toDF("doc_id", "emb")
+    val src = CorpusPipeline.PairSource.Embeddings(
+      emb, simThreshold = 0.9, embIdCol = "doc_id", vecCol = "emb")
+    val (ann, dec) = CorpusPipeline.annotateWithDecisions(
+      docs, "doc_id", "text", benchmark, pairSource = src)
+    val m = ann.collect().map { r =>
+      def f(c: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Boolean](c))
+      r.getAs[Long]("doc_id") ->
+        (f("pass_quality"), f("is_exact_dup"), f("is_near_dup"),
+          f("is_contaminated"))
+    }.toMap
+    val T = Some(true); val F = Some(false)
+    assert(m(1L) == ((T, F, F, F)))
+    assert(m(2L) == ((T, Some(true), None, None)))
+    assert(m(3L) == ((T, F, Some(true), None)), s"cosine near-dup lost: $m")
+    assert(m(4L) == ((T, F, F, Some(true))))
+    assert(m(5L) == ((F, None, None, None)))
+    assert(m(7L) == ((T, F, F, F)))
+    assert(dec.map(d => (d.stage, d.decision)) == Seq(("near_dup", "direct")))
+    // provenance partitions the corpus — nothing vanishes untracked
+    val s = CorpusPipeline.stats(ann).collect().head
+    val drops = Seq("quality_fail", "exact_dup", "near_dup", "contaminated")
+      .map(s.getAs[Long]).sum
+    assert(drops + s.getAs[Long]("kept") == s.getAs[Long]("input"))
+
+    // string ids: the embedding join must go through the ORIGINAL id
+    // (the hash surrogate is a clustering key only)
+    val sdocs = docs.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val semb = emb.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("emb"))
+    val sAnn = CorpusPipeline.annotate(sdocs, "doc_id", "text", benchmark,
+      pairSource = CorpusPipeline.PairSource.Embeddings(
+        semb, simThreshold = 0.9, embIdCol = "doc_id", vecCol = "emb"))
+    val s3 = sAnn.filter(col("doc_id") === "doc-3").collect().head
+    assert(s3.getAs[Boolean]("is_near_dup"),
+      "string-id embedding near-dup lost through the surrogate")
+  }
+
+  test("embedding pair source skew guard: identical-vector boilerplate " +
+      "trips oversizedCodeBuckets, pre-collapses to linear edges " +
+      "(vector_precollapse in provenance), and flags every clone the " +
+      "bucket cap would have dropped") {
+    // 40 pairwise-distinct TEXTS (rotations — no exact-dedupe rescue)
+    // sharing ONE embedding: the all-identical-vector mass every real
+    // embedding table carries (failed encoder runs, empty docs)
+    val words = cleanText("boil").split(" ").toSeq
+    val clones = (0 until 40).map(i =>
+      (100L + i, (words.drop(i % words.size) ++ words.take(i % words.size))
+        .mkString(" ") + s" tail$i"))
+    val sdocs = clones.toDF("doc_id", "text")
+    val vc = Array.tabulate(8)(j => if (j % 2 == 0) 1.0f else 0.5f)
+    val emb = clones.map { case (id, _) => (id, vc) }.toDF("doc_id", "emb")
+    def run(guard: Boolean) = CorpusPipeline.annotateWithDecisions(
+      sdocs, "doc_id", "text", benchmark, maxBucket = 10,
+      pairSource = CorpusPipeline.PairSource.Embeddings(
+        emb, simThreshold = 0.9, embIdCol = "doc_id", vecCol = "emb"),
+      skewGuard = guard)
+
+    val (ann, dec) = run(guard = true)
+    assert(dec.map(_.decision) == Seq("vector_precollapse"), s"got: $dec")
+    assert(dec.head.detail.contains("collapsed=39"), s"got: ${dec.head}")
+    val near = ann.filter(col("is_near_dup")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(near == (101L to 139L).toSet, s"flagged: $near")
+
+    // without the guard the oversized code bucket is silently dropped
+    // and every clone sails through — the contrast the guard exists for
+    val (annOff, decOff) = run(guard = false)
+    assert(decOff.forall(_.decision == "direct"))
+    assert(annOff.filter(col("is_near_dup")).count() == 0)
   }
 
   test("stats aggregates every stage's drop count in one row") {

@@ -320,6 +320,29 @@ class RunnerSpec extends SparkSpec {
     // well under a quarter of the table, vs ~all of it arrival-ordered
     assert(read <= total / 4,
       s"provider+date slice read $read of $total rows; layout not clustering")
+
+    // end-to-end contrast on the SAME data: a plain hash-partitioned
+    // write (what phaseC would produce WITHOUT Layout.clusteredWrite)
+    // interleaves providers into every file, so the identical
+    // provider+date predicate can skip nothing — the clustered
+    // snapshot must beat it on BOTH rows surfaced at the scan and
+    // files touched
+    import org.apache.spark.sql.functions.input_file_name
+    canon.repartition(nProv * 2, col("foreign_identifier"))
+      .write.mode("overwrite").parquet(s"$work/image_flat")
+    val flatSliced = spark.read.parquet(s"$work/image_flat")
+      .filter(col("provider") === "p3" &&
+        col("updated_on") >= lit("2024-01-01").cast("timestamp"))
+    assert(flatSliced.count() == perProv) // same answer, different cost
+    val readFlat = rowsRead(flatSliced)
+    assert(read * 2 <= readFlat,
+      s"clustered scan surfaced $read rows vs unclustered $readFlat — " +
+        "clustering is not paying at the row-group level")
+    val filesClustered = sliced.select(input_file_name()).distinct().count()
+    val filesFlat = flatSliced.select(input_file_name()).distinct().count()
+    assert(filesClustered < filesFlat,
+      s"clustered slice touched $filesClustered files vs $filesFlat " +
+        "unclustered — the range layout should confine the slice")
   }
 
   test("loadCleaned last-wins order is retry/layout-stable: winners " +
