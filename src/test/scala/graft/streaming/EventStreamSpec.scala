@@ -181,6 +181,42 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("watermark eviction reaches a STATE EQUILIBRIUM: tripling the " +
+      "stream length does not grow max state rows (the bound is the " +
+      "watermark horizon, never stream length)") {
+    // the regression pin for PERF.md's StreamBenchJob measurement
+    // (78,400 state rows at BOTH 200k and 2M events): with event time
+    // advancing 1 s/event and a 100 s watermark, state is evicted at
+    // the same pace it arrives once the stream outlives the horizon —
+    // a deterministic equilibrium under fixed chunking
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2024-01-01 00:00:00").getTime
+    def run(nChunks: Int): Long = {
+      val in = MemoryStream[Event]
+      val q = EventStream.watermarkDedupe(in.toDF(), watermark = "100 seconds")
+        .writeStream.format("noop").start()
+      (0 until nChunks).foreach { c =>
+        in.addData((0 until 100).map { j =>
+          val k = c * 100L + j
+          Event(k, new Timestamp(base + k * 1000L), k % 7, "click", 1.0)
+        })
+        q.processAllAvailable()
+      }
+      val maxState = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).max
+      q.stop()
+      maxState
+    }
+    val short = run(5) // 500 s of event time — several horizons
+    val long = run(15) // 3x the stream
+    assert(long == short,
+      s"max state grew with stream length: $short -> $long")
+    assert(long < 1500, s"state ($long) must not track stream length")
+    assert(long >= 100, s"state ($long) must cover the watermark horizon")
+    }
+  }
+
   test("streaming admission drops index hits statelessly and stream " +
       "duplicates via the watermark — the streaming incremental dedupe") {
     withFewPartitions {
