@@ -496,13 +496,40 @@ object CorpusPipeline {
     * are the admitted rows' index deltas — append them to the stored
     * index tables and the next batch dedupes against this one too.
     * Only the batch is ever hashed; corpus text is re-read solely for
-    * near-dup candidate verification inside incrementalNearDupPairs. */
+    * near-dup candidate verification inside incrementalNearDupPairs.
+    *
+    * With `embedding` set, a FIFTH verdict runs between corpus
+    * near-dup and batch near-dup: `is_corpus_embed_dup` — cosine >=
+    * simThreshold against an indexed corpus vector
+    * ([[graft.similarity.Similarity.signCodeIndex]] probe, only the
+    * batch coded) — and `newCodes` carries the admitted rows' code
+    * delta for the stored embedding index, same append contract as
+    * newDigests/newBands. */
   final case class Admission(
       annotated: DataFrame,
       admitted: DataFrame,
       newDigests: DataFrame,
       newBands: DataFrame,
-      decisions: Seq[StageDecision] = Nil)
+      decisions: Seq[StageDecision] = Nil,
+      newCodes: Option[DataFrame] = None)
+
+  /** Embedding-admission inputs for [[admitBatch]]: `corpusVecs` /
+    * `batchVecs` carry (id, vec) with id VALUES in the respective
+    * frame's idCol space; `corpusCodes` is the persisted
+    * [[graft.similarity.Similarity.signCodeIndex]] of the corpus —
+    * `dim`/`nBits`/`nTables`/`seed` MUST match that index build
+    * (resolve nBits with `Similarity.codeBits` at build time and
+    * store it with the index). Batch rows with no vector simply skip
+    * this verdict (they can still be token near-dups). */
+  final case class EmbeddingAdmission(
+      corpusVecs: DataFrame,
+      corpusCodes: DataFrame,
+      batchVecs: DataFrame,
+      simThreshold: Double,
+      dim: Int,
+      nBits: Int,
+      nTables: Int = 4,
+      seed: Long = 42L)
 
   def admitBatch(
       corpus: DataFrame,
@@ -515,7 +542,8 @@ object CorpusPipeline {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.3,
-      maxBucket: Int = 5000): Admission = {
+      maxBucket: Int = 5000,
+      embedding: Option[EmbeddingAdmission] = None): Admission = {
     val id = col(idCol)
 
     // exact stage: one digest pass over the batch serves both verdicts
@@ -547,27 +575,61 @@ object CorpusPipeline {
     val afterCorpusNear = afterExact.join(
       corpusNearIds.select(id), Seq(idCol), "left_anti")
 
+    // corpus EMBEDDING near-dup (optional): probe the persisted code
+    // index with the remaining batch rows' vectors — only the batch
+    // is coded, corpus vectors re-read for candidates only
+    val embedIds: Option[DataFrame] = embedding.map { e =>
+      import graft.similarity.Similarity
+      val probe = e.batchVecs.join(
+        afterCorpusNear.select(id.as("id")), Seq("id"), "left_semi")
+      Similarity.incrementalCosineNearDupPairs(
+          e.corpusVecs, e.corpusCodes, probe, e.simThreshold, e.dim,
+          e.nBits, e.nTables, e.seed, maxBucket)
+        .select(col("id_new").as(idCol)).distinct()
+        .withColumn("__enear", lit(true))
+        .localCheckpoint()
+    }
+    val afterEmbed = embedIds.fold(afterCorpusNear)(eIds =>
+      afterCorpusNear.join(eIds.select(id), Seq(idCol), "left_anti"))
+
     // batch-internal near-dup among what's left (min-id keeper)
     val (batchNearFlag0, batchNearDecision) = nearDupFlag(
-      afterCorpusNear.select(id, col(textCol)), idCol, textCol,
+      afterEmbed.select(id, col(textCol)), idCol, textCol,
       shingleN, bands, rowsPerBand, threshold, maxBucket)
     val batchNearFlag = batchNearFlag0.localCheckpoint()
 
-    val annotated = batch
+    val joined0 = batch
       .join(exactFlags, Seq(idCol), "left")
       .join(corpusNearIds, Seq(idCol), "left")
+    val joined = embedIds.fold(joined0)(eIds =>
+      joined0.join(eIds, Seq(idCol), "left"))
+    val withCorpusNear = joined
       .join(batchNearFlag.withColumnRenamed("is_near_dup", "__bnear"),
         Seq(idCol), "left")
       .withColumn("is_corpus_near_dup",
         when(col("is_corpus_exact_dup") || col("is_batch_exact_dup"),
           lit(null)).otherwise(coalesce(col("__cnear"), lit(false))))
-      .withColumn("is_batch_near_dup",
-        when(col("is_corpus_near_dup").isNull || col("is_corpus_near_dup"),
-          lit(null)).otherwise(col("__bnear")))
-      .drop("__cnear", "__bnear")
+    // the batch-near verdict stages off whichever corpus verdict ran
+    // LAST (embed when enabled, token otherwise)
+    val annotated = (embedding match {
+      case Some(_) => withCorpusNear
+        .withColumn("is_corpus_embed_dup",
+          when(col("is_corpus_near_dup").isNull || col("is_corpus_near_dup"),
+            lit(null)).otherwise(coalesce(col("__enear"), lit(false))))
+        .withColumn("is_batch_near_dup",
+          when(col("is_corpus_embed_dup").isNull || col("is_corpus_embed_dup"),
+            lit(null)).otherwise(col("__bnear")))
+      case None => withCorpusNear
+        .withColumn("is_batch_near_dup",
+          when(col("is_corpus_near_dup").isNull || col("is_corpus_near_dup"),
+            lit(null)).otherwise(col("__bnear")))
+    }).drop("__cnear", "__enear", "__bnear")
+    val keepFilter = (!col("is_corpus_exact_dup") &&
+      !col("is_batch_exact_dup") && !col("is_corpus_near_dup") &&
+      !col("is_batch_near_dup")) &&
+      (if (embedding.isDefined) !col("is_corpus_embed_dup") else lit(true))
     val admitted = annotated
-      .filter(!col("is_corpus_exact_dup") && !col("is_batch_exact_dup") &&
-        !col("is_corpus_near_dup") && !col("is_batch_near_dup"))
+      .filter(keepFilter)
       .select(batch.columns.map(col): _*)
     Admission(
       annotated,
@@ -575,7 +637,14 @@ object CorpusPipeline {
       Dedup.contentDigests(admitted, idCol, textCol),
       Dedup.minhashBandRows(admitted, idCol, textCol,
         shingleN, bands, rowsPerBand),
-      Seq(batchNearDecision))
+      Seq(batchNearDecision),
+      embedding.map { e =>
+        import graft.similarity.Similarity
+        Similarity.signCodeIndex(
+          e.batchVecs.join(admitted.select(id.as("id")), Seq("id"),
+            "left_semi"),
+          e.dim, e.nBits, e.nTables, e.seed)
+      })
   }
 
   /** Write the pipeline's cleaned output in training-read order:

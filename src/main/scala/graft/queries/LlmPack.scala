@@ -670,6 +670,46 @@ object LlmPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // INCREMENTAL embedding near-dup: batch vectors vs a prebuilt
+    // corpus sign-code index (Similarity.signCodeIndex) — only the
+    // batch is coded, corpus vectors re-read for candidates only.
+    // Rows-only scale path; the _exact companion is the driver gate.
+    "q_incremental_embed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val batch = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bits = Similarity.codeBits(corpus)
+      val idx = Similarity.signCodeIndex(corpus, dim = 64, nBits = bits)
+      Similarity.incrementalCosineNearDupPairs(corpus, idx, batch,
+          threshold = 0.35, dim = 64, nBits = bits)
+        .select(col("id_new"), col("id_corpus"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
+    // The incremental machinery under the hard driver gate: nBits=0
+    // puts every corpus row in ONE bucket (no cap), so the index
+    // probe, candidate dedupe, and candidates-only vector re-read run
+    // exhaustively — output must equal DuckDB's brute-force
+    // batch x corpus cosine>=0.35 join on the bounded subsets. Ids
+    // only, same threshold-membership determinism argument as
+    // q_embed_neardup_exact (boundary margins >= 7.8e-6).
+    "q_incremental_embed_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 200 && col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val batch = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val idx = Similarity.signCodeIndex(corpus, dim = 64, nBits = 0,
+        nTables = 1)
+      Similarity.incrementalCosineNearDupPairs(corpus, idx, batch,
+          threshold = 0.35, dim = 64, nBits = 0, nTables = 1,
+          maxBucket = Int.MaxValue)
+        .select(col("id_new"), col("id_corpus"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
     // IVF ANN: k-means coarse quantizer + nProbe cell search — the
     // second scale path next to sign-LSH. Rows-only.
     "q_ann_ivf" -> ((s, d) => {
@@ -1276,6 +1316,17 @@ object LlmPack extends QueryPack {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_incremental_embed_exact" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 500)
+        |SELECT b.vec_id AS id_new, c.vec_id AS id_corpus
+        |FROM b, c
+        |WHERE list_cosine_similarity(b.v, c.v) >= 0.35
+        |ORDER BY id_new, id_corpus""".stripMargin,
     "q_ann_ivf_exact" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,

@@ -182,6 +182,82 @@ object Similarity {
       math.min(20, math.max(2, raw.ceil.toInt))
     }
 
+  /** The resolved auto-sized code width for `df` — public so an
+    * INDEX BUILDER can record the bits its stored codes used and a
+    * later incremental probe can pass the identical value (the two
+    * sides must agree exactly, like shingleN/bands in the minhash
+    * band index). */
+  def codeBits(df: DataFrame, targetBucket: Int = 256): Int =
+    autoBits(df, -1, targetBucket)
+
+  /** (tbl, code, id) sign-LSH code index of a corpus — the embedding
+    * analog of [[graft.dedup.Dedup.minhashBandRows]]: build once over
+    * the curated corpus, persist next to it, and incremental batches
+    * probe it without ever re-coding the corpus. `nBits` must be
+    * explicit (resolve with [[codeBits]] at build time and store it
+    * with the index); hyperplanes are deterministic in
+    * (dim, nBits, nTables, seed), so a probe with the same parameters
+    * reproduces the exact code space. */
+  def signCodeIndex(
+      df: DataFrame, // (id, vec)
+      dim: Int,
+      nBits: Int,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nBits >= 0, "signCodeIndex needs explicit nBits - resolve " +
+      "with codeBits(corpus) at build time and store it with the index")
+    signCoded(df, dim, nBits, nTables, seed)
+      .select(col("tbl"), col("code"), col("id"))
+  }
+
+  /** Batch-vs-corpus embedding near-dup pairs against a prebuilt
+    * [[signCodeIndex]] — the embedding analog of
+    * `Dedup.incrementalNearDupPairs`: only the BATCH is coded (one
+    * expression pass over the increment), candidates come from the
+    * narrow (tbl, code) equi-join against the stored index, and
+    * corpus vectors are re-read ONLY for candidate ids (the
+    * candidates-only re-read shape every incremental path here
+    * uses). Returns (id_new, id_corpus, cos) with cos >= threshold.
+    *
+    * Skew: corpus-side code buckets larger than `maxBucket` are
+    * excluded, same policy as [[cosineNearDupPairs]] — the
+    * identical-vector mass such a bucket implies is exact dedup's
+    * job ([[oversizedCodeBuckets]] reports what was skipped).
+    * `nBits`/`nTables`/`seed`/`dim` MUST match the index build. */
+  def incrementalCosineNearDupPairs(
+      corpus: DataFrame, // (id, vec)
+      corpusCodes: DataFrame, // (tbl, code, id) from signCodeIndex
+      batch: DataFrame, // (id, vec)
+      threshold: Double,
+      dim: Int,
+      nBits: Int,
+      nTables: Int = 4,
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val okBuckets = corpusCodes.groupBy(col("tbl"), col("code"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("tbl"), col("code"))
+    val cIdx = corpusCodes.join(okBuckets, Seq("tbl", "code"))
+      .select(col("tbl"), col("code"), col("id").as("__cid"))
+    // batch codes: same deterministic planes as the index build
+    val bCoded = signCoded(batch, dim, nBits, nTables, seed)
+      .select(col("id").as("id_new"), col("tbl"), col("code"))
+    // narrow candidate ids (a pair may surface via several tables -
+    // dedupe BEFORE fetching vectors so each pair verifies once)
+    val candIds = bCoded.join(cIdx, Seq("tbl", "code"))
+      .select(col("id_new"), col("__cid"))
+      .dropDuplicates("id_new", "__cid")
+    candIds
+      .join(batch.select(col("id").as("id_new"), col("vec").as("__bv")),
+        Seq("id_new"))
+      .join(corpus.select(col("id").as("__cid"), col("vec").as("__cv")),
+        Seq("__cid"))
+      .withColumn("cos", cosine(col("__bv"), col("__cv")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_new"), col("__cid").as("id_corpus"), col("cos"))
+  }
+
   private def signCoded(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
       seed: Long): DataFrame = {
     val planes = hyperplanes(dim, nBits, nTables, seed)

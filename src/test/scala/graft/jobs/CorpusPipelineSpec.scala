@@ -222,6 +222,91 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(near == (201L to 229L).toSet, s"flagged: $near")
   }
 
+  test("embedding admission in admitBatch: a vector near-dup of the " +
+      "corpus is rejected even with novel text, verdicts stage " +
+      "correctly, vector-less rows pass, and the newCodes delta makes " +
+      "round 2 catch dups of round-1 admissions") {
+    def near(t: String): String = {
+      val w = t.split(" ")
+      (w.take(10) ++ Seq("zzA", "zzB") ++ w.drop(12)).mkString(" ")
+    }
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val vA = v(1, 0, 0, 0, 0, 0, 0, 0)
+    val vB = v(0, 1, 0, 0, 0, 0, 0, 0)
+    val tA = cleanText("aa"); val tB = cleanText("bb")
+    val corpus = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val corpusVecs = Seq((1L, vA), (2L, vB)).toDF("id", "vec")
+    val corpusDigests = graft.dedup.Dedup.contentDigests(
+      corpus, "doc_id", "text")
+    val corpusBands = graft.dedup.Dedup.minhashBandRows(
+      corpus, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+    val nBits = 2
+    val corpusCodes = graft.similarity.Similarity.signCodeIndex(
+      corpusVecs, dim = 8, nBits = nBits)
+
+    val batch = Seq(
+      (30L, cleanText("cc")), // novel text, vector ~ vA -> EMBED dup
+      (31L, cleanText("dd")), // novel text + distinct vector -> admitted
+      (32L, near(tB)),        // token near-dup of corpus (has a vector)
+      (33L, cleanText("ee")), // novel, NO vector -> admitted
+      (34L, tA)               // exact dup of corpus
+    ).toDF("doc_id", "text")
+    val batchVecs = Seq(
+      (30L, v(0.99, 0.05, 0, 0, 0, 0, 0, 0)),
+      (31L, v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (32L, v(0, 0.98, 0.1, 0, 0, 0, 0, 0)),
+      (34L, vA)
+    ).toDF("id", "vec")
+    val emb = CorpusPipeline.EmbeddingAdmission(
+      corpusVecs, corpusCodes, batchVecs, simThreshold = 0.9,
+      dim = 8, nBits = nBits)
+
+    val adm = CorpusPipeline.admitBatch(corpus, corpusDigests, corpusBands,
+      batch, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3, embedding = Some(emb))
+    val m = adm.annotated.collect().map { r =>
+      def f(c: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Boolean](c))
+      r.getAs[Long]("doc_id") ->
+        (f("is_corpus_exact_dup"), f("is_corpus_near_dup"),
+          f("is_corpus_embed_dup"), f("is_batch_near_dup"))
+    }.toMap
+    val T = Some(true); val F = Some(false)
+    assert(m(30L) == ((F, F, T, None)), s"embed dup lost: ${m(30L)}")
+    assert(m(31L) == ((F, F, F, F)))
+    assert(m(32L) == ((F, T, None, None)), // token verdict wins; embed staged null
+      s"staging broken: ${m(32L)}")
+    assert(m(33L) == ((F, F, F, F)), s"vector-less row broken: ${m(33L)}")
+    assert(m(34L) == ((T, None, None, None)))
+    assert(adm.admitted.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(31L, 33L))
+    // the code delta covers exactly the admitted rows that HAVE vectors
+    val codeIds = adm.newCodes.get.select("id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(codeIds == Seq(31L))
+
+    // round 2: with the delta appended, a vector near-dup of
+    // newly-admitted 31 must now flag as a corpus EMBED dup
+    val corpus2 = corpus.union(adm.admitted)
+    val emb2 = CorpusPipeline.EmbeddingAdmission(
+      corpusVecs.union(batchVecs.join(adm.admitted.select(col("doc_id")
+        .as("id")), Seq("id"), "left_semi")),
+      corpusCodes.union(adm.newCodes.get), batchVecs = Seq(
+        (40L, v(0.05, 0, 0.99, 0, 0, 0, 0, 0))).toDF("id", "vec"),
+      simThreshold = 0.9, dim = 8, nBits = nBits)
+    val adm2 = CorpusPipeline.admitBatch(corpus2,
+      corpusDigests.union(adm.newDigests),
+      corpusBands.union(adm.newBands),
+      Seq((40L, cleanText("ff"))).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3, embedding = Some(emb2))
+    val r40 = adm2.annotated.collect().head
+    assert(r40.getAs[Boolean]("is_corpus_embed_dup"),
+      "round-2 embed dup of a round-1 admission not caught")
+    assert(adm2.admitted.count() == 0)
+  }
+
   test("embedding pair source: cosine near-dups flag through the same " +
       "clustering machinery, provenance records the source's decision, " +
       "and stats reconcile") {

@@ -79,6 +79,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental embedding near-dup: exhaustive mode equals the " +
+      "brute-force batch x corpus join; bucketed mode reports only " +
+      "genuine pairs; hot corpus buckets are excluded by the cap") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val truth = batch.select(col("id").as("id_new"), col("vec").as("bv"))
+      .crossJoin(corpus.select(col("id").as("id_corpus"), col("vec").as("cv")))
+      .withColumn("cos", Similarity.cosine(col("bv"), col("cv")))
+      .filter(col("cos") >= 0.3)
+      .collect().map(x => (x.getAs[Long]("id_new"), x.getAs[Long]("id_corpus")))
+      .toSet
+    assert(truth.nonEmpty, "fixture must produce cross near-dups")
+
+    // exhaustive regime: nBits=0 -> one bucket, no cap -> exact
+    val idx0 = Similarity.signCodeIndex(corpus, dim = 64, nBits = 0,
+      nTables = 1)
+    val exact = Similarity.incrementalCosineNearDupPairs(corpus, idx0,
+        batch, threshold = 0.3, dim = 64, nBits = 0, nTables = 1,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == truth,
+      s"exhaustive mode diverged: missing ${truth -- exact}, extra ${exact -- truth}")
+
+    // bucketed scale regime: every reported pair is genuine
+    val bits = Similarity.codeBits(corpus)
+    val idx = Similarity.signCodeIndex(corpus, dim = 64, nBits = bits)
+    val bucketed = Similarity.incrementalCosineNearDupPairs(corpus, idx,
+        batch, threshold = 0.3, dim = 64, nBits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(truth), s"false pairs: ${bucketed -- truth}")
+    assert(bucketed.nonEmpty)
+
+    // cap: a corpus of identical vectors forms one oversized bucket
+    // per table; with the cap at 10 the probe must skip it entirely
+    val cloneVec = Array.fill(8)(1.0f)
+    val clones = (0 until 50).map(i => (1000L + i, cloneVec)).toDF("id", "vec")
+    val probe = Seq((1L, cloneVec)).toDF("id", "vec")
+    val cIdx = Similarity.signCodeIndex(clones, dim = 8, nBits = 2)
+    val capped = Similarity.incrementalCosineNearDupPairs(clones, cIdx,
+      probe, threshold = 0.9, dim = 8, nBits = 2, maxBucket = 10)
+    assert(capped.count() == 0, "oversized bucket must be excluded")
+    val uncapped = Similarity.incrementalCosineNearDupPairs(clones, cIdx,
+      probe, threshold = 0.9, dim = 8, nBits = 2, maxBucket = 1000)
+    assert(uncapped.count() == 50)
+  }
+
   test("IVF ANN contains the exact top-1 for every query (sf0.001)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
