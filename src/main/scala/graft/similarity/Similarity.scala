@@ -258,15 +258,25 @@ object Similarity {
       .select(col("id_new"), col("__cid").as("id_corpus"), col("cos"))
   }
 
-  private def signCoded(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
-      seed: Long): DataFrame = {
+  /** ROW-LOCAL sign codes of one vector across all tables, as an
+    * array<struct<tbl, code>> column over plan-literal hyperplanes —
+    * the building block [[signCoded]] explodes, public so a
+    * STREAMING micro-batch can code arriving vectors with the exact
+    * code space a batch-built [[signCodeIndex]] used (deterministic
+    * in (dim, nBits, nTables, seed); no streaming aggregation). */
+  def signCodes(vec: Column, dim: Int, nBits: Int, nTables: Int,
+      seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, nBits, nTables, seed)
-    df.select(col("id"), col("vec"),
-      explode(array(planes.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("tbl"), lshCode(col("vec"), tp).as("code"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("vec"), col("bk.tbl"), col("bk.code"))
+    array(planes.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("tbl"), lshCode(vec, tp).as("code"))
+    }: _*)
   }
+
+  private def signCoded(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
+      seed: Long): DataFrame =
+    df.select(col("id"), col("vec"),
+      explode(signCodes(col("vec"), dim, nBits, nTables, seed)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.tbl"), col("bk.code"))
 
   /** IVF-style ANN: a k-means coarse quantizer partitions the base
     * vectors into `nLists` cells; each query searches only its

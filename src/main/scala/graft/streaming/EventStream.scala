@@ -330,6 +330,88 @@ object EventStream {
       .select(col(idCol), col(tsCol), col(textCol), col("best_jaccard"))
   }
 
+  /** Streaming EMBEDDING admission against a persisted sign-code
+    * index — the embedding face of [[streamingNearDupAdmission]],
+    * completing the batch/streaming x token/embedding square:
+    * documents arriving on a stream WITH an embedding column are
+    * dropped when some indexed corpus vector is within cosine >=
+    * `simThreshold` of theirs.
+    *
+    * Codes are computed ROW-LOCALLY per micro-batch
+    * ([[graft.similarity.Similarity.signCodes]] over plan-literal
+    * hyperplanes — deterministic in (dim, nBits, nTables, seed), so
+    * a batch-built [[graft.similarity.Similarity.signCodeIndex]]
+    * serves the stream with no special build). Candidates come from
+    * the STATELESS stream-static equi-join on (tbl, code); corpus
+    * vectors join back for candidate ids only; exact cosine
+    * verifies. The one stateful step is the per-document verdict
+    * ("NO candidate reached simThreshold" is universally
+    * quantified): a watermarked tumbling-window aggregation,
+    * append-mode, state bounded by arrival rate x watermark.
+    *
+    * Skew: corpus code buckets larger than `maxBucket` are excluded
+    * (identical-vector mass — exact dedup's job, same policy as the
+    * batch kernels). Within-stream embed near-dups are out of scope
+    * by construction (two stream docs never compare) — chain the
+    * batch pipeline over admitted rows, and append their
+    * [[graft.similarity.Similarity.signCodeIndex]] delta between
+    * restarts exactly as with [[streamingAdmission]]'s digests.
+    *
+    * Output: (idCol, tsCol, vecCol, best_cos) for ADMITTED documents
+    * only — best_cos is the highest corpus cosine found (0.0 when no
+    * candidate), always < simThreshold. */
+  def streamingEmbedAdmission(
+      docs: DataFrame, // idCol, tsCol, vecCol
+      corpusVecs: DataFrame, // (id, vec)
+      corpusCodes: DataFrame, // signCodeIndex output (tbl, code, id)
+      dim: Int,
+      nBits: Int,
+      nTables: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "doc_id",
+      vecCol: String = "vec",
+      tsCol: String = "ts",
+      simThreshold: Double = 0.9,
+      watermark: String = "10 minutes",
+      maxBucket: Int = 5000): DataFrame = {
+    import graft.similarity.Similarity
+    val keyed = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(vecCol),
+        explode(Similarity.signCodes(col(vecCol), dim, nBits, nTables,
+          seed)).as("bk"))
+      .select(col(idCol), col(tsCol), col(vecCol),
+        col("bk.tbl").as("tbl"), col("bk.code").as("code"))
+
+    // static sides materialized ONCE (each micro-batch re-plans them
+    // otherwise); at real scale these ARE the persisted admission
+    // index, loaded rather than built
+    val index = {
+      val okBuckets = corpusCodes.groupBy(col("tbl"), col("code"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket)
+        .select(col("tbl"), col("code"))
+      corpusCodes.join(okBuckets, Seq("tbl", "code"))
+        .select(col("tbl"), col("code"), col("id").as("__cid"))
+        .localCheckpoint()
+    }
+    val cVecs = corpusVecs
+      .select(col("id").as("__cid"), col("vec").as("__cv"))
+      .localCheckpoint()
+
+    keyed
+      .join(index, Seq("tbl", "code"), "left")
+      .join(cVecs, Seq("__cid"), "left")
+      .withColumn("__cos",
+        when(col("__cv").isNull, lit(0.0))
+          .otherwise(graft.similarity.Similarity.cosine(col(vecCol), col("__cv"))))
+      .groupBy(window(col(tsCol), watermark), col(idCol))
+      .agg(max(col("__cos")).as("best_cos"),
+        first(col(tsCol)).as(tsCol), first(col(vecCol)).as(vecCol))
+      .filter(col("best_cos") < simThreshold)
+      .select(col(idCol), col(tsCol), col(vecCol), col("best_cos"))
+  }
+
   /** SCHEMA-GENERIC stream-stream interval join: match each left row
     * to the right rows with the same `keyCol` value within `within`
     * of event time (|l.ts - r.ts| <= within). Both sides carry

@@ -291,6 +291,51 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMBEDDING admission: a batch-built sign-code index " +
+      "drops vector near-dups of the corpus on the stream, admits " +
+      "novel vectors after the watermark with their best cosine") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.VecDoc
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val vA = v(1, 0, 0, 0, 0, 0, 0, 0)
+    val vB = v(0, 1, 0, 0, 0, 0, 0, 0)
+    val corpusVecs = Seq((1L, vA), (2L, vB)).toDF("id", "vec")
+    val nBits = 2
+    val corpusCodes = graft.similarity.Similarity.signCodeIndex(
+      corpusVecs, dim = 8, nBits = nBits)
+
+    val in = MemoryStream[VecDoc]
+    val q = EventStream.streamingEmbedAdmission(
+        in.toDF(), corpusVecs, corpusCodes,
+        dim = 8, nBits = nBits, simThreshold = 0.9,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("embed_admit_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      VecDoc(10L, ts("2024-01-01 00:00:00"),
+        Seq(0.99f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f)), // ~vA -> dropped
+      VecDoc(11L, ts("2024-01-01 00:01:00"),
+        Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),       // novel -> admitted
+      VecDoc(12L, ts("2024-01-01 00:02:00"),
+        List(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)))      // == vB -> dropped
+    q.processAllAvailable()
+    // verdicts are watermark-gated: advance event time past the
+    // window end + watermark so the first window's verdicts emit
+    in.addData(VecDoc(99L, ts("2024-01-01 02:00:00"),
+      Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)))
+    q.processAllAvailable()
+    val rows = spark.table("embed_admit_out").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L),
+      s"admitted: ${rows.mkString(";")}")
+    assert(rows.head.getAs[Double]("best_cos") < 0.9)
+    // the payload vector survives the verdict aggregation intact
+    assert(rows.head.getSeq[Float](rows.head.fieldIndex("vec")).toList ==
+      List(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    }
+  }
+
   test("stream-stream interval join matches same-user events within the " +
       "bound, across micro-batches, and never outside it") {
     withFewPartitions {
@@ -537,6 +582,9 @@ class EventStreamSpec extends SparkSpec {
 object EventStreamSpec {
   /** Top-level so spark.implicits can derive its Encoder. */
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  final case class VecDoc(
+      doc_id: Long, ts: java.sql.Timestamp, vec: Seq[Float])
   final case class Ping(device: String, at: java.sql.Timestamp, tag: String)
   final case class Pong(device: String, at: java.sql.Timestamp, seq: Long)
 }
