@@ -121,5 +121,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc_table"),
       new ExpressionInfo(classOf[PqAdcTable].getName, "pq_adc_table"),
       (children: Seq[Expression]) => PqAdcTable.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => BpeEncode.fromChildren(children)))
   }
 }

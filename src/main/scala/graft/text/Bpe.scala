@@ -222,12 +222,29 @@ object Bpe {
       org.apache.spark.sql.types.StructField("weight",
         org.apache.spark.sql.types.LongType)))
 
+  /** PRODUCTION encode: the trained merges compile once into a rank
+    * table inside the codegen'd [[graft.plans.BpeEncode]] expression
+    * (min-rank merge loop — equivalent to training-order replay for
+    * trainer-produced lists, pinned by BpeSpec) and each word
+    * tokenizes row-locally in O(applied merges x len), with NO
+    * per-merge plan layers — this is the encode to put in a pipeline
+    * stage at any vocabulary size. */
+  def encodeFast(text: Column, merges: Seq[(String, String)]): Column = {
+    merges.foreach { case (a, b) =>
+      require(!(a + b).exists(_.isWhitespace),
+        s"BPE symbols cannot contain whitespace: ($a, $b)")
+    }
+    call_function("bpe_encode", text,
+      lit(merges.map { case (a, b) => s"$a $b" }.toArray))
+  }
+
   /** Apply a trained merge list to text, row-locally: tokenize on
     * whitespace, split each word to characters, replay the merges in
     * training order. Returns an array-of-symbols column. Intended for
     * inspection/eval at modest merge counts — each merge is one fold
-    * pass, so cost is O(merges x len) per word; a production encoder
-    * exports `merges` to a tokenizer runtime instead. */
+    * pass stacked into the PLAN, so cost is O(merges x len) expression
+    * layers per word; [[encodeFast]] is the production path (same
+    * result, one codegen'd expression). */
   def encode(text: Column, merges: Seq[(String, String)]): Column = {
     val words = split(trim(text), "\\s+")
     val encodedWord = merges.foldLeft((w: Column) => split(w, "")) {

@@ -215,6 +215,47 @@ class BpeSpec extends SparkSpec {
       "reference comparator diverged from the trainer on the tie")
   }
 
+  test("encodeFast (codegen'd min-rank loop) matches the training-order " +
+      "fold encode token-for-token, including overlap and unseen text, " +
+      "and is SQL-callable") {
+    val trained = Bpe.train(docs, "text", numMerges = 12, minPairCount = 2)
+    val samples = Seq("lowest newest", "low low low", "newlow widest",
+      "unseen glyphs", "  padded   spacing  ", "lowlowestwid")
+    val df = samples.toDF("t")
+    val slow = df.select(Bpe.encode(col("t"), trained.merges).as("e"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val fast = df.select(Bpe.encodeFast(col("t"), trained.merges).as("e"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(fast == slow, s"fast/slow diverge:\n fast=$fast\n slow=$slow")
+
+    // greedy-left overlap pinned on the fast path too
+    val gl = Seq("aaa").toDF("t")
+      .select(Bpe.encodeFast(col("t"), Seq(("a", "a"))).as("e"))
+      .collect().head.getSeq[String](0).toList
+    assert(gl == List("aa", "a"))
+
+    // batched-trained merges (rank property holds there too)
+    val b4 = Bpe.train(docs, "text", numMerges = 12, minPairCount = 2,
+      batch = 4)
+    val slowB = df.select(Bpe.encode(col("t"), b4.merges).as("e"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val fastB = df.select(Bpe.encodeFast(col("t"), b4.merges).as("e"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(fastB == slowB)
+
+    // SQL surface
+    val sql = spark.sql(
+      """SELECT bpe_encode('low lower', array('l o', 'lo w'))"""
+    ).collect().head.getSeq[String](0).toList
+    assert(sql == List("low", "low", "e", "r"))
+
+    // null text null-propagates
+    val nullRow = Seq[Option[String]](None).toDF("t")
+      .select(Bpe.encodeFast(col("t"), trained.merges).as("e"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("save/loadMerges round trip: exported merges.txt + vocab.tsv " +
       "re-read into an encode that matches the original trainer") {
     val trained = Bpe.train(docs, "text", numMerges = 12, minPairCount = 2)
