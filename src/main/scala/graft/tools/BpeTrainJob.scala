@@ -65,12 +65,26 @@ object BpeTrainJob {
 
     outDir.foreach(Bpe.save(trained, _))
 
+    // encode throughput: tokenize the WHOLE corpus with the trained
+    // merges through the codegen'd production encoder (bpe_encode) —
+    // the number a tokenizer user actually wants
+    val t2 = System.nanoTime()
+    val nTokens = docs
+      .select(org.apache.spark.sql.functions.explode(
+        Bpe.encodeFast(org.apache.spark.sql.functions.col("text"),
+          trained.merges)).as("tok"))
+      .count()
+    val tEncode = (System.nanoTime() - t2) / 1e9
+
     println(s"""{"docs":$nDocs,"distinct_words":$nWords,""" +
       s""""reduce_s":${f"$tReduce%.2f"},"merges":${trained.merges.size},""" +
       s""""batch":$batch,"train_jobs":$trainJobs,""" +
       s""""train_s":${f"$tTrain%.2f"},""" +
       s""""per_merge_s":${f"${tTrain / math.max(trained.merges.size, 1)}%.3f"},""" +
-      s""""vocab":$vocabSize,"sf":"$sfDir"""" +
+      s""""vocab":$vocabSize,"encode_s":${f"$tEncode%.2f"},""" +
+      s""""tokens":$nTokens,""" +
+      s""""tokens_per_s":${(nTokens / math.max(tEncode, 0.001)).toLong},""" +
+      s""""sf":"$sfDir"""" +
       outDir.map(d => s""","out":"$d"""").getOrElse("") + "}")
     spark.stop()
   }
