@@ -291,6 +291,55 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming admission survives stop/restart from its checkpoint: " +
+      "committed batches are not replayed and dedupe state is restored " +
+      "across the boundary (exactly-once admission)") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    val ckpt = java.nio.file.Files.createTempDirectory("admit_ckpt").toString
+    val index = graft.dedup.Dedup.contentDigests(
+      Seq((1L, "alpha beta gamma")).toDF("id", "text"), "id", "text")
+      .localCheckpoint()
+    val in = MemoryStream[Doc]
+    // the memory sink refuses checkpoint recovery by design;
+    // foreachBatch is the recoverable sink shape (what a real
+    // admission job uses to append its deltas)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = EventStream.streamingAdmission(in.toDF(), index)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("doc_id").collect().foreach(r => emitted.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:00"), "alpha beta gamma"), // index hit
+      Doc(11L, ts("2024-01-01 00:01:00"), "delta epsilon"))    // admitted
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq == Seq(11L))
+
+    // new arrivals while the query is DOWN: 12 duplicates 11's text
+    // (within the watermark horizon), 13 is novel
+    in.addData(
+      Doc(12L, ts("2024-01-01 00:02:00"), "delta  epsilon"),
+      Doc(13L, ts("2024-01-01 00:03:00"), "zeta eta"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // 11 appears ONCE (batch 1's offsets were committed — no replay);
+    // 12 never emits (the dedupe state store was RESTORED from the
+    // checkpoint, 11's digest still known, NOT rebuilt empty); 13
+    // admits normally post-restart.
+    assert(emitted.asScala.toSeq.sorted == Seq(11L, 13L),
+      s"restart broke exactly-once admission: emitted ${emitted.asScala.toSeq}")
+    }
+  }
+
   test("streaming EMBEDDING admission: a batch-built sign-code index " +
       "drops vector near-dups of the corpus on the stream, admits " +
       "novel vectors after the watermark with their best cosine") {
