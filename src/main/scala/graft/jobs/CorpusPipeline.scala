@@ -61,8 +61,9 @@ object CorpusPipeline {
     case object ExactTokens extends PairSource
     /** `embeddings`: (embIdCol, vecCol) with ids matching the docs
       * frame's `idCol` values. `dim = -1` reads the width off the
-      * first vector. Docs with no embedding row simply generate no
-      * pairs from this source (they can still be exact dups).
+      * first vector. Docs with no embedding row — or a NULL vector —
+      * simply generate no pairs from this source (they can still be
+      * exact dups).
       * `simThreshold` is COSINE, not Jaccard — `threshold` in the
       * pipeline signature is ignored by this source. */
     final case class Embeddings(
@@ -328,12 +329,17 @@ object CorpusPipeline {
         import graft.similarity.Similarity
         // (sid, vec) for docs that HAVE an embedding — join on the
         // ORIGINAL id (the surrogate exists only for clustering; for
-        // integral ids sid IS the id, so select it once)
+        // integral ids sid IS the id, so select it once). Null
+        // vectors are dropped HERE: they can never verify a cosine,
+        // and letting them through would group every null-vec doc
+        // into one collapse window (null == null under groupBy) and
+        // falsely flag them as mutual near-dups when the guard fires.
         val sidKeyed =
           if (idIsIntegral) keyed.select(id) else keyed.select(id, col(sidCol))
         val vecs = sidKeyed
-          .join(emb.embeddings.select(
-            col(emb.embIdCol).as(idCol), col(emb.vecCol).as("vec")),
+          .join(emb.embeddings
+            .filter(col(emb.vecCol).isNotNull)
+            .select(col(emb.embIdCol).as(idCol), col(emb.vecCol).as("vec")),
             Seq(idCol))
           .select(col(sidCol).as("id"), col("vec"))
           .localCheckpoint()
@@ -341,9 +347,14 @@ object CorpusPipeline {
           if (emb.dim > 0) emb.dim
           else vecs.select(size(col("vec")).as("d")).limit(1).collect()
             .headOption.map(_.getInt(0)).getOrElse(0)
+        // ONE resolved code width feeds BOTH the monitor and the pair
+        // generator (autoBits counts rows, and the collapse below
+        // changes the count — resolving twice would let the monitor
+        // report bucket sizes from a code space the join never uses)
+        val bits = if (dim == 0) 0 else Similarity.codeBits(vecs)
         val monitorRows: Long =
           if (!skewGuard || dim == 0) 0L
-          else Similarity.oversizedCodeBuckets(vecs, dim,
+          else Similarity.oversizedCodeBuckets(vecs, dim, nBits = bits,
             nTables = emb.nTables, seed = emb.seed,
             maxBucket = maxBucket).count()
         // pre-collapse: BIT-IDENTICAL vectors are cosine exactly 1.0
@@ -368,7 +379,7 @@ object CorpusPipeline {
           if (dim == 0) joinVecs.sparkSession.emptyDataFrame
             .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
           else Similarity.cosineNearDupPairs(joinVecs, emb.simThreshold,
-              dim, nTables = emb.nTables, seed = emb.seed,
+              dim, nBits = bits, nTables = emb.nTables, seed = emb.seed,
               maxBucket = maxBucket)
             .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),

@@ -50,7 +50,7 @@ case class PqEncode(
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != m * dsub) return null
+    if (PqEncode.invalid(v, m * dsub)) return null
     val codes = PqEncode.encode(v, cbArr, m, k, dsub)
     new GenericArrayData(codes)
   }
@@ -59,7 +59,7 @@ case class PqEncode(
     nullSafeCodeGen(ctx, ev, v => {
       val cbRef = ctx.addReferenceObj("pqCb", cbArr, "float[]")
       s"""
-         |if ($v.numElements() != ${m * dsub}) {
+         |if (graft.plans.PqEncode.invalid($v, ${m * dsub})) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] codes = graft.plans.PqEncode.encode($v, $cbRef, $m, $k, $dsub);
@@ -100,6 +100,22 @@ object PqEncode {
         s"pq_encode $name must be an integer literal, got $other")
     }
     PqEncode(ch(0), cb, intArg(2, "m"), intArg(3, "k"), intArg(4, "dsub"))
+  }
+
+  /** True when a vector cannot encode or table-build: wrong width,
+    * or ANY null element — the input type may carry
+    * containsNull=true, and a raw getFloat on a null slot would
+    * silently read 0.0 into the math (the same policy PqAdc applies
+    * to null codes, but here the whole vector nulls out: a vector
+    * with a missing coordinate has no well-defined neighbors). */
+  def invalid(v: ArrayData, d: Int): Boolean = {
+    if (v.numElements() != d) return true
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return true
+      i += 1
+    }
+    false
   }
 
   /** One implementation for BOTH execution paths (interpreted eval
@@ -233,8 +249,9 @@ object PqAdc {
   * the one driver-side materialization PQ search used to need — the
   * query frame keeps arbitrary size because its tables are built
   * row-local on executors, exactly like [[PqEncode]] builds base
-  * codes. Wrong-width or null vectors yield null (they have no
-  * well-defined neighbors; the caller filters them out). */
+  * codes. Wrong-width, null, or null-element vectors yield null
+  * (they have no well-defined neighbors; the caller filters them
+  * out). */
 case class PqAdcTable(
     child: Expression, cb: IndexedSeq[Float], m: Int, k: Int, dsub: Int)
     extends UnaryExpression {
@@ -252,7 +269,7 @@ case class PqAdcTable(
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != m * dsub) return null
+    if (PqEncode.invalid(v, m * dsub)) return null
     new GenericArrayData(PqAdcTable.table(v, cbArr, m, k, dsub))
   }
 
@@ -260,7 +277,7 @@ case class PqAdcTable(
     nullSafeCodeGen(ctx, ev, v => {
       val cbRef = ctx.addReferenceObj("pqCb", cbArr, "float[]")
       s"""
-         |if ($v.numElements() != ${m * dsub}) {
+         |if (graft.plans.PqEncode.invalid($v, ${m * dsub})) {
          |  ${ev.isNull} = true;
          |} else {
          |  float[] tab = graft.plans.PqAdcTable.table($v, $cbRef, $m, $k, $dsub);

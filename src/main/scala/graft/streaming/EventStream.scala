@@ -375,7 +375,13 @@ object EventStream {
       watermark: String = "10 minutes",
       maxBucket: Int = 5000): DataFrame = {
     import graft.similarity.Similarity
+    // null-vector docs are DROPPED up front, mirroring the batch
+    // kernels: a null vec would otherwise code to bucket 0 and then
+    // produce a null cosine, making its verdict depend on whether
+    // bucket 0 happens to hold corpus rows — same question, two
+    // different silent answers
     val keyed = docs
+      .filter(col(vecCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), col(vecCol),
         explode(Similarity.signCodes(col(vecCol), dim, nBits, nTables,

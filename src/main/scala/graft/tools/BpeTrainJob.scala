@@ -49,7 +49,6 @@ object BpeTrainJob {
     // scanned a second time
     val t1 = System.nanoTime()
     val trained = Bpe.trainFromWordCounts(words, numMerges, batch = batch)
-    val vocabSize = trained.vocab.count()
     val tTrain = (System.nanoTime() - t1) / 1e9
     // listener events post asynchronously (the bus is internal);
     // poll until the count is quiescent before reading
@@ -62,6 +61,10 @@ object BpeTrainJob {
     }
     spark.sparkContext.removeSparkListener(listener)
     val trainJobs = jobCounter.get()
+    // the vocab materialization is NOT training cadence — count it
+    // outside both the timer and the job listener, or it would skew
+    // the jobs-per-merge comparison the batch knob is measured by
+    val vocabSize = trained.vocab.count()
 
     outDir.foreach(Bpe.save(trained, _))
 

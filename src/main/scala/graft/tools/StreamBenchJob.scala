@@ -84,10 +84,14 @@ object StreamBenchJob {
     op match {
       case "admission" =>
         // ~2% of stream docs collide with the 200-digest static index;
-        // ~1% repeat an earlier stream doc's text (within-watermark dup)
+        // ~1% repeat an earlier stream doc's text (within-watermark
+        // dup). The dup branch must point at a PLAIN-branch doc: i-1
+        // is ≡6 (mod 100) and ≢0 (mod 50), so its text really is the
+        // plain rendering (pointing at i-100 — itself ≡7 mod 100 —
+        // would chain forever and generate zero actual duplicates)
         def text(i: Long): String =
           if (i % 50 == 0) s"indexed shared passage number ${i / 50 % 200}"
-          else if (i % 100 == 7) s"stream doc body ${i - 100} tokens"
+          else if (i % 100 == 7) s"stream doc body ${i - 1} tokens"
           else s"stream doc body $i tokens"
         val index = (0 until 200)
           .map(j => s"indexed shared passage number $j").toDF("text")
@@ -119,10 +123,13 @@ object StreamBenchJob {
         var i = 0L
         while (i < perSide) {
           val hi = math.min(i + chunk / 2, perSide)
+          // each side advances event time at HALF the combined rate:
+          // spacing 2/simRate seconds = eventTs(2j) at the full rate
+          // (integer-safe for any simRate >= 1, unlike simRate / 2)
           lIn.addData((i until hi).map(j =>
-            Event(j, eventTs(j, simRate / 2), j % nKeys, "click", 1.0)))
+            Event(j, eventTs(j * 2, simRate), j % nKeys, "click", 1.0)))
           rIn.addData((i until hi).map(j =>
-            Event(j, eventTs(j, simRate / 2), j % nKeys, "view", 1.0)))
+            Event(j, eventTs(j * 2, simRate), j % nKeys, "view", 1.0)))
           q.processAllAvailable()
           i = hi
         }

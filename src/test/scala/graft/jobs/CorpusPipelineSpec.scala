@@ -315,13 +315,16 @@ class CorpusPipelineSpec extends SparkSpec {
     // come from the vectors); 4/6/7 are well-separated; 2 is an exact
     // text dup (never reaches near-dup); 5 fails quality (no vector
     // on purpose — absence must not break the join)
-    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    def v(xs: Double*): Option[Array[Float]] = Some(xs.map(_.toFloat).toArray)
     val emb = Seq(
       (1L, v(1, 0, 0, 0, 0, 0, 0, 0)),
       (3L, v(0.99, 0.1, 0, 0, 0, 0, 0, 0)),
       (4L, v(0, 1, 0, 0, 0, 0, 0, 0)),
       (6L, v(0, 0, 1, 0, 0, 0, 0, 0)),
-      (7L, v(0, 0, 0, 1, 0, 0, 0, 0))
+      (7L, v(0, 0, 0, 1, 0, 0, 0, 0)),
+      // a NULL vector row (failed encoder run): must neither crash
+      // the dim inference nor generate pairs
+      (2L, Option.empty[Array[Float]])
     ).toDF("doc_id", "emb")
     val src = CorpusPipeline.PairSource.Embeddings(
       emb, simThreshold = 0.9, embIdCol = "doc_id", vecCol = "emb")
@@ -374,9 +377,15 @@ class CorpusPipelineSpec extends SparkSpec {
     val clones = (0 until 40).map(i =>
       (100L + i, (words.drop(i % words.size) ++ words.take(i % words.size))
         .mkString(" ") + s" tail$i"))
-    val sdocs = clones.toDF("doc_id", "text")
+    // two docs whose embeddings are NULL: they must not be caught in
+    // the collapse window (null == null under groupBy would falsely
+    // pair them) nor flagged by anything else
+    val nullVecDocs = Seq((150L, cleanText("aa2")), (151L, cleanText("bb2")))
+    val sdocs = (clones ++ nullVecDocs).toDF("doc_id", "text")
     val vc = Array.tabulate(8)(j => if (j % 2 == 0) 1.0f else 0.5f)
-    val emb = clones.map { case (id, _) => (id, vc) }.toDF("doc_id", "emb")
+    val emb = (clones.map { case (id, _) => (id, Some(vc)) } ++
+      nullVecDocs.map { case (id, _) => (id, Option.empty[Array[Float]]) })
+      .toDF("doc_id", "emb")
     def run(guard: Boolean) = CorpusPipeline.annotateWithDecisions(
       sdocs, "doc_id", "text", benchmark, maxBucket = 10,
       pairSource = CorpusPipeline.PairSource.Embeddings(

@@ -162,11 +162,17 @@ class PqSpec extends SparkSpec {
   }
 
   test("pq_adc_table (distributed) matches the driver-side kernel bit-for-bit " +
-      "and nulls out wrong-width or null vectors") {
+      "and nulls out wrong-width, null, or null-element vectors") {
     val cb = Pq.fit(smallDf, m = 4, k = 8)
-    val rows: Seq[(Long, Option[Array[Float]])] =
-      testVectors(50, 16).map { case (id, v) => (id, Some(v)) } ++
-        Seq((100L, None), (101L, Some(Array.fill(7)(1.0f))))
+    val rows: Seq[(Long, Option[Seq[Option[Float]]])] =
+      testVectors(50, 16).map { case (id, v) =>
+        (id, Some(v.toSeq.map(Option(_)))) } ++
+        Seq((100L, None),
+          (101L, Some(Seq.fill(7)(Option(1.0f)))),
+          // correct width, one NULL element: a raw getFloat would
+          // silently read the missing coordinate as 0.0
+          (102L, Some(Seq.tabulate(16)(i =>
+            if (i == 5) None else Option(1.0f)))))
     val df = rows.toDF("qid", "qvec")
     val got = df.select(col("qid"), Pq.adcTableCol(col("qvec"), cb).as("qtab"))
       .collect()
@@ -175,10 +181,16 @@ class PqSpec extends SparkSpec {
       .toMap
     assert(got(100L) == null, "null vector must yield null table")
     assert(got(101L) == null, "wrong-width vector must yield null table")
+    assert(got(102L) == null, "null-element vector must yield null table")
     testVectors(50, 16).foreach { case (id, v) =>
       assert(got(id).toSeq == Pq.adcTable(v, cb).toSeq,
         s"table diverges from the driver kernel for qid $id")
     }
+    // pq_encode applies the same policy
+    val codes = df.select(col("qid"), Pq.encode(col("qvec"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(codes(102L), "null-element vector must yield null codes")
+    assert(!codes(0L))
   }
 
   test("a deliberately large query side flows through without driver " +

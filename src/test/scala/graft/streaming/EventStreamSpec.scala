@@ -367,7 +367,8 @@ class EventStreamSpec extends SparkSpec {
       VecDoc(11L, ts("2024-01-01 00:01:00"),
         Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),       // novel -> admitted
       VecDoc(12L, ts("2024-01-01 00:02:00"),
-        List(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)))      // == vB -> dropped
+        List(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),      // == vB -> dropped
+      VecDoc(13L, ts("2024-01-01 00:02:30"), null)) // null vec -> dropped up front
     q.processAllAvailable()
     // verdicts are watermark-gated: advance event time past the
     // window end + watermark so the first window's verdicts emit
