@@ -25,7 +25,9 @@ import graft.streaming.EventStream.Event
   * rows total across stateful operators).
   *
   * Ops: `admission` ([[EventStream.streamingAdmission]] — digest
-  * anti-join + dropDuplicatesWithinWatermark), `interval_join`
+  * anti-join + dropDuplicatesWithinWatermark), `embed_admission`
+  * ([[EventStream.streamingEmbedAdmission]] — sign-code index probe
+  * + cosine verify + windowed verdict), `interval_join`
   * ([[EventStream.streamingIntervalJoinOn]], inner, ±within), and
   * `windowed` ([[EventStream.windowedCounts]]) as the aggregation
   * baseline. Args:
@@ -36,6 +38,8 @@ object StreamBenchJob {
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+  final case class VDoc(doc_id: Long, ts: Timestamp, vec: Seq[Float])
+
   private val Base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
   private def eventTs(i: Long, simRate: Int): Timestamp =
@@ -43,7 +47,7 @@ object StreamBenchJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamBenchJob <admission|interval_join|windowed> <nEvents> " +
+      "usage: StreamBenchJob <admission|embed_admission|interval_join|windowed> <nEvents> " +
         "[chunk] [watermarkMin] [simRate]")
     val op = args(0)
     val nEvents = args(1).toLong
@@ -106,6 +110,39 @@ object StreamBenchJob {
         while (i < nEvents) {
           val hi = math.min(i + chunk, nEvents)
           in.addData((i until hi).map(j => Doc(j, eventTs(j, simRate), text(j))))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "embed_admission" =>
+        // 2k-vector corpus + sign-code index; ~2% of stream vectors
+        // are near-copies of a corpus vector (dropped), the rest are
+        // index-orthogonal directions (admitted)
+        val dim = 16
+        val nBits = 3
+        def baseVec(k: Long): Seq[Float] =
+          Seq.tabulate(dim)(t =>
+            (((k * 31 + t * 17) % 13) - 6).toFloat / 6f)
+        val corpusVecs = (0L until 2000L).map(k => (k, baseVec(k)))
+          .toDF("id", "vec")
+          .localCheckpoint()
+        val codes = graft.similarity.Similarity.signCodeIndex(
+          corpusVecs, dim, nBits)
+        def streamVec(i: Long): Seq[Float] =
+          if (i % 50 == 0) baseVec(i / 50 % 2000) // ~corpus copy
+          else Seq.tabulate(dim)(t =>
+            (((i * 73 + t * 29) % 17) - 8).toFloat / 8f)
+        val in = MemoryStream[VDoc]
+        val q = EventStream.streamingEmbedAdmission(
+            in.toDF(), corpusVecs, codes, dim = dim, nBits = nBits,
+            simThreshold = 0.999, watermark = watermark)
+          .writeStream.format("noop").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            VDoc(j, eventTs(j, simRate), streamVec(j))))
           q.processAllAvailable()
           i = hi
         }
