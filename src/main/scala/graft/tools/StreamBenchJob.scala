@@ -32,6 +32,10 @@ import graft.streaming.EventStream.Event
   * `windowed` ([[EventStream.windowedCounts]]) as the aggregation
   * baseline. Args:
   *   <op> <nEvents> [chunk=20000] [watermarkMin=5] [simRate=100]
+  *   [embedBits=3]
+  * `embedBits` sizes the embed_admission code space (corpus bucket
+  * width = 2000 / 2^bits - the throughput lever, since each arriving
+  * doc verifies ~nTables x bucket-width cosines).
   * Prints ONE JSON line.
   */
 object StreamBenchJob {
@@ -54,6 +58,7 @@ object StreamBenchJob {
     val chunk = if (args.length >= 3) args(2).toInt else 20000
     val wmMin = if (args.length >= 4) args(3).toInt else 5
     val simRate = if (args.length >= 5) args(4).toInt else 100
+    val embedBits = if (args.length >= 6) args(5).toInt else 3
     val watermark = s"$wmMin minutes"
     val nKeys = 10000
 
@@ -120,7 +125,7 @@ object StreamBenchJob {
         // are near-copies of a corpus vector (dropped), the rest are
         // index-orthogonal directions (admitted)
         val dim = 16
-        val nBits = 3
+        val nBits = embedBits
         def baseVec(k: Long): Seq[Float] =
           Seq.tabulate(dim)(t =>
             (((k * 31 + t * 17) % 13) - 6).toFloat / 6f)
@@ -202,7 +207,8 @@ object StreamBenchJob {
     val maxState = if (ms.isEmpty) 0L else ms.map(_.stateRows).max
     val horizonRows = // the bound the claim predicts: rate x (wm [+within])
       simRate.toLong * (wmMin * 60L + (if (op == "interval_join") 240L else 0L))
-    println(s"""{"op":"$op","events":$nEvents,"batches":${data.size},""" +
+    val extra = if (op == "embed_admission") s""","embed_bits":$embedBits""" else ""
+    println(s"""{"op":"$op","events":$nEvents,"batches":${data.size}$extra,""" +
       s""""chunk":$chunk,"watermark":"$watermark","sim_rate_eps":$simRate,""" +
       s""""max_state_rows":$maxState,"horizon_rows":$horizonRows,""" +
       s""""p50_batch_ms":${pct(0.50)},"p95_batch_ms":${pct(0.95)},""" +
