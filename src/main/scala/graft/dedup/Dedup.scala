@@ -21,7 +21,7 @@ object Dedup {
     * `idCol` per normalized-text hash (deterministic, unlike
     * dropDuplicates). D1/D2-style but content-addressed. */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val h = contentDigestOf(col(textCol))
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
     df.withColumn("__h", h)
       .withColumn("__rn", row_number().over(w))
@@ -29,12 +29,20 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** THE content digest — one definition for every exact-dedup face
+    * (keeper window, persisted index, incremental batch probe): the
+    * incremental path only works if the batch digest stays
+    * bit-identical to the stored index, so the normalization must
+    * never be able to drift between copies. */
+  def contentDigestOf(text: Column): Column =
+    md5(trim(regexp_replace(text, "\\s+", " ")))
+
   /** Per-document content digests: (id, digest) of the
     * whitespace-normalized text — the persisted side of incremental
     * EXACT dedup (write once, append each admitted batch's rows). */
   def contentDigests(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      md5(trim(regexp_replace(col(textCol), "\\s+", " "))).as("digest"))
+      contentDigestOf(col(textCol)).as("digest"))
 
   /** Incremental exact dedup: drop batch rows whose content digest
     * already exists in `indexDigests` ([[contentDigests]] of the
@@ -47,8 +55,7 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val digested = batch.withColumn("__h",
-      md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val digested = batch.withColumn("__h", contentDigestOf(col(textCol)))
     val fresh = digested.join(
       indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
@@ -68,6 +75,12 @@ object Dedup {
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  // NOTE pinned semantics: `trim` strips ASCII space only and
+  // Spark's split keeps edge empties, so text edged by tabs/newlines
+  // contributes one "" token to shingles/simhash. The DuckDB oracle
+  // SQL implements the SAME tokenization (the gate checks parity, not
+  // an ideal), so this stays as-is — normalizing here without
+  // migrating every oracle would break the hash compare.
   private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
 
   /** (id, sh): distinct word n-gram shingles per document, with the
@@ -110,7 +123,22 @@ object Dedup {
       pairs: DataFrame,
       idA: String,
       idB: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
+    // the label state is LONG — a non-integral id column would cast
+    // to null and silently discard every edge (the bug the pipeline's
+    // hash-surrogate exists to prevent); refuse loudly instead
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }, s"connectedComponents needs integral ids; '$c' is $dt — " +
+        "hash non-integral ids to a 64-bit surrogate first " +
+        "(xxhash64), as CorpusPipeline.nearDupFlag does")
+    }
     val edges = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"),
@@ -137,6 +165,15 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // min-label propagation moves a label ONE HOP per round, so a
+    // component of diameter > maxIter would exit unconverged — and an
+    // unconverged result is one real component reported as SEVERAL
+    // clusters, which downstream keeper logic would trust and keep
+    // duplicates. Wrong-but-plausible output is the one thing this
+    // must never return: refuse instead.
+    require(done, s"connectedComponents did not converge in $maxIter " +
+      "rounds (a near-dup chain longer than maxIter hops exists) — " +
+      "raise maxIter; cost is one join round per extra hop")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
@@ -291,10 +328,6 @@ object Dedup {
       .select(col("id"), col("bk.band"), col("bk.bh"))
   }
 
-  private def bandRowsOf(
-      docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    bandRowsFromShingles(docs, bands, rowsPerBand)
-
   /** (id, band, bh) LSH bucket keys for a corpus — the PERSISTED side
     * of incremental near-dup: write this once (at scale, bucketed by
     * (band, bh)), then each new batch joins its own band rows against
@@ -309,7 +342,7 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame =
-    bandRowsOf(shingled(df, idCol, textCol, shingleN), bands, rowsPerBand)
+    bandRowsFromShingles(shingled(df, idCol, textCol, shingleN), bands, rowsPerBand)
 
   /** MinHash-LSH near-duplicate candidate pairs.
     *
@@ -329,7 +362,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 5000): DataFrame = {
     val docs = shingled(df, idCol, textCol, shingleN)
-    lshPairsFromShingles(docs, bandRowsOf(docs, bands, rowsPerBand),
+    lshPairsFromShingles(docs, bandRowsFromShingles(docs, bands, rowsPerBand),
       threshold, maxBucket)
   }
 
@@ -417,7 +450,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 5000): DataFrame = {
     val batchDocs = shingled(batch, idCol, textCol, shingleN)
-    val batchBands = bandRowsOf(batchDocs, bands, rowsPerBand)
+    val batchBands = bandRowsFromShingles(batchDocs, bands, rowsPerBand)
     val okBuckets = corpusIndex.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
@@ -493,7 +526,13 @@ object Dedup {
     * Long overflow in the 64-bit construction is benign by design:
     * every nibble contribution and every `1L << k` term occupies
     * disjoint bits, so wrap-around arithmetic still assembles the
-    * exact bit pattern. */
+    * exact bit pattern.
+    *
+    * NULL text: the explode emits no row, so null-text documents are
+    * ABSENT from the output (and from simhashPairs) — unlike the
+    * scalar simhash16, which maps null to code 0. Filter or coalesce
+    * upstream if null-text docs must participate; the value-parity
+    * claim below is for non-null text. */
   def simhashCodes(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
     require(bits % 4 == 0 && bits >= 4 && bits <= 64,
@@ -545,6 +584,13 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 5000,
       bits: Int = 16): DataFrame = {
+    // the pigeonhole guarantee needs maxHamming+1 NON-EMPTY segments;
+    // more segments than bits produces zero-width ones whose
+    // universal bucket the cap then drops — silently voiding the
+    // guarantee the scaladoc states, so refuse the degenerate shape
+    require(maxHamming + 1 <= bits,
+      s"simhashPairs needs maxHamming + 1 <= bits for the pigeonhole " +
+        s"guarantee (got maxHamming=$maxHamming, bits=$bits)")
     val nSeg = maxHamming + 1
     // segment boundaries spread the code bits as evenly as possible
     val bounds = (0 to nSeg).map(i => i * bits / nSeg)

@@ -185,9 +185,11 @@ object SimJoin {
   private def tokenStream(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
-    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__t"))
-      .select(col("id"),
-        array_distinct(Dedup.shingles(col("__t"), shingleN)).as("sh"))
+    // COMPOSED from Dedup.shingled, not re-implemented: the pipeline
+    // compares/combines this exact join with the LSH path, and two
+    // private copies of "what is a shingle" could silently drift —
+    // one definition keeps the cross-path parity structural
+    Dedup.shingled(df, idCol, textCol, shingleN)
       .select(col("id"), explode(col("sh")).as("tok"))
       .localCheckpoint(false)
 

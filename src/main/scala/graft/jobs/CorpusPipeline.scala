@@ -166,7 +166,7 @@ object CorpusPipeline {
 
     // 2. exact dedupe on whitespace-normalized content digest
     val exactFlag = q
-      .withColumn("__h", md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
+      .withColumn("__h", Dedup.contentDigestOf(col(textCol)))
       .select(id,
         (id =!= min(id).over(Window.partitionBy(col("__h"))))
           .as("is_exact_dup"))

@@ -222,7 +222,7 @@ object EventStream {
       tsCol: String = "ts"): DataFrame =
     docs
       .withColumn("digest",
-        md5(trim(regexp_replace(col(textCol), "\\s+", " "))))
+        graft.dedup.Dedup.contentDigestOf(col(textCol)))
       .join(broadcast(indexDigests.select(col("digest"))),
         Seq("digest"), "left_anti")
       .withWatermark(tsCol, watermark)

@@ -168,6 +168,40 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents refuses wrong-but-plausible output: a chain " +
+      "deeper than maxIter throws instead of returning split clusters, " +
+      "and the default budget absorbs a 30-hop chain") {
+    // 31-node path: label 100 must travel 30 hops to node 130
+    val chain = (100L until 130L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(100L), s"chain split: ${cc.values.toSet}")
+    // an under-budgeted run must FAIL, never silently split the chain
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents rejects non-integral ids loudly (a string " +
+      "id used to cast to null and silently discard every edge)") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("integral ids"))
+    assert(e.getMessage.contains("xxhash64"))
+  }
+
+  test("simhashPairs rejects more segments than bits (zero-width " +
+      "segments would silently void the pigeonhole guarantee)") {
+    val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 16, bits = 16)
+    }
+    assert(e.getMessage.contains("maxHamming + 1 <= bits"))
+  }
+
   test("decontaminate flags exactly the corpus docs sharing an n-gram " +
       "with the benchmark, counting distinct shared grams") {
     val bench = Seq(
