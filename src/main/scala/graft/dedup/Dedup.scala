@@ -103,28 +103,45 @@ object Dedup {
     * keeper per duplicate group: every node's cluster label converges
     * to the smallest id reachable from it.
     *
-    * Iterative min-label propagation: each round is one distributed
-    * join + aggregate (the driver only orchestrates, Pregel-style),
-    * stopping early at the first round with zero label changes.
-    * Near-dup clusters have tiny diameters (most are pairs or
-    * triangles), so convergence is 2-3 rounds in practice; `maxIter`
-    * bounds pathological chains.
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * each round rewires the edge list toward stars centered at
+    * component minima — large-star hangs every node's
+    * larger-than-parent neighbors off the local minimum, small-star
+    * collapses the smaller ones — and the fixed point is exactly one
+    * star per component, centered at its smallest id. Convergence is
+    * O(log d) rounds in the component diameter d, NOT d rounds: a
+    * million-node near-dup chain costs ~2·log2(d) distributed rounds,
+    * where one-hop min-label propagation would burn a round per hop.
+    * Each round is a constant number of hash-aggregates and
+    * equi-joins on 16-byte (long, long) edge rows — no adjacency
+    * lists are ever materialized per node, so a hot node with 10M
+    * neighbors is 10M rows in an aggregate, not one giant array.
     *
     * Each round's result is `localCheckpoint`ed, not merely cached:
     * a cache cuts re-EXECUTION but leaves the logical plan growing —
-    * and since every round references the previous labels twice, the
-    * analyzed plan doubles per round (exponential Catalyst analysis
-    * time, the classic iterative-algorithm trap). Checkpointing
-    * truncates lineage to the materialized blocks. On a real cluster
-    * with lineage-based fault tolerance concerns, swap
+    * the analyzed plan would double per round (exponential Catalyst
+    * analysis time, the classic iterative-algorithm trap).
+    * Checkpointing truncates lineage to the materialized blocks. On a
+    * real cluster with lineage-based fault tolerance concerns, swap
     * localCheckpoint for a reliable `checkpoint` directory — the
     * algorithm is unchanged. */
   def connectedComponents(
       pairs: DataFrame,
       idA: String,
       idB: String,
-      maxIter: Int = 50): DataFrame = {
-    // the label state is LONG — a non-integral id column would cast
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsStats(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took —
+    * the measurement face (PERF.md's convergence table); the labels
+    * frame is identical. */
+  def connectedComponentsStats(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // the edge state is LONG — a non-integral id column would cast
     // to null and silently discard every edge (the bug the pipeline's
     // hash-surrogate exists to prevent); refuse loudly instead
     Seq(idA, idB).foreach { c =>
@@ -139,42 +156,75 @@ object Dedup {
         "hash non-integral ids to a 64-bit surrogate first " +
         "(xxhash64), as CorpusPipeline.nearDupFlag does")
     }
-    val edges = pairs.select(col(idA).cast("long").as("src"),
+    val raw = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
-    val sym = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    // every input id must appear in the output, including nodes whose
+    // only pair is a self-pair (no proper edge survives orientation)
+    val nodes = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+
+    // invariant: edges oriented src > dst, no self-loops, distinct
+    var edges = raw.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
+
+    // large-star: for each node u over its full neighborhood Γ(u),
+    // m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
+    // Output keeps the src > dst orientation (v > u >= m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(min(least(col("dst"), col("src"))).as("m"))
+      sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: for each node u over its SMALLER neighbors
+    // N(u) = {v < u} (the src > dst orientation gives these directly),
+    // m = min(N(u)); rewire every v ∈ N(u) \ {m} and u itself to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val rewired = e.join(mins, Seq("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      rewired.union(mins.select(col("src"), col("m").as("dst"))).distinct()
+    }
+
     var iter = 0
-    var done = false
+    var done = edgeCount == 0L
     while (!done && iter < maxIter) {
-      val nbrMin = sym.alias("e")
-        .join(labels.alias("l"), col("e.dst") === col("l.id"))
-        .groupBy(col("e.src").as("nid"))
-        .agg(min(col("l.lbl")).as("nbr_lbl"))
-      val next = labels.alias("l")
-        .join(nbrMin.alias("n"), col("l.id") === col("n.nid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl")))
-            .as("lbl"))
-        .localCheckpoint(true)
-      val changed = next.alias("a")
-        .join(labels.alias("b"), col("a.id") === col("b.id"))
-        .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
-      labels = next
-      done = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      // next == edges  ⇔  |next| == |edges| and next \ edges = ∅
+      val grew = next.join(edges, Seq("src", "dst"), "left_anti")
+        .limit(1).count() > 0
+      done = nextCount == edgeCount && !grew
+      edges = next
+      edgeCount = nextCount
       iter += 1
     }
-    // min-label propagation moves a label ONE HOP per round, so a
-    // component of diameter > maxIter would exit unconverged — and an
-    // unconverged result is one real component reported as SEVERAL
+    // an unconverged exit would report one real component as SEVERAL
     // clusters, which downstream keeper logic would trust and keep
     // duplicates. Wrong-but-plausible output is the one thing this
-    // must never return: refuse instead.
+    // must never return: refuse instead. (At the O(log d) star rate
+    // the default budget covers any component a physical corpus can
+    // produce; hitting this means maxIter was set pathologically low.)
     require(done, s"connectedComponents did not converge in $maxIter " +
-      "rounds (a near-dup chain longer than maxIter hops exists) — " +
-      "raise maxIter; cost is one join round per extra hop")
-    labels.select(col("id"), col("lbl").as("cluster"))
+      "star rounds — raise maxIter (convergence needs ~2*log2(diameter) " +
+      "rounds, so even planet-scale graphs fit in the default 50)")
+    // fixed point = one star per component, centered at the component
+    // min: every non-center node appears as src exactly once, with
+    // dst = its center; centers appear only as dst.
+    val labels = edges.select(col("src").as("id"), col("dst").as("cluster"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("cluster")))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    val singletons = nodes.join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    (labels.union(singletons), iter)
   }
 
   /** Decontamination — the test-set-overlap pass of a training-data

@@ -343,10 +343,29 @@ object CorpusPipeline {
             Seq(idCol))
           .select(col(sidCol).as("id"), col("vec"))
           .localCheckpoint()
+        // resolve AND validate the vector width in one aggregate: an
+        // arbitrary-first-row inference over a mixed-width table is
+        // nondeterministic, and a mismatched vector would silently
+        // generate no pairs downstream (the sign-code projection just
+        // never matches) — refuse loudly instead, like
+        // connectedComponents does for non-integral ids
+        val widthStats = vecs.agg(min(size(col("vec"))).as("lo"),
+          max(size(col("vec"))).as("hi"), count(lit(1)).as("n"))
+          .collect().head
         val dim =
-          if (emb.dim > 0) emb.dim
-          else vecs.select(size(col("vec")).as("d")).limit(1).collect()
-            .headOption.map(_.getInt(0)).getOrElse(0)
+          if (widthStats.getLong(2) == 0L) 0
+          else {
+            val (lo, hi) = (widthStats.getInt(0), widthStats.getInt(1))
+            require(lo == hi, "Embeddings pair source has mixed vector " +
+              s"widths (min $lo, max $hi) — mismatched vectors can never " +
+              "verify a cosine and would silently produce no pairs; fix " +
+              "the embedding table first")
+            if (emb.dim > 0) {
+              require(hi == emb.dim, s"declared dim ${emb.dim} does not " +
+                s"match the embedding table's width $hi")
+              emb.dim
+            } else hi
+          }
         // ONE resolved code width feeds BOTH the monitor and the pair
         // generator (autoBits counts rows, and the collapse below
         // changes the count — resolving twice would let the monitor

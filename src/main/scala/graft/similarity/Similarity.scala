@@ -110,8 +110,8 @@ object Similarity {
     // cost) to buy it back rather than bucket width (quadratic).
     // Explicit nBits >= 0 is honored untouched (0 = single bucket =
     // the brute-force oracle regime).
-    val bits = autoBits(df, nBits, targetBucket)
-    val coded = signCoded(df, dim, bits, nTables, seed)
+    val (src, bits) = sizedSource(df, nBits, targetBucket)
+    val coded = signCoded(src, dim, bits, nTables, seed)
     val bucketSizes = coded.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
@@ -154,25 +154,44 @@ object Similarity {
       targetBucket: Int = 256): DataFrame = {
     // same auto-sizing as cosineNearDupPairs, so the monitor reports
     // on the buckets the pair generator would actually use
-    val bits = autoBits(df, nBits, targetBucket)
-    signCoded(df, dim, bits, nTables, seed)
+    val (src, bits) = sizedSource(df, nBits, targetBucket)
+    signCoded(src, dim, bits, nTables, seed)
       .groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
   }
+
+  /** Auto-mode input resolution for the sign-LSH pair generators: in
+    * auto mode (nBits = -1) the sizing count used to run EAGERLY on
+    * the caller's frame and the returned plan then re-scanned it — a
+    * derived input (filters, joins, computed vectors) was executed
+    * TWICE. A lazy localCheckpoint fixes both sides at once: the
+    * sizing count materializes the input into storage blocks, the
+    * returned plan (including the bucket self-join, which references
+    * the input twice) reads those blocks, and the input's own lineage
+    * executes exactly once. Explicit nBits passes the frame through
+    * untouched — no storage cost when the caller already resolved the
+    * width (index builds, incremental probes). */
+  private def sizedSource(
+      df: DataFrame, nBits: Int, targetBucket: Int): (DataFrame, Int) =
+    if (nBits >= 0) (df, nBits)
+    else {
+      val src = df.localCheckpoint(eager = false)
+      (src, autoBits(src, -1, targetBucket))
+    }
 
   /** Code-space sizing for the sign-LSH pair generators: explicit
     * nBits >= 0 passes through; -1 sizes bits = log2(count /
     * targetBucket), clamped to [2, 20], so the expected bucket stays
     * ~targetBucket rows as the corpus grows and candidate-pair volume
     * is linear in N (N * targetBucket * nTables / 2), never
-    * quadratic. NOTE: auto mode runs the count() EAGERLY at
-    * DataFrame-construction time — columnless, so a plain parquet
-    * source answers from footer metadata, but a derived input
-    * (filters, joins, computed vectors) is executed once for it.
+    * quadratic. NOTE: auto mode still runs the sizing count EAGERLY
+    * at DataFrame-construction time, but over [[sizedSource]]'s lazy
+    * checkpoint — so a derived input executes once, not twice.
     * Callers composing the pair generator with its monitoring
-    * companion over an expensive input should count once themselves
-    * and pass the same explicit nBits to both. */
+    * companion over an expensive input should still resolve
+    * [[codeBits]] once themselves and pass the same explicit nBits to
+    * both (each auto call checkpoints independently). */
   private[similarity] def autoBits(df: DataFrame, nBits: Int, targetBucket: Int): Int =
     if (nBits >= 0) nBits
     else {

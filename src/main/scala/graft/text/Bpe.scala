@@ -196,16 +196,22 @@ object Bpe {
       p.resolve("vocab.tsv").toString, singleFile = true)
   }
 
-  /** Re-read a saved merge list, rank order preserved (`#`-prefixed
-    * header lines skipped) — the round-trip counterpart of [[save]],
-    * consumable by [[encode]]. */
+  /** Re-read a saved merge list, rank order preserved — the
+    * round-trip counterpart of [[save]], consumable by [[encode]].
+    * Only the `#version` HEADER line is skipped (the GPT-2/HF
+    * convention): a merge pair whose first symbol itself starts with
+    * '#' (corpus words like '#include', hashtags) is real data, and a
+    * prefix filter would silently shorten the reloaded list. */
   def loadMerges(dir: String): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files
+    val all = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(dir).resolve("merges.txt"),
         java.nio.charset.StandardCharsets.UTF_8)
       .asScala.toSeq
-      .filterNot(l => l.startsWith("#") || l.isEmpty)
+    val body =
+      if (all.headOption.exists(_.startsWith("#version"))) all.tail else all
+    body
+      .filterNot(_.isEmpty)
       .map { l =>
         val i = l.indexOf(' ')
         require(i > 0 && l.indexOf(' ', i + 1) < 0,

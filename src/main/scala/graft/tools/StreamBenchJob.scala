@@ -32,10 +32,14 @@ import graft.streaming.EventStream.Event
   * `windowed` ([[EventStream.windowedCounts]]) as the aggregation
   * baseline. Args:
   *   <op> <nEvents> [chunk=20000] [watermarkMin=5] [simRate=100]
-  *   [embedBits=3]
+  *   [embedBits=3] [statePartitions=1]
   * `embedBits` sizes the embed_admission code space (corpus bucket
   * width = 2000 / 2^bits - the throughput lever, since each arriving
   * doc verifies ~nTables x bucket-width cosines).
+  * `statePartitions` sets spark.sql.shuffle.partitions, which fixes
+  * the state-store partition count for the query's LIFETIME — the
+  * multi-partition scaling axis (state rows shard by key hash; on a
+  * cluster each partition is an independent store on its executor).
   * Prints ONE JSON line.
   */
 object StreamBenchJob {
@@ -52,20 +56,23 @@ object StreamBenchJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: StreamBenchJob <admission|embed_admission|interval_join|windowed> <nEvents> " +
-        "[chunk] [watermarkMin] [simRate]")
+        "[chunk] [watermarkMin] [simRate] [embedBits] [statePartitions]")
     val op = args(0)
     val nEvents = args(1).toLong
     val chunk = if (args.length >= 3) args(2).toInt else 20000
     val wmMin = if (args.length >= 4) args(3).toInt else 5
     val simRate = if (args.length >= 5) args(4).toInt else 100
     val embedBits = if (args.length >= 6) args(5).toInt else 3
+    val statePartitions = if (args.length >= 7) args(6).toInt else 1
     val watermark = s"$wmMin minutes"
     val nKeys = 10000
 
     val spark = Sessions.local("graft-streambench")
-    // one state partition: hermetic and fork-free in this container
-    // (see EventStreamSpec's note); state-row totals are unaffected
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // default 1 state partition: hermetic and fork-free in this
+    // container (see EventStreamSpec's note); state-row TOTALS are
+    // partition-count-invariant, so the bounded-state claim is the
+    // same at any width — raise statePartitions to measure scaling
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -209,6 +216,7 @@ object StreamBenchJob {
       simRate.toLong * (wmMin * 60L + (if (op == "interval_join") 240L else 0L))
     val extra = if (op == "embed_admission") s""","embed_bits":$embedBits""" else ""
     println(s"""{"op":"$op","events":$nEvents,"batches":${data.size}$extra,""" +
+      s""""state_partitions":$statePartitions,""" +
       s""""chunk":$chunk,"watermark":"$watermark","sim_rate_eps":$simRate,""" +
       s""""max_state_rows":$maxState,"horizon_rows":$horizonRows,""" +
       s""""p50_batch_ms":${pct(0.50)},"p95_batch_ms":${pct(0.95)},""" +

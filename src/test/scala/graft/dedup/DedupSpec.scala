@@ -168,19 +168,60 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("connectedComponents refuses wrong-but-plausible output: a chain " +
-      "deeper than maxIter throws instead of returning split clusters, " +
-      "and the default budget absorbs a 30-hop chain") {
-    // 31-node path: label 100 must travel 30 hops to node 130
-    val chain = (100L until 130L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("connectedComponents star contraction: a 400-node path (diameter " +
+      "399, deeper than any per-hop budget) converges in O(log d) rounds " +
+      "with one min-labeled cluster, and an under-budgeted run refuses " +
+      "instead of returning split clusters") {
+    // path 100-101-...-499: one-hop propagation would need 399 rounds
+    val chain = (100L until 499L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsStats(chain, "id_a", "id_b")
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 400)
     assert(cc.values.toSet == Set(100L), s"chain split: ${cc.values.toSet}")
+    // 2*log2(399) ~ 17.3; allow slack but pin the asymptotic claim
+    assert(rounds <= 22, s"star contraction took $rounds rounds on a " +
+      "diameter-399 path — expected ~2*log2(d)")
     // an under-budgeted run must FAIL, never silently split the chain
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 3).collect()
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents parity on planted graphs: same clusters as " +
+      "driver-side union-find on a random multi-component edge soup, " +
+      "self-pairs and singleton components included") {
+    val rnd = new scala.util.Random(42)
+    // 12 planted components of mixed shapes over ids 0..119, plus
+    // self-pairs (node present, no proper edge)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0 until 12).foreach { c =>
+      val ids = (c * 10 until c * 10 + 10).map(_.toLong)
+      // a random spanning chain + a few extra random intra edges
+      val order = rnd.shuffle(ids)
+      order.sliding(2).foreach { p => edges += ((p(0), p(1))) }
+      (0 until 3).foreach { _ =>
+        edges += ((ids(rnd.nextInt(10)), ids(rnd.nextInt(10))))
+      }
+    }
+    edges += ((500L, 500L)) // self-pair only: its own singleton cluster
+    val pairs = edges.toSeq.toDF("id_a", "id_b")
+    // driver-side oracle: union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got(500L) == 500L)
   }
 
   test("connectedComponents rejects non-integral ids loudly (a string " +

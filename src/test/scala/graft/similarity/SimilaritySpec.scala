@@ -251,6 +251,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("auto mode executes a derived input ONCE: the sizing count " +
+      "materializes a lazy checkpoint that the pair join then reads " +
+      "(no double execution of filters/joins feeding the generator)") {
+    val acc = spark.sparkContext.longAccumulator("derived_rows_evaluated")
+    val tick = udf { (v: Seq[Float]) => acc.add(1); v }
+    val derived = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), tick(col("embedding")).as("vec"))
+    val nRows = 200L
+    acc.reset()
+    // auto bits (-1): construction runs the sizing count, execution
+    // runs the bucket self-join — which references the input TWICE
+    Similarity.cosineNearDupPairs(derived, threshold = 0.99, dim = 64)
+      .count()
+    assert(acc.value == nRows,
+      s"derived input evaluated ${acc.value} rows — expected exactly " +
+        s"$nRows (once); more means the auto sizing or the self-join " +
+        "re-executed the input lineage")
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 2, 2, seed = 7L)
     val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)

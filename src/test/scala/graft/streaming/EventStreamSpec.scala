@@ -210,7 +210,10 @@ class EventStreamSpec extends SparkSpec {
     }
     val short = run(5) // 500 s of event time — several horizons
     val long = run(15) // 3x the stream
-    assert(long == short,
+    // equilibrium, with a small tolerance: exact equality would pin
+    // micro-batch boundary placement, which is not the claim — the
+    // claim is that state does NOT track stream length
+    assert(long <= short * 1.05 + 1,
       s"max state grew with stream length: $short -> $long")
     assert(long < 1500, s"state ($long) must not track stream length")
     assert(long >= 100, s"state ($long) must cover the watermark horizon")

@@ -293,6 +293,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("save/loadMerges keeps '#'-leading symbols: only a leading " +
+      "#version header is skipped, so merges trained on corpus words " +
+      "like '#include' round-trip losslessly") {
+    // '#i' first symbol starts with '#'; '#versionx' even shares the
+    // header's prefix — both are DATA lines and must survive reload
+    val trained = Bpe.Trained(
+      Seq(("#", "i"), ("#i", "nclude"), ("#versionx", "y")),
+      Seq(("#include", 3L)).toDF("symbol", "weight"))
+    val dir = java.nio.file.Files.createTempDirectory("bpe_hash").toString
+    try {
+      Bpe.save(trained, dir)
+      assert(Bpe.loadMerges(dir) == trained.merges)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("early stop: merges halt when the best pair drops below " +
       "minPairCount, not at the requested count") {
     // every word unique -> all pair counts are 1 -> no merges at min 2
