@@ -159,21 +159,26 @@ object Dedup {
     val raw = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
     // every input id must appear in the output, including nodes whose
-    // only pair is a self-pair (no proper edge survives orientation)
+    // only pair is a self-pair (no proper edge survives orientation).
+    // Lazy: consumed exactly once, in the final singleton anti-join —
+    // an eager materialization here would cost a job in the loop
+    // phase for nothing.
     val nodes = raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
 
     // invariant: edges oriented src > dst, no self-loops, distinct
     var edges = raw.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint(true)
-    var edgeCount = edges.count()
 
     // large-star: for each node u over its full neighborhood Γ(u),
     // m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
-    // Output keeps the src > dst orientation (v > u >= m).
+    // Output keeps the src > dst orientation (v > u >= m). No
+    // distinct here: small-star's aggregates are duplicate-tolerant
+    // (min over dupes is min) and ITS final distinct canonicalizes
+    // the round — one exchange per round saved.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy(col("src"))
@@ -181,7 +186,6 @@ object Dedup {
       sym.join(mins, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
     // small-star: for each node u over its SMALLER neighbors
     // N(u) = {v < u} (the src > dst orientation gives these directly),
@@ -194,17 +198,34 @@ object Dedup {
       rewired.union(mins.select(col("src"), col("m").as("dst"))).distinct()
     }
 
+    // per-round convergence probe: ONE aggregate job over the (post-
+    // distinct, so set-valued) edge frame — count + order-free
+    // xor/sum fingerprints of xxhash64(src, dst). A stable
+    // fingerprint is only PROBABLE equality, so the loop confirms the
+    // fixed point with one exact anti-join before accepting it (and
+    // keeps iterating on the astronomically-unlikely miss) — the
+    // exact set-compare runs ONCE at the end instead of every round.
+    def fingerprint(e: DataFrame): (Long, Long, java.math.BigDecimal) = {
+      val h = xxhash64(col("src"), col("dst"))
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))"),
+        sum(h.cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2))
+    }
+
+    var fp = fingerprint(edges)
     var iter = 0
-    var done = edgeCount == 0L
+    var done = fp._1 == 0L
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextCount = next.count()
-      // next == edges  ⇔  |next| == |edges| and next \ edges = ∅
-      val grew = next.join(edges, Seq("src", "dst"), "left_anti")
-        .limit(1).count() > 0
-      done = nextCount == edgeCount && !grew
+      val nfp = fingerprint(next)
+      if (nfp == fp) {
+        // counts match (from fp) and next \ edges = ∅  ⇒  next == edges
+        done = next.join(edges, Seq("src", "dst"), "left_anti")
+          .limit(1).count() == 0
+      }
       edges = next
-      edgeCount = nextCount
+      fp = nfp
       iter += 1
     }
     // an unconverged exit would report one real component as SEVERAL

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.dedup.Dedup
+
+/** Convergence measurement for the star-contraction connected
+  * components kernel: builds a path graph of the given diameter (the
+  * worst case for any label-propagation scheme — one-hop min-label
+  * needs exactly `diameter` rounds on it), runs
+  * [[Dedup.connectedComponentsStats]], and reports rounds + wall +
+  * the cluster check (a path is ONE component; anything else is a
+  * correctness failure, not a perf number). Args: [diameter=100000].
+  * Prints ONE JSON line. */
+object CcBenchJob {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0).toInt else 100000
+    val spark = Sessions.local("graft-ccbench")
+    import spark.implicits._
+    // path 0-1-...-d: d edges, diameter d, generated distributed
+    val pairs = spark.range(0, d.toLong)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val t0 = System.nanoTime()
+    val (labels, rounds) =
+      Dedup.connectedComponentsStats(pairs, "id_a", "id_b")
+    val clusters = labels.select(countDistinct(col("cluster"))).collect()(0)
+      .getLong(0)
+    val wallS = (System.nanoTime() - t0) / 1e9
+    require(clusters == 1L, s"path split into $clusters clusters")
+    val bound = 2 * (math.log(d.toDouble) / math.log(2.0))
+    println(s"""{"kernel":"large_star_small_star","diameter":$d,""" +
+      s""""rounds":$rounds,"bound_2log2d":${f"$bound%.1f"},""" +
+      s""""one_hop_rounds_would_be":$d,"clusters":$clusters,""" +
+      s""""wall_s":${f"$wallS%.1f"}}""")
+    spark.stop()
+  }
+}

@@ -41,10 +41,36 @@ import graft.{Sessions, Tables}
   * literal 0..factor-1 array, so the source is scanned once and the
   * multiplication happens row-parallel, never on the driver.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  *   [tables] [embMode]
   * `tables` is an optional comma-list (e.g. "documents,embeddings")
   * restricting which tables are written — the 100x corpus-only run
   * doesn't need to pay for 60M lineitem rows it will never read.
+  *
+  * `embMode` (default `flip`) picks the embeddings transform:
+  *   - `flip`: the sign-flip decorrelation above — preserves the
+  *     SOURCE distribution, which for the synthetic fixtures is
+  *     near-isotropic: every direction equally likely, no cluster
+  *     structure. That is PQ/IVF's WORST case (subspace codebooks and
+  *     coarse cells both exploit clustering), so recall measured on
+  *     it is a lower bound.
+  *   - `clustered[:k[:sigma]]`: a deterministic mixture-of-Gaussians
+  *     REPLACEMENT for the vector values (ids/row counts still fan
+  *     out exactly as above): each scaled vec_id hashes to one of `k`
+  *     mixture components (default 2048); component centers and
+  *     per-vector noise are hash-seeded Irwin-Hall gaussians, noise
+  *     scale `sigma` (default 0.25), so the corpus has the cluster
+  *     structure real embedding models produce. Fully deterministic
+  *     in vec_id alone — re-runs and different partitionings produce
+  *     byte-identical vectors — and copies stay decorrelated because
+  *     disjoint shifted ids draw disjoint hash streams. The
+  *     representative regime for IVF-PQ recall curves (PERF.md
+  *     carries both). SIZE k TO THE CORPUS: expected cluster
+  *     population is N/k, and a top-k' search's candidates must
+  *     cover it (recall collapses to ~candidates/population when a
+  *     cluster dwarfs the candidate budget — measured, see PERF.md's
+  *     k=64 mega-cluster row). N/k ~ 100 is the representative
+  *     real-corpus granularity.
   */
 object ScaleUp {
 
@@ -56,21 +82,59 @@ object ScaleUp {
   private def shifted(keyCol: String, stride: Long): Column =
     col(keyCol) + col("__i") * lit(stride)
 
+  /** Hash-seeded uniform in (0, 1), deterministic in its inputs. */
+  private def unif(cols: Column*): Column =
+    (pmod(xxhash64(cols: _*), lit(1000003L)).cast("double") + 0.5) / 1000003.0
+
+  /** Hash-seeded approximate N(0,1): Irwin-Hall sum of 4 uniforms,
+    * centered and scaled to unit variance (var of the sum is 1/3).
+    * Plenty gaussian for benchmark geometry; exactly reproducible in
+    * any engine with xxhash64. */
+  private def gauss(tag: String, a: Column, b: Column): Column =
+    ((1 to 4).map(s => unif(lit(tag), a, b, lit(s))).reduce(_ + _) - lit(2.0)) *
+      lit(math.sqrt(3.0))
+
+  /** Mixture-of-Gaussians embedding, deterministic in the (already
+    * shifted) id: component = hash(id) mod k, value_j = center[c][j]
+    * + sigma * noise[id][j]. Row-parallel column expressions — no
+    * driver-side vectors, no RNG state. */
+  private[tools] def clusteredVec(
+      id: Column, dims: Column, k: Int, sigma: Double): Column = {
+    val cid = pmod(xxhash64(lit("mog_cid"), id), lit(k.toLong))
+    transform(dims, (_, j) =>
+      (gauss("mog_ctr", cid, j) + lit(sigma) * gauss("mog_nz", id, j))
+        .cast("float"))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: ScaleUp <srcDir> <outDir> <factor> [tables]")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: ScaleUp <srcDir> <outDir> <factor> [tables] " +
+        "[flip|clustered[:k[:sigma]]]")
     val only: Set[String] =
-      if (args.length == 4) args(3).split(",").map(_.trim).toSet else Set.empty
+      if (args.length >= 4 && args(3).nonEmpty)
+        args(3).split(",").map(_.trim).toSet
+      else Set.empty
+    val embMode = if (args.length >= 5) args(4) else "flip"
     val spark = Sessions.local("graft-scaleup")
-    run(spark, args(0), args(1), args(2).toInt, only)
+    run(spark, args(0), args(1), args(2).toInt, only, embMode)
     spark.stop()
   }
 
   /** Library entry point — does NOT own the session (main stops the
     * one it builds; tests pass their shared session). */
   def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
-      n: Int, only: Set[String] = Set.empty): Unit = {
+      n: Int, only: Set[String] = Set.empty,
+      embMode: String = "flip"): Unit = {
     require(n >= 1, s"factor must be >= 1, got $n")
+    val (embKind, mogK, mogSigma) = embMode.split(":") match {
+      case Array("flip") => ("flip", 0, 0.0)
+      case Array("clustered") => ("clustered", 2048, 0.25)
+      case Array("clustered", k) => ("clustered", k.toInt, 0.25)
+      case Array("clustered", k, s) => ("clustered", k.toInt, s.toDouble)
+      case _ => sys.error(
+        s"embMode must be flip or clustered[:k[:sigma]], got '$embMode'")
+    }
+    require(embKind == "flip" || mogK >= 1, s"clustered k must be >= 1")
     val known = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val unknown = only -- known
@@ -157,10 +221,16 @@ object ScaleUp {
       val flipped = transform(col("embedding"), (x, j) =>
         (x * (lit(1) - lit(2) * pmod(hash(col("__i"), j), lit(2))))
           .cast("float"))
-      write("embeddings", fanOut(emb, n)
+      val fanned = fanOut(emb, n)
         .withColumn("vec_id", shifted("vec_id", sVec))
-        .withColumn("embedding",
-          when(col("__i") === 0, col("embedding")).otherwise(flipped)))
+      val scaledEmb = embKind match {
+        case "flip" => fanned.withColumn("embedding",
+          when(col("__i") === 0, col("embedding")).otherwise(flipped))
+        case "clustered" => fanned.withColumn("embedding",
+          clusteredVec(col("vec_id"), col("embedding"),
+            k = mogK, sigma = mogSigma))
+      }
+      write("embeddings", scaledEmb)
     }
   }
 }

@@ -343,6 +343,119 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup admission survives stop/restart: pending " +
+      "window verdicts are restored from the checkpoint (not lost, not " +
+      "double-emitted) and post-restart docs admit normally") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    def text(prefix: String): String =
+      (0 until 54).map(i => s"$prefix$i").grouped(9).toSeq
+        .zip(Seq("the", "of", "and", "in", "is", "it"))
+        .flatMap { case (g, s) => g :+ s }.mkString(" ")
+    def near(t: String): String = {
+      val w = t.split(" ")
+      (w.take(10) ++ Seq("zzA", "zzB") ++ w.drop(12)).mkString(" ")
+    }
+    val tA = text("aa")
+    val corpus = Seq((1L, tA)).toDF("doc_id", "text").localCheckpoint()
+    val corpusBands = graft.dedup.Dedup.minhashBandRows(
+      corpus, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+      .localCheckpoint()
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    val in = MemoryStream[Doc]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = EventStream.streamingNearDupAdmission(
+        in.toDF(), corpus, corpusBands,
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.3,
+        watermark = "10 minutes")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("doc_id").collect().foreach(r => emitted.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:00"), near(tA)), // corpus near-dup
+      Doc(11L, ts("2024-01-01 00:01:00"), text("cc"))) // novel
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    // both verdicts still PENDING in window state (watermark hasn't
+    // closed their window) — nothing emitted yet
+    assert(emitted.asScala.isEmpty,
+      s"verdicts emitted before the watermark: ${emitted.asScala.toSeq}")
+
+    // arrivals while the query is DOWN: a new novel doc, then a
+    // far-future doc that closes the first window
+    in.addData(
+      Doc(12L, ts("2024-01-01 00:02:00"), text("dd")),
+      Doc(99L, ts("2024-01-01 02:00:00"), text("zz")))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // 11 and 12 emit exactly once each: the windowed verdict state
+    // (including batch-1's partial max-jaccard aggregates) was
+    // RESTORED, not rebuilt empty; 10's verdict stayed a drop across
+    // the boundary; 99's window is still open
+    assert(emitted.asScala.toSeq.sorted == Seq(11L, 12L),
+      s"restart broke the pending verdicts: ${emitted.asScala.toSeq}")
+    }
+  }
+
+  test("streaming embed admission survives stop/restart: pending " +
+      "window verdicts are restored from the checkpoint and the " +
+      "near-dup drop verdict holds across the boundary") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.VecDoc
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val vA = v(1, 0, 0, 0, 0, 0, 0, 0)
+    val corpusVecs = Seq((1L, vA)).toDF("id", "vec").localCheckpoint()
+    val nBits = 2
+    val corpusCodes = graft.similarity.Similarity.signCodeIndex(
+      corpusVecs, dim = 8, nBits = nBits).localCheckpoint()
+    val ckpt = java.nio.file.Files.createTempDirectory("emb_ckpt").toString
+    val in = MemoryStream[VecDoc]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = EventStream.streamingEmbedAdmission(
+        in.toDF(), corpusVecs, corpusCodes,
+        dim = 8, nBits = nBits, simThreshold = 0.9,
+        watermark = "10 minutes")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("doc_id").collect().foreach(r => emitted.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    in.addData(
+      VecDoc(10L, ts("2024-01-01 00:00:00"),
+        Seq(0.99f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f)), // ~vA -> drop
+      VecDoc(11L, ts("2024-01-01 00:01:00"),
+        Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)))       // novel
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.isEmpty,
+      s"verdicts emitted before the watermark: ${emitted.asScala.toSeq}")
+
+    in.addData(
+      VecDoc(12L, ts("2024-01-01 00:02:00"),
+        Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),       // novel, while down
+      VecDoc(99L, ts("2024-01-01 02:00:00"),
+        Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)))       // closes window 1
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.asScala.toSeq.sorted == Seq(11L, 12L),
+      s"restart broke the pending verdicts: ${emitted.asScala.toSeq}")
+    }
+  }
+
   test("streaming EMBEDDING admission: a batch-built sign-code index " +
       "drops vector near-dups of the corpus on the stream, admits " +
       "novel vectors after the watermark with their best cosine") {

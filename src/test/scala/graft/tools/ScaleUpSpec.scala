@@ -66,4 +66,46 @@ class ScaleUpSpec extends SparkSpec {
     assert(flipped.join(orig, Seq("vec_id", "nrm")).count() == srcEmb.count(),
       "sign-flipped copies must preserve every vector's norm")
   }
+
+  test("clustered embedding mode: deterministic mixture-of-Gaussians " +
+      "with real cluster structure (within-component cosines far above " +
+      "cross-component), same schema and fan-out") {
+    val src = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("scaleup_mog").toString
+    ScaleUp.run(spark, src, out, 2, Set("embeddings"),
+      embMode = "clustered:16")
+
+    val srcEmb = Tables.embeddings(spark, src)
+    val outEmb = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(outEmb.count() == 2 * srcEmb.count())
+    assert(outEmb.schema("embedding").dataType ==
+      srcEmb.schema("embedding").dataType)
+
+    // determinism: a second run is value-identical row for row
+    val out2 = Files.createTempDirectory("scaleup_mog2").toString
+    ScaleUp.run(spark, src, out2, 2, Set("embeddings"),
+      embMode = "clustered:16")
+    val again = spark.read.parquet(s"$out2/embeddings.parquet")
+    assert(outEmb.join(again, Seq("vec_id", "embedding"), "left_anti")
+      .count() == 0L, "clustered vectors must be deterministic in vec_id")
+
+    // cluster structure: same-component pairs nearly parallel,
+    // cross-component pairs near-orthogonal. Recompute the component
+    // id the generator used (it is a pure function of vec_id).
+    import graft.similarity.Similarity
+    val withCid = outEmb.select(col("vec_id"),
+      pmod(xxhash64(lit("mog_cid"), col("vec_id")), lit(16L)).as("cid"),
+      col("embedding"))
+    val sample = withCid.filter(col("vec_id") < 400)
+    val pairs = sample.alias("l").join(sample.alias("r"),
+        col("l.vec_id") < col("r.vec_id"))
+      .select((col("l.cid") === col("r.cid")).as("same"),
+        Similarity.cosine(col("l.embedding"), col("r.embedding")).as("cos"))
+      .groupBy(col("same")).agg(avg(col("cos")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(pairs(true) > 0.7,
+      s"within-component mean cosine ${pairs(true)} — no cluster structure")
+    assert(math.abs(pairs(false)) < 0.2,
+      s"cross-component mean cosine ${pairs(false)} — components correlate")
+  }
 }
