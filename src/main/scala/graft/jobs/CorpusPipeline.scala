@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.mix.Splits
-import graft.text.{Packing, Redaction, TextStats}
+import graft.text.{Bpe, Packing, Redaction, TextStats}
 
 /** End-to-end training-corpus preparation: the composed job a user
   * runs over raw documents to get training-ready shards, chaining the
@@ -471,7 +471,16 @@ object CorpusPipeline {
   /** Run the full pipeline. `benchmark` must carry the same id/text
     * column names as `docs`. Shard packing requires a deterministic
     * input frame (Packing's contract); everything upstream here is
-    * joins/filters over file sources, which are. */
+    * joins/filters over file sources, which are.
+    *
+    * `tokenizerMerges` closes the train -> encode -> pack loop: with
+    * a trained BPE merge list ([[graft.text.Bpe.loadMerges]] of a
+    * saved artifact, or `Trained.merges` directly), the cleaned
+    * output gains a `tokens` array column — the REDACTED text encoded
+    * through the codegen'd production encoder — and shard packing
+    * budgets on the REAL token counts (`size(tokens)`) instead of the
+    * whitespace estimate, so shard sizes mean model tokens. Encoding
+    * runs once per kept doc, row-local, after every drop stage. */
   def run(
       docs: DataFrame,
       idCol: String,
@@ -488,7 +497,8 @@ object CorpusPipeline {
       pairSource: PairSource = PairSource.TokenLsh,
       skewGuard: Boolean = true,
       quality: Column => Column = defaultQuality,
-      onStage: (String, Double) => Unit = (_, _) => ()): Result = {
+      onStage: (String, Double) => Unit = (_, _) => (),
+      tokenizerMerges: Option[Seq[(String, String)]] = None): Result = {
     val id = col(idCol)
     val (annotated, decisions) = annotateWithDecisions(docs, idCol,
       textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
@@ -496,12 +506,20 @@ object CorpusPipeline {
     val kept = annotated
       .filter(col("pass_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"))
-    val cleaned = kept.select(id,
+    val base = kept.select(id,
       Redaction.redactPii(col(textCol)).as(textCol),
       Splits.assign(id, validPerMille).as("split"))
+    val cleaned = tokenizerMerges match {
+      case Some(m) =>
+        base.withColumn("tokens", Bpe.encodeFast(col(textCol), m))
+      case None => base
+    }
     val train = cleaned.filter(col("split") === "train")
-    val shards = Packing.packShards(train, idCol,
-      TextStats.tokenCount(col(textCol)), shardBudget)
+    val tokCount = tokenizerMerges match {
+      case Some(_) => size(col("tokens")).cast("long")
+      case None => TextStats.tokenCount(col(textCol))
+    }
+    val shards = Packing.packShards(train, idCol, tokCount, shardBudget)
     Result(annotated, cleaned.join(shards, Seq(idCol), "left"), decisions)
   }
 

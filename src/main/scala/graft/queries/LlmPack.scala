@@ -22,6 +22,17 @@ import graft.text.TextStats
   */
 object LlmPack extends QueryPack {
 
+  /** Fixed merge list for q_bpe_encode, trainer-SHAPED by
+    * construction: composites (ta+bl, tabl+e, a+st) merge strictly
+    * after their constituents and no later merge can create a pair an
+    * earlier rank wanted — the invariant trainer output always has,
+    * under which the production min-rank encoder provably equals
+    * training-order replay. Mirrored verbatim in the oracle's replace
+    * chain. */
+  private[queries] val bpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
+    ("s", "t"), ("e", "r"), ("a", "st"), ("r", "o"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-aggregate on a content digest (never on raw
     // text), keeper = min doc_id per group.
@@ -342,6 +353,25 @@ object LlmPack extends QueryPack {
       graft.text.Chunking.chunk(Tables.documents(s, d), "doc_id", "text",
           winLen = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Production BPE encode (the codegen'd bpe_encode expression) in
+    // the DRIVER gate, with a fixed trainer-shaped merge list (every
+    // composite merges after its constituents and no later merge can
+    // create an earlier pair, so min-rank == training-order replay —
+    // the regime the trainer emits). DuckDB can't BPE natively, but
+    // greedy-left pair merging over '§'-delimited symbol strings IS
+    // left-to-right non-overlapping replace(), so the oracle replays
+    // the exact merges as a replace chain and the gate compares full
+    // (doc, pos, token) streams.
+    "q_bpe_encode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(graft.text.Bpe.encodeFast(col("text"), bpeFixtureMerges)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("tok"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // Corpus-wide adjacent token-pair frequency — the merge-candidate
@@ -1197,6 +1227,38 @@ object LlmPack extends QueryPack {
         |SELECT doc_id, chunk_idx, len(ck) AS n_tokens,
         |  array_to_string(ck, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_bpe_encode" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp
+        |  FROM documents WHERE doc_id < 50),
+        |w AS (
+        |  SELECT doc_id, CAST(u AS INTEGER) AS wpos,
+        |    sp[CAST(u AS INTEGER)] AS word
+        |  FROM d, unnest(range(1, len(sp) + 1)) s(u)),
+        |enc AS (
+        |  SELECT doc_id, wpos,
+        |    string_split(
+        |      trim(
+        |        replace(replace(replace(replace(replace(replace(replace(
+        |          replace(
+        |          '§' || array_to_string(str_split_regex(word, ''), '§§')
+        |            || '§',
+        |          '§t§§a§', '§ta§'), '§b§§l§', '§bl§'),
+        |          '§ta§§bl§', '§tabl§'), '§tabl§§e§', '§table§'),
+        |          '§s§§t§', '§st§'), '§e§§r§', '§er§'),
+        |          '§a§§st§', '§ast§'), '§r§§o§', '§ro§'),
+        |        '§'),
+        |      '§§') AS toks
+        |  FROM w),
+        |flat AS (
+        |  SELECT doc_id, wpos, CAST(u AS INTEGER) AS tpos,
+        |    toks[CAST(u AS INTEGER)] AS tok
+        |  FROM enc, unnest(range(1, len(toks) + 1)) s(u))
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY wpos, tpos) - 1 AS INTEGER) AS pos,
+        |  tok
+        |FROM flat ORDER BY doc_id, pos""".stripMargin,
     "q_pair_freq" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS sp FROM documents),

@@ -23,21 +23,36 @@ import graft.text.TextStats
   * benchmark. The quality gate is the fixture-appropriate length
   * rule (the synthetic corpus has no English stopwords, so the
   * default Gopher gate would empty the pipeline and the measurement
-  * would time nothing — CorpusPipelineSpec documents the same). */
+  * would time nothing — CorpusPipelineSpec documents the same).
+  *
+  * Args: <sfDir> [embDir]. With `embDir`, the near-dup stage runs
+  * the EMBEDDINGS pair source instead of token LSH (that dir's
+  * embeddings table joined on vec_id = doc_id, cosine >= 0.95) —
+  * different kernels entirely (sign-code self-join + pipelined
+  * cosine verify), so its per-stage cost is its own measurement. */
 object PipelineBenchJob {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: PipelineBenchJob <sfDir>")
+    require(args.length >= 1 && args.length <= 2,
+      "usage: PipelineBenchJob <sfDir> [embDir]")
     val sfDir = args(0)
     val spark = Sessions.local("graft-pipebench")
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)
+    val (srcName, pairSource) =
+      if (args.length == 2) {
+        val emb = Tables.embeddings(spark, args(1))
+        ("embeddings", CorpusPipeline.PairSource.Embeddings(
+          emb, simThreshold = 0.95,
+          embIdCol = "vec_id", vecCol = "embedding"))
+      } else ("token_lsh", CorpusPipeline.PairSource.TokenLsh)
 
     val stageWalls =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val t0 = System.nanoTime()
     val res = CorpusPipeline.run(corpus, "doc_id", "text", bench,
       shardBudget = 4096L,
+      pairSource = pairSource,
       quality = t => TextStats.tokenCount(t) >= 10,
       onStage = (s, w) => stageWalls(s) = w)
     val s = CorpusPipeline.stats(res.annotated).collect().head
@@ -57,6 +72,7 @@ object PipelineBenchJob {
       s""""near_dup":${s.getAs[Long]("near_dup")},""" +
       s""""contaminated":${s.getAs[Long]("contaminated")},""" +
       s""""kept":${s.getAs[Long]("kept")},"cleaned":$cleanedRows,""" +
+      s""""pair_source":"$srcName",""" +
       s""""decisions":$dec,"stage_walls":$stagesJson,""" +
       s""""wall_s":${f"$wall%.2f"},"sf":"$sfDir"}""")
     spark.stop()

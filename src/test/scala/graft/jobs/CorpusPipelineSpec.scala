@@ -538,4 +538,49 @@ class CorpusPipelineSpec extends SparkSpec {
     rows.foreach(r =>
       assert(again(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
   }
+
+  test("tokenizerMerges closes train -> encode -> pack: cleaned rows " +
+      "carry the production-encoded tokens of the REDACTED text, and " +
+      "shard packing budgets on real token counts") {
+    // train a small BPE on the corpus itself, then hand its merges to
+    // the pipeline — the end-to-end loop a tokenizer user runs
+    val trained = graft.text.Bpe.train(docs, "text", numMerges = 12,
+      minPairCount = 2)
+    val res = CorpusPipeline.run(
+      docs, "doc_id", "text", benchmark, shardBudget = 10000L,
+      tokenizerMerges = Some(trained.merges))
+    val rows = res.cleaned.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 6L, 7L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // tokens == encodeFast(redacted text) — encoded AFTER redaction,
+    // so no PII fragment can survive into the token stream
+    rows.foreach { r =>
+      val expect = Seq(r.getAs[String]("text")).toDF("t")
+        .select(graft.text.Bpe.encodeFast(col("t"), trained.merges))
+        .collect().head.getSeq[String](0).toList
+      assert(r.getSeq[String](r.fieldIndex("tokens")).toList == expect,
+        s"doc ${r.getAs[Long]("doc_id")}: tokens differ from encodeFast")
+    }
+    assert(!byId(6L).getSeq[String](byId(6L).fieldIndex("tokens"))
+      .mkString.contains("alice"))
+    // the packer budgets on size(tokens): a budget sized to the real
+    // token counts splits shards where the whitespace estimate would
+    // not — pin with a tight budget equal to one doc's token count
+    val oneDoc = byId(1L).getSeq[String](byId(1L).fieldIndex("tokens")).size
+    val tight = CorpusPipeline.run(
+      docs, "doc_id", "text", benchmark, shardBudget = oneDoc.toLong,
+      tokenizerMerges = Some(trained.merges))
+    val trainShards = tight.cleaned.filter(col("split") === "train")
+      .select(col("doc_id"), col("shard"), size(col("tokens")).as("n"))
+      .collect()
+    val perShard = trainShards.groupBy(_.getAs[Number]("shard").longValue)
+      .view.mapValues(_.map(_.getAs[Int]("n").toLong).sum).toMap
+    perShard.foreach { case (shard, tot) =>
+      assert(tot <= oneDoc.toLong || trainShards
+        .count(_.getAs[Number]("shard").longValue == shard) == 1,
+        s"shard $shard holds $tot tokens over the $oneDoc budget")
+    }
+    // without the option the column is absent (schema unchanged)
+    assert(!result.cleaned.columns.contains("tokens"))
+  }
 }
