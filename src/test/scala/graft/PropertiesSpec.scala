@@ -114,4 +114,29 @@ class SparkPropertiesSpec extends SparkSpec {
       assert(got == expect, s"old=$o new=$n")
     }
   }
+
+  test("star-contraction connected components equals union-find on " +
+      "random sparse graphs of every shape ScalaCheck throws at it") {
+    // adversarial shapes beyond DedupSpec's planted fixtures: random
+    // edge soups over a small id space, so high-degree hubs, cycles,
+    // multi-edges, self-loops, and reversed duplicates all occur
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L)))
+    samples(edgeGen, 12).zipWithIndex.foreach { case (edges, i) =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"sample $i: ${edges.take(8)}...")
+    }
+  }
 }
