@@ -156,13 +156,18 @@ object Dedup {
         "hash non-integral ids to a 64-bit surrogate first " +
         "(xxhash64), as CorpusPipeline.nearDupFlag does")
     }
+    // ONE lazy checkpoint of the caller's pair lineage: both `edges`
+    // and `nodes` derive from it, so an expensive pair generator
+    // upstream (the LSH/cosine self-joins feeding nearDupFlag)
+    // executes exactly once — materialized by the eager edge
+    // checkpoint below, then the singleton anti-join reads the same
+    // blocks. It also pins ONE snapshot: a nondeterministic input
+    // can't hand `nodes` a different edge set than `edges` froze.
     val raw = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
+      .localCheckpoint(eager = false)
     // every input id must appear in the output, including nodes whose
-    // only pair is a self-pair (no proper edge survives orientation).
-    // Lazy: consumed exactly once, in the final singleton anti-join —
-    // an eager materialization here would cost a job in the loop
-    // phase for nothing.
+    // only pair is a self-pair (no proper edge survives orientation)
     val nodes = raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id")))
       .distinct()
@@ -245,7 +250,12 @@ object Dedup {
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
     val singletons = nodes.join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
-    (labels.union(singletons), iter)
+    // lazy checkpoint on the RESULT, matching the old kernel's
+    // checkpoint-backed labels frame: callers reference the cluster
+    // frame more than once (members + keepers), and without this each
+    // reference would re-run the label aggregation and singleton
+    // anti-join
+    (labels.union(singletons).localCheckpoint(eager = false), iter)
   }
 
   /** Decontamination — the test-set-overlap pass of a training-data

@@ -509,9 +509,16 @@ object CorpusPipeline {
     val base = kept.select(id,
       Redaction.redactPii(col(textCol)).as(textCol),
       Splits.assign(id, validPerMille).as("split"))
+    // the encoded frame is lazily checkpointed: packShards consumes
+    // its train slice twice (per-partition totals + the shard plan)
+    // and the final output joins it a third time — without the
+    // checkpoint a 32k-merge encode (the dominant row cost at real
+    // vocab) would run 3x per train doc. At cluster scale this is
+    // where the cleaned corpus would persist to storage anyway.
     val cleaned = tokenizerMerges match {
       case Some(m) =>
         base.withColumn("tokens", Bpe.encodeFast(col(textCol), m))
+          .localCheckpoint(eager = false)
       case None => base
     }
     val train = cleaned.filter(col("split") === "train")

@@ -1229,12 +1229,13 @@ object LlmPack extends QueryPack {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_bpe_encode" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS sp
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS sp
         |  FROM documents WHERE doc_id < 50),
         |w AS (
         |  SELECT doc_id, CAST(u AS INTEGER) AS wpos,
         |    sp[CAST(u AS INTEGER)] AS word
-        |  FROM d, unnest(range(1, len(sp) + 1)) s(u)),
+        |  FROM d, unnest(range(1, len(sp) + 1)) s(u)
+        |  WHERE len(sp[CAST(u AS INTEGER)]) > 0),
         |enc AS (
         |  SELECT doc_id, wpos,
         |    string_split(

@@ -124,16 +124,7 @@ class SparkPropertiesSpec extends SparkSpec {
       Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L)))
     samples(edgeGen, 12).zipWithIndex.foreach { case (edges, i) =>
       val pairs = edges.toDF("id_a", "id_b")
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val expect = parent.keys.map(k => k -> find(k)).toMap
+      val expect = TestOracles.unionFind(edges)
       val got = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect, s"sample $i: ${edges.take(8)}...")

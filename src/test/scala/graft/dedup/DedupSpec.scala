@@ -207,17 +207,7 @@ class DedupSpec extends SparkSpec {
     }
     edges += ((500L, 500L)) // self-pair only: its own singleton cluster
     val pairs = edges.toSeq.toDF("id_a", "id_b")
-    // driver-side oracle: union-find
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val expected = graft.TestOracles.unionFind(edges)
     val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
