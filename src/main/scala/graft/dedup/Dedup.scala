@@ -144,18 +144,7 @@ object Dedup {
     // the edge state is LONG — a non-integral id column would cast
     // to null and silently discard every edge (the bug the pipeline's
     // hash-surrogate exists to prevent); refuse loudly instead
-    Seq(idA, idB).foreach { c =>
-      val dt = pairs.schema(c).dataType
-      require(dt match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }, s"connectedComponents needs integral ids; '$c' is $dt — " +
-        "hash non-integral ids to a 64-bit surrogate first " +
-        "(xxhash64), as CorpusPipeline.nearDupFlag does")
-    }
+    requireIntegralIds(pairs, idA, idB)
     // ONE lazy checkpoint of the caller's pair lineage: both `edges`
     // and `nodes` derive from it, so an expensive pair generator
     // upstream (the LSH/cosine self-joins feeding nearDupFlag)
@@ -257,6 +246,56 @@ object Dedup {
     // anti-join
     (labels.union(singletons).localCheckpoint(eager = false), iter)
   }
+
+  /** Incremental connected components — the clustering face of the
+    * growing-corpus family (exact digests / minhash bands / sign
+    * codes all have incremental probes; this folds their PAIR OUTPUT
+    * into standing cluster state): merge a NEW batch of pairs into
+    * PREVIOUS labels without ever re-reading the historical pair set.
+    *
+    * Correct because [[connectedComponents]] labels ARE star edges
+    * (id -> component min): connectivity-equivalent to the old graph,
+    * but |V_old| edges of diameter <= 2 instead of |E_old| arbitrary
+    * pairs. Re-running the star kernel on (star edges ∪ new pairs)
+    * therefore yields exactly the labels a full recompute over
+    * (old pairs ∪ new pairs) would — clusters bridge, merge, and
+    * re-minimize correctly — while the input is the LABEL table plus
+    * the increment. At corpus scale that is the difference between
+    * re-clustering a history of billions of pairs per arriving batch
+    * and one O(V + ΔE) pass; convergence is O(log d) in the NEW
+    * graph's diameter, which is <= 2 + the batch's own chain depth.
+    *
+    * `prevLabels` is [[connectedComponents]] output ((id, cluster),
+    * both long); `newPairs` carries `idA`/`idB` like the batch entry
+    * point. Labels cover ids(prevLabels) ∪ ids(newPairs). */
+  def incrementalConnectedComponents(
+      prevLabels: DataFrame,
+      newPairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int = 50): DataFrame = {
+    requireIntegralIds(newPairs, idA, idB)
+    val starEdges = prevLabels.select(col("id").cast("long").as(idA),
+      col("cluster").cast("long").as(idB))
+    val fresh = newPairs.select(col(idA).cast("long").as(idA),
+      col(idB).cast("long").as(idB))
+    connectedComponents(starEdges.unionByName(fresh), idA, idB, maxIter)
+  }
+
+  private def requireIntegralIds(
+      pairs: DataFrame, idA: String, idB: String): Unit =
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }, s"connectedComponents needs integral ids; '$c' is $dt — " +
+        "hash non-integral ids to a 64-bit surrogate first " +
+        "(xxhash64), as CorpusPipeline.nearDupFlag does")
+    }
 
   /** Decontamination — the test-set-overlap pass of a training-data
     * pipeline: count, per corpus document, the DISTINCT word n-grams

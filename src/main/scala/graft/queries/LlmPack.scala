@@ -152,6 +152,32 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental clustering — the growing-corpus face of
+    // q_neardup_clusters: docs < 40 are the standing corpus (their
+    // labels already computed and persisted), docs 40-59 arrive as a
+    // batch; the batch's pairs fold into the PREVIOUS labels via
+    // star edges, so the historical pair set is never re-read. The
+    // oracle recomputes the full graph from scratch — equality IS the
+    // incremental contract (bridged clusters re-minimize exactly).
+    "q_incremental_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
+        .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"))
+      val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = l.join(r, col("id_a") < col("id_b"))
+        .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jacc") >= 0.05)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val oldPairs = pairs.filter(col("id_a") < 40 && col("id_b") < 40)
+      val batchPairs = pairs.filter(col("id_a") >= 40 || col("id_b") >= 40)
+      val prev = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+      Dedup.incrementalConnectedComponents(prev, batchPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus composition audit: per-(source, lang) document/token/char
     // totals — the mixture table every dataset card publishes, and the
     // input to Mixing weight decisions. One hash aggregate.
@@ -1054,6 +1080,29 @@ object LlmPack extends QueryPack {
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "q_neardup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
+        |      THEN [array_to_string(sp, ' ')]
+        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+        |    END) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE doc_id < 60)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // full-graph recompute: the incremental path must equal it exactly
+    "q_incremental_clusters" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
         |      THEN [array_to_string(sp, ' ')]

@@ -214,6 +214,29 @@ class DedupSpec extends SparkSpec {
     assert(got(500L) == 500L)
   }
 
+  test("incrementalConnectedComponents: folding a batch into previous " +
+      "labels equals full recompute — clusters bridge and re-minimize, " +
+      "new nodes join, untouched clusters survive") {
+    // standing corpus: {1,2,3}, {10,11}, {20,21} (min-labeled)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // batch: bridges {10,11} and {20,21} via new doc 30; new doc 40
+    // pairs into {1,2,3}; 50-51 form a brand-new cluster
+    val batch = Seq((11L, 30L), (30L, 20L), (40L, 1L), (50L, 51L))
+    val prev = Dedup.connectedComponents(
+      oldPairs.toDF("id_a", "id_b"), "id_a", "id_b")
+    val inc = Dedup.incrementalConnectedComponents(
+        prev, batch.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        (oldPairs ++ batch).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc == graft.TestOracles.unionFind(oldPairs ++ batch))
+    // the bridge really merged: 10/11/20/21/30 share one min label
+    assert(Seq(10L, 11L, 20L, 21L, 30L).map(inc).toSet == Set(10L))
+    assert(inc(40L) == 1L && inc(51L) == 50L)
+  }
+
   test("connectedComponents rejects non-integral ids loudly (a string " +
       "id used to cast to null and silently discard every edge)") {
     val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
