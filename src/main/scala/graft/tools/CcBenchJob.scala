@@ -33,6 +33,33 @@ object CcBenchJob {
       s""""rounds":$rounds,"bound_2log2d":${f"$bound%.1f"},""" +
       s""""one_hop_rounds_would_be":$d,"clusters":$clusters,""" +
       s""""wall_s":${f"$wallS%.1f"}}""")
+
+    // incremental fold: a 1%-of-V batch of fresh pairs (half pair
+    // new nodes into existing clusters, half are new-node chains)
+    // folded into the standing labels — the per-batch cost of the
+    // growing-corpus clustering path, vs the full recompute above
+    val prev = labels.localCheckpoint(true)
+    val k = math.max(d / 100, 10).toLong
+    val batch = spark.range(0, k)
+      .select((col("id") * 37 % (d + 1)).as("id_a"),
+        (col("id") + d + 1).as("id_b"))
+      .union(spark.range(0, k)
+        .select((col("id") + d + 1).as("id_a"),
+          (col("id") + d + 1 + k).as("id_b")))
+    val t1 = System.nanoTime()
+    val (incLabels, incRounds) = {
+      val star = prev.select(col("id").as("id_a"),
+        col("cluster").as("id_b"))
+      Dedup.connectedComponentsStats(
+        star.unionByName(batch), "id_a", "id_b")
+    }
+    val incClusters = incLabels.select(countDistinct(col("cluster")))
+      .collect()(0).getLong(0)
+    val incWall = (System.nanoTime() - t1) / 1e9
+    require(incClusters == 1L, s"fold split into $incClusters clusters")
+    println(s"""{"kernel":"incremental_fold","prev_nodes":${d + 1},""" +
+      s""""batch_pairs":${2 * k},"rounds":$incRounds,""" +
+      s""""clusters":$incClusters,"wall_s":${f"$incWall%.1f"}}""")
     spark.stop()
   }
 }
