@@ -273,13 +273,29 @@ object Dedup {
       newPairs: DataFrame,
       idA: String,
       idB: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    incrementalConnectedComponentsStats(
+      prevLabels, newPairs, idA, idB, maxIter)._1
+
+  /** [[incrementalConnectedComponents]] plus the star-round count —
+    * the measurement face (CcBenchJob times THIS path, so PERF.md's
+    * fold numbers describe the shipped kernel, not a copy). */
+  def incrementalConnectedComponentsStats(
+      prevLabels: DataFrame,
+      newPairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
     requireIntegralIds(newPairs, idA, idB)
+    // the label side gets the SAME loud guard: standing labels
+    // reloaded through a lossy round-trip (CSV/JSON strings, doubles)
+    // would cast to null and silently drop every historical star edge
+    requireIntegralIds(prevLabels, "id", "cluster")
     val starEdges = prevLabels.select(col("id").cast("long").as(idA),
       col("cluster").cast("long").as(idB))
     val fresh = newPairs.select(col(idA).cast("long").as(idA),
       col(idB).cast("long").as(idB))
-    connectedComponents(starEdges.unionByName(fresh), idA, idB, maxIter)
+    connectedComponentsStats(starEdges.unionByName(fresh), idA, idB, maxIter)
   }
 
   private def requireIntegralIds(

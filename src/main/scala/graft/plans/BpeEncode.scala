@@ -99,15 +99,27 @@ object BpeEncode {
   }
 
   /** One implementation for both execution paths. Whitespace-split,
-    * then per word: min-rank merge loop over code-point symbols. */
+    * then per word: min-rank merge loop over code-point symbols.
+    *
+    * "Whitespace" is Java regex `\s` — the ASCII class
+    * [ \t\n\x0B\f\r] — NOT Character.isWhitespace: the trainer and
+    * the fold encode both tokenize with `split(trim(text), "\\s+")`,
+    * whose `\s` is ASCII-only, and the DuckDB oracle's RE2 `\s` is
+    * the same class. A wider Unicode class here would make the
+    * production encoder split words (U+3000, U+2028, ...) the
+    * trainer never split — a silent train/encode divergence. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+
   def encode(text: String, ranks: java.util.HashMap[String, Integer]): Array[Any] = {
     val out = new java.util.ArrayList[Any]()
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isWs(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isWs(text.charAt(i))) i += 1
       if (i > start) encodeWord(text.substring(start, i), ranks, out)
     }
     out.toArray

@@ -33,6 +33,61 @@ object LlmPack extends QueryPack {
     ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
     ("s", "t"), ("e", "r"), ("a", "st"), ("r", "o"))
 
+  /** The bounded all-pairs Jaccard graph over doc_id < 60 — ONE
+    * definition shared by q_neardup_clusters and
+    * q_incremental_clusters: the incremental contract is equality
+    * against the full recompute, which only means something if both
+    * derive the SAME pair graph. */
+  private def neardupPairGraph(
+      s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
+      .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"))
+    val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jacc") >= 0.05)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The matching DuckDB oracle — full-graph recursive-CTE closure
+    * over the same pair graph, shared verbatim by both cluster
+    * queries. Tokenization mirrors Spark's `split(trim(text),
+    * "\\s+")` faithfully: trim strips ASCII spaces, the regex split
+    * keeps a LEADING empty token (tab/newline-edged text) exactly
+    * like Java split, and the CASE strips the single TRAILING empty
+    * Java split drops — except when it is the only element
+    * (empty/whitespace-only text is one "" token on both sides). */
+  private val neardupClosureSql: String =
+    """WITH RECURSIVE d0 AS (
+      |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS sp0
+      |  FROM documents WHERE doc_id < 60),
+      |d AS (
+      |  SELECT doc_id, CASE WHEN len(sp0) > 1 AND sp0[len(sp0)] = ''
+      |    THEN sp0[1:len(sp0)-1] ELSE sp0 END AS sp
+      |  FROM d0),
+      |s AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
+      |      THEN [array_to_string(sp, ' ')]
+      |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+      |    END) AS sh
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-aggregate on a content digest (never on raw
     // text), keeper = min doc_id per group.
@@ -138,16 +193,7 @@ object LlmPack extends QueryPack {
     // Jaccard pairs — the step that turns pair lists into one keeper
     // per duplicate group. Oracle: recursive-CTE reachability closure.
     "q_neardup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
-        .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"))
-      val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val pairs = l.join(r, col("id_a") < col("id_b"))
-        .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jacc") >= 0.05)
-        .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.connectedComponents(neardupPairGraph(s, d), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
     }),
@@ -160,16 +206,7 @@ object LlmPack extends QueryPack {
     // oracle recomputes the full graph from scratch — equality IS the
     // incremental contract (bridged clusters re-minimize exactly).
     "q_incremental_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__t"))
-        .select(col("doc_id"), Dedup.shingles(col("__t"), 2).as("sh"))
-      val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val pairs = l.join(r, col("id_a") < col("id_b"))
-        .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jacc") >= 0.05)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
+      val pairs = neardupPairGraph(s, d).localCheckpoint()
       val oldPairs = pairs.filter(col("id_a") < 40 && col("id_b") < 40)
       val batchPairs = pairs.filter(col("id_a") >= 40 || col("id_b") >= 40)
       val prev = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
@@ -1079,51 +1116,10 @@ object LlmPack extends QueryPack {
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_neardup_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
-        |      THEN [array_to_string(sp, ' ')]
-        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
-        |    END) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
-        |        FROM documents WHERE doc_id < 60)),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_neardup_clusters" -> neardupClosureSql,
     // full-graph recompute: the incremental path must equal it exactly
-    "q_incremental_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 2
-        |      THEN [array_to_string(sp, ' ')]
-        |      ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
-        |    END) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
-        |        FROM documents WHERE doc_id < 60)),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // (same shared SQL as q_neardup_clusters — one graph definition)
+    "q_incremental_clusters" -> neardupClosureSql,
     "q_sample_quota" ->
       """SELECT doc_id, lang, rnk FROM (
         |  SELECT doc_id, lang,

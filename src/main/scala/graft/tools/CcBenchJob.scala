@@ -37,8 +37,9 @@ object CcBenchJob {
     // incremental fold: a 1%-of-V batch of fresh pairs (half pair
     // new nodes into existing clusters, half are new-node chains)
     // folded into the standing labels — the per-batch cost of the
-    // growing-corpus clustering path, vs the full recompute above
-    val prev = labels.localCheckpoint(true)
+    // growing-corpus clustering path, vs the full recompute above.
+    // (`labels` is already checkpoint-backed by the kernel and
+    // materialized by the count above — no extra copy needed.)
     val k = math.max(d / 100, 10).toLong
     val batch = spark.range(0, k)
       .select((col("id") * 37 % (d + 1)).as("id_a"),
@@ -47,12 +48,9 @@ object CcBenchJob {
         .select((col("id") + d + 1).as("id_a"),
           (col("id") + d + 1 + k).as("id_b")))
     val t1 = System.nanoTime()
-    val (incLabels, incRounds) = {
-      val star = prev.select(col("id").as("id_a"),
-        col("cluster").as("id_b"))
-      Dedup.connectedComponentsStats(
-        star.unionByName(batch), "id_a", "id_b")
-    }
+    val (incLabels, incRounds) =
+      Dedup.incrementalConnectedComponentsStats(
+        labels, batch, "id_a", "id_b")
     val incClusters = incLabels.select(countDistinct(col("cluster")))
       .collect()(0).getLong(0)
     val incWall = (System.nanoTime() - t1) / 1e9

@@ -293,6 +293,19 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeFast tokenizes on ASCII \\s exactly like the trainer: " +
+      "Unicode whitespace (U+3000) stays INSIDE a word, never splits it") {
+    // the trainer's split(trim(text), "\\s+") uses Java regex \s =
+    // [ \t\n\x0B\f\r]; a wider class in the production encoder would
+    // split words the trainer never split — train/encode divergence
+    val text = "a　b c"
+    val toks = Seq(text).toDF("t")
+      .select(Bpe.encodeFast(col("t"), Nil).as("e"))
+      .collect().head.getSeq[String](0).toList
+    assert(toks == List("a", "　", "b", "c"),
+      s"got $toks — U+3000 must be a symbol, not a word boundary")
+  }
+
   test("save/loadMerges keeps '#'-leading symbols: only a leading " +
       "#version header is skipped, so merges trained on corpus words " +
       "like '#include' round-trip losslessly") {
