@@ -1,0 +1,63 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistence layout for the growing-corpus admission indexes —
+  * the STORED side of every incremental probe:
+  *
+  *   - digest index: (id, digest) from
+  *     [[graft.dedup.Dedup.contentDigests]], probed by digest;
+  *   - band index: (id, band, bh) from
+  *     [[graft.dedup.Dedup.minhashBandRows]], probed by (band, bh);
+  *   - code index: (tbl, code, id) from
+  *     [[graft.similarity.Similarity.signCodeIndex]], probed by
+  *     (tbl, code).
+  *
+  * Each writes as a table BUCKETED (and sorted) on its probe key, so
+  * the per-batch admission join reads the corpus-side index ALREADY
+  * partitioned on the join key: only the (small) batch side
+  * exchanges, and the table that scales with the corpus never
+  * shuffles again — the same repeated-load upgrade BucketingSpec
+  * pins for the canonical merge table, applied to the admission
+  * family. `append = true` adds a batch's index delta
+  * ([[CorpusPipeline.admitBatch]]'s newDigests/newBands/newCodes)
+  * under the SAME bucket spec, which Spark enforces — the next
+  * batch's probe covers this one without any rewrite.
+  *
+  * Bucket count is a layout constant per index (both writes and
+  * appends must agree); size it so a bucket's rows fit one task
+  * comfortably at the target corpus — at 32 bytes/row a 10B-doc
+  * digest index is ~320 GB, so 1024 buckets keeps buckets ~300 MB. */
+object AdmissionIndexes {
+
+  val digestKeys: Seq[String] = Seq("digest")
+  val bandKeys: Seq[String] = Seq("band", "bh")
+  val codeKeys: Seq[String] = Seq("tbl", "code")
+
+  def saveDigestIndex(df: DataFrame, table: String, buckets: Int = 64,
+      append: Boolean = false): Unit =
+    save(df, table, digestKeys, buckets, append)
+
+  def saveBandIndex(df: DataFrame, table: String, buckets: Int = 64,
+      append: Boolean = false): Unit =
+    save(df, table, bandKeys, buckets, append)
+
+  def saveCodeIndex(df: DataFrame, table: String, buckets: Int = 64,
+      append: Boolean = false): Unit =
+    save(df, table, codeKeys, buckets, append)
+
+  def load(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  private def save(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, append: Boolean): Unit = {
+    keys.foreach(k => require(df.columns.contains(k),
+      s"index frame is missing probe-key column '$k' " +
+        s"(has ${df.columns.mkString(", ")})"))
+    df.write
+      .mode(if (append) "append" else "overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+}

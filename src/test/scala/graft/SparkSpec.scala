@@ -17,6 +17,19 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
 
+  /** Run `body` with a session conf temporarily overridden, restoring
+    * the previous value (or unsetting) after — suites share ONE
+    * session, so a leaked conf would bleed into later tests. */
+  def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Rows the scan leaves actually SURFACED for `df` (after Parquet
     * row-group/partition skipping, before any later filter): the
     * summed numOutputRows metric of the executed plan's leaves. The

@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** The admission indexes' scale contract: persisted bucketed on
+  * their probe keys, the per-batch probe join never shuffles the
+  * corpus-side index — only the batch moves. */
+class AdmissionIndexesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docText(i: Int): String =
+    (0 until 30).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")
+
+  test("bucketed band index: the probe equi-join plans NO exchange on " +
+      "the index side, results equal the unbucketed join, and an " +
+      "appended delta is covered by the next probe") {
+    val corpus = (0 until 300).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    val bands = Dedup.minhashBandRows(corpus, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2)
+    spark.sql("DROP TABLE IF EXISTS band_index_bucketed")
+    // an in-memory catalog DROP leaves the managed location's files
+    // behind across JVMs — clear them or the CREATE refuses
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "band_index_bucketed")
+    if (loc.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    AdmissionIndexes.saveBandIndex(bands, "band_index_bucketed",
+      buckets = 8)
+
+    val batch = (1000 until 1020).map(i => (i.toLong, docText(i % 290)))
+      .toDF("doc_id", "text")
+    val batchBands = Dedup.minhashBandRows(batch, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2)
+      .select(col("id").as("bid"), col("band"), col("bh"))
+
+    val index = AdmissionIndexes.load(spark, "band_index_bucketed")
+    // force a shuffle-join plan (no broadcast) so the assertion tests
+    // the BUCKETING claim, not the small-side broadcast that local
+    // test sizes would otherwise pick: exactly ONE hash exchange may
+    // appear, and it must be the batch side aligning to the index's
+    // bucket partitioning — the corpus-sized index itself never
+    // re-shuffles per batch
+    val probe = withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = index.join(batchBands, Seq("band", "bh"))
+      val plan = p.queryExecution.executedPlan.toString
+      // exactly ONE exchange on the probe key — the batch side
+      // aligning to the index's bucket partitioning. (The batch's own
+      // internal minhash aggregate exchanges on id; that one is not
+      // on the probe key and not at issue.)
+      val probeKeyExchanges = "Exchange hashpartitioning\\(band"
+        .r.findAllIn(plan).size
+      assert(probeKeyExchanges == 1,
+        s"expected exactly the batch-side probe-key exchange, got " +
+          s"$probeKeyExchanges:\n$plan")
+      // and the index side reads bucketed, straight into the join
+      assert(plan.contains("Bucketed: true"),
+        s"index scan not bucketed:\n$plan")
+      p
+    }
+
+    val expected = bands.join(batchBands, Seq("band", "bh"))
+      .select("id", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = probe.select("id", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+
+    // append a delta under the same spec: the next probe sees it
+    val delta = Dedup.minhashBandRows(
+      Seq((5000L, docText(3))).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+    AdmissionIndexes.saveBandIndex(delta, "band_index_bucketed",
+      buckets = 8, append = true)
+    val after = AdmissionIndexes.load(spark, "band_index_bucketed")
+    assert(after.filter(col("id") === 5000L).count() > 0)
+    assert(after.count() == bands.count() + delta.count())
+    spark.sql("DROP TABLE IF EXISTS band_index_bucketed")
+  }
+
+  test("digest and code indexes refuse a frame missing their probe key") {
+    val e = intercept[IllegalArgumentException] {
+      AdmissionIndexes.saveDigestIndex(
+        Seq((1L, "x")).toDF("id", "not_digest"), "nope")
+    }
+    assert(e.getMessage.contains("digest"))
+    val e2 = intercept[IllegalArgumentException] {
+      AdmissionIndexes.saveCodeIndex(
+        Seq((1L, 2L)).toDF("id", "code"), "nope")
+    }
+    assert(e2.getMessage.contains("tbl"))
+  }
+}
