@@ -362,6 +362,24 @@ object Dedup {
       textCol: String,
       winLen: Int = 10,
       stride: Int = 10): DataFrame = {
+    val wins = windowDigests(df, idCol, textCol, winLen, stride)
+    val shared = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    wins.join(shared, "wh")
+      .select(col("id"), col("win_idx"), col("n_docs"))
+  }
+
+  /** (id, win_idx, wh) fixed-window digest rows — the shared
+    * detection frame of [[duplicatedPassages]] and
+    * [[stripDuplicatedPassages]]; the two must hash IDENTICALLY or a
+    * strip would cut different spans than the detector reported. */
+  private def windowDigests(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int,
+      stride: Int): DataFrame = {
     require(winLen > 0 && stride > 0, "winLen and stride must be > 0")
     // Tokens are materialized in their own projection BEFORE the
     // window lambda references them: HOF lambdas evaluate interpreted
@@ -382,15 +400,142 @@ object Dedup {
           md5(concat_ws(" ", slice(toks, i * stride + 1, lit(winLen))))
             .as("wh"))))
       .otherwise(array().cast("array<struct<win_idx:int,wh:string>>"))
-    val wins = df
-      .select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
       .select(col("id"), explode(winArr).as("w"))
       .select(col("id"), col("w.win_idx"), col("w.wh"))
-    val shared = wins.groupBy(col("wh"))
-      .agg(countDistinct(col("id")).as("n_docs"))
-      .filter(col("n_docs") > 1)
-    wins.join(shared, "wh")
-      .select(col("id"), col("win_idx"), col("n_docs"))
+  }
+
+  /** Duplicated-passage REMOVAL — the acting half of
+    * [[duplicatedPassages]] (Lee et al.'s ExactSubstr policy at fixed
+    * window granularity): every occurrence of a repeated `winLen`-word
+    * window is cut from its document EXCEPT the globally first one
+    * (smallest (id, win_idx)), within-document repeats included.
+    * Returns (id, clean_text, n_dropped): the rebuilt text (kept
+    * windows + the sub-window tail, single-space joined — i.e.
+    * whitespace-normalized, like [[contentDigestOf]]'s canonical
+    * form) and how many windows were cut. Docs shorter than `winLen`
+    * pass through whole.
+    *
+    * Windows are non-overlapping BY CONSTRUCTION (stride = winLen):
+    * every token belongs to exactly one window, so "remove the
+    * window" is well-defined — an overlapping-stride variant would
+    * have to arbitrate tokens claimed by two verdicts.
+    *
+    * Scale shape: the keeper per window digest is `min(struct(id,
+    * win_idx))` — a partial-aggregatable hash aggregate, NOT a
+    * row_number window, so a passage repeated across millions of
+    * documents combines map-side instead of sorting one giant digest
+    * partition. Drop verdicts shuffle as (id, int) rows and fold to
+    * one small integer array per affected document; the rebuild is a
+    * row-local projection over a second corpus scan (detect-then-
+    * rewrite is inherently two passes over the text — but text never
+    * shuffles in either). */
+  def stripDuplicatedPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 10): DataFrame = {
+    // the digest frame feeds BOTH the keeper aggregate and the
+    // verdict join — lazily checkpoint it so window hashing runs one
+    // pass over the corpus, not two
+    val wins = windowDigests(df, idCol, textCol, winLen, stride = winLen)
+      .localCheckpoint(eager = false)
+    val keeper = wins.groupBy(col("wh"))
+      .agg(min(struct(col("id"), col("win_idx"))).as("k"))
+    val dropRows = wins.join(keeper, "wh")
+      .filter(!(col("id") === col("k.id") &&
+        col("win_idx") === col("k.win_idx")))
+      .select(col("id"), col("win_idx"))
+    rebuildWithoutWindows(df, idCol, textCol, winLen, dropRows)
+  }
+
+  /** Rebuild documents minus a set of (id, win_idx) window verdicts —
+    * the acting tail shared by [[stripDuplicatedPassages]] and
+    * [[incrementalStripPassages]]. Verdicts fold to one small int
+    * array per affected doc; the rebuild is a row-local HOF
+    * projection (kept windows + the sub-window tail, single-space
+    * joined), so text never shuffles. */
+  private def rebuildWithoutWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int,
+      dropRows: DataFrame): DataFrame = {
+    val drops = dropRows.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("win_idx"))).as("__drop"))
+    val toks = col("__t")
+    val nWins = greatest(
+      floor((size(toks) - winLen).cast("double") / winLen).cast("int") + 1,
+      lit(0))
+    val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
+    val keptIdx = when(nWins > 0,
+      filter(sequence(lit(0), nWins - 1),
+        i => !array_contains(dropArr, i)))
+      .otherwise(array().cast("array<int>"))
+    val keptToks = flatten(
+      transform(keptIdx, i => slice(toks, i * winLen + 1, lit(winLen))))
+    val tail = when(size(toks) > nWins * winLen,
+      slice(toks, nWins * winLen + 1, size(toks) - nWins * winLen))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"),
+        array_join(concat(keptToks, tail), " ").as("clean_text"),
+        size(dropArr).as("n_dropped"))
+  }
+
+  /** The persisted side of incremental passage stripping: the
+    * DISTINCT window digests of an already-stripped corpus — one
+    * 32-char row per unique passage, never text. Append
+    * [[incrementalStripPassages]]' `newWindows` after each admitted
+    * batch. */
+  def windowDigestSet(
+      df: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 10): DataFrame =
+    windowDigests(df, idCol, textCol, winLen, stride = winLen)
+      .select(col("wh")).distinct()
+
+  /** `cleaned`: the batch with already-known and batch-repeated
+    * windows cut. `newWindows`: the digest delta to append to the
+    * index. */
+  final case class StrippedBatch(cleaned: DataFrame, newWindows: DataFrame)
+
+  /** Incremental passage stripping — the growing-corpus face of
+    * [[stripDuplicatedPassages]]: cut batch windows whose digest is
+    * already in the corpus index (their keeper lives in the corpus)
+    * or repeats an earlier (id, win_idx) occurrence WITHIN the batch,
+    * and return the fresh digests to append. Matches a full
+    * recompute over (stripped corpus ∪ batch) exactly when corpus
+    * ids precede batch ids (the same ordering contract as the other
+    * incremental kernels; DedupSpec pins the parity).
+    *
+    * Scale shape: ONLY the batch is window-hashed — the corpus
+    * contributes one semi/anti-join against its digest index (32-char
+    * rows; bucketed by wh under [[graft.jobs.AdmissionIndexes]]-style
+    * persistence the index side never re-shuffles). Corpus text is
+    * never read at all. */
+  def incrementalStripPassages(
+      indexWindows: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 10): StrippedBatch = {
+    val wins = windowDigests(batch, idCol, textCol, winLen,
+      stride = winLen).localCheckpoint(eager = false)
+    val idx = indexWindows.select(col("wh"))
+    val known = wins.join(idx, Seq("wh"), "left_semi")
+      .select(col("id"), col("win_idx"))
+    val fresh = wins.join(idx, Seq("wh"), "left_anti")
+      .localCheckpoint(eager = false)
+    val keeper = fresh.groupBy(col("wh"))
+      .agg(min(struct(col("id"), col("win_idx"))).as("k"))
+    val batchDups = fresh.join(keeper, "wh")
+      .filter(!(col("id") === col("k.id") &&
+        col("win_idx") === col("k.win_idx")))
+      .select(col("id"), col("win_idx"))
+    val cleaned = rebuildWithoutWindows(batch, idCol, textCol, winLen,
+      known.union(batchDups))
+    StrippedBatch(cleaned, keeper.select(col("wh")))
   }
 
   /** Jaccard similarity of two string arrays (as distinct sets). */

@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     [[graft.dedup.Dedup.minhashBandRows]], probed by (band, bh);
   *   - code index: (tbl, code, id) from
   *     [[graft.similarity.Similarity.signCodeIndex]], probed by
-  *     (tbl, code).
+  *     (tbl, code);
+  *   - window index: (wh) from
+  *     [[graft.dedup.Dedup.windowDigestSet]], probed by wh.
   *
   * Each writes as a table BUCKETED (and sorted) on its probe key, so
   * the per-batch admission join reads the corpus-side index ALREADY
@@ -33,6 +35,7 @@ object AdmissionIndexes {
   val digestKeys: Seq[String] = Seq("digest")
   val bandKeys: Seq[String] = Seq("band", "bh")
   val codeKeys: Seq[String] = Seq("tbl", "code")
+  val windowKeys: Seq[String] = Seq("wh")
 
   def saveDigestIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
@@ -45,6 +48,13 @@ object AdmissionIndexes {
   def saveCodeIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
     save(df, table, codeKeys, buckets, append)
+
+  /** Window-digest index: (wh) from
+    * [[graft.dedup.Dedup.windowDigestSet]], probed by wh —
+    * [[graft.dedup.Dedup.incrementalStripPassages]]' stored side. */
+  def saveWindowIndex(df: DataFrame, table: String, buckets: Int = 64,
+      append: Boolean = false): Unit =
+    save(df, table, windowKeys, buckets, append)
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

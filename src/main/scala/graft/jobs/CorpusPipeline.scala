@@ -498,7 +498,8 @@ object CorpusPipeline {
       skewGuard: Boolean = true,
       quality: Column => Column = defaultQuality,
       onStage: (String, Double) => Unit = (_, _) => (),
-      tokenizerMerges: Option[Seq[(String, String)]] = None): Result = {
+      tokenizerMerges: Option[Seq[(String, String)]] = None,
+      stripPassages: Option[Int] = None): Result = {
     val id = col(idCol)
     val (annotated, decisions) = annotateWithDecisions(docs, idCol,
       textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
@@ -506,7 +507,24 @@ object CorpusPipeline {
     val kept = annotated
       .filter(col("pass_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"))
-    val base = kept.select(id,
+    // optional passage-level cut ACROSS the surviving set
+    // (stripPassages = Some(winLen)): document-level dedup keeps one
+    // copy of each near-identical DOC, but survivors can still share
+    // boilerplate spans below the doc threshold — this removes every
+    // repeated winLen-word window except its globally-first
+    // occurrence before redaction/encoding, so shared passages never
+    // reach training shards twice. Runs on kept docs only; dropped
+    // docs never pay the window hashing.
+    val deduped = stripPassages match {
+      case Some(w) =>
+        val clean = Dedup
+          .stripDuplicatedPassages(kept, idCol, textCol, w)
+          .select(col("id").as(idCol), col("clean_text"))
+        kept.drop(textCol).join(clean, Seq(idCol))
+          .withColumnRenamed("clean_text", textCol)
+      case None => kept
+    }
+    val base = deduped.select(id,
       Redaction.redactPii(col(textCol)).as(textCol),
       Splits.assign(id, validPerMille).as("split"))
     // the encoded frame is lazily checkpointed: packShards consumes

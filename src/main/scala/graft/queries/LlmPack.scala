@@ -498,6 +498,40 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"), col("win_idx"))
     }),
 
+    // Duplicated-passage REMOVAL: every repeated 10-word window cut
+    // except its globally-first (id, win_idx) occurrence, within-doc
+    // repeats included; rebuilt text is whitespace-normalized. The
+    // keeper is a min(struct) hash-aggregate — partial-aggregatable,
+    // so a viral passage combines map-side instead of sorting one
+    // giant digest partition — and text never shuffles: verdicts
+    // travel as (id, int) rows, the rebuild is row-local.
+    "q_strip_passages" -> ((s, d) => {
+      Dedup.stripDuplicatedPassages(Tables.documents(s, d), "doc_id",
+          "text", winLen = 10)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental passage strip: the batch probes the corpus's
+    // window-digest SET — only the batch is window-hashed, corpus
+    // text is never read. Oracle = the full-strip SQL restricted to
+    // the batch slice: with corpus ids preceding batch ids the two
+    // rules coincide (the incremental kernel's parity contract,
+    // pinned in DedupSpec too).
+    "q_incremental_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val idx = Dedup.windowDigestSet(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", winLen = 10)
+      Dedup.incrementalStripPassages(idx,
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          winLen = 10)
+        .cleaned
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram corpus-frequency document score: pass 1 computes
     // per-term document frequency, pass 2 joins every token occurrence
     // back to its term's df and aggregates per document — the exact
@@ -1371,6 +1405,80 @@ object LlmPack extends QueryPack {
         |SELECT doc_id, win_idx, n_docs
         |FROM w JOIN shared USING (wh)
         |ORDER BY doc_id, win_idx""".stripMargin,
+    "q_strip_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |n AS (
+        |  SELECT doc_id, sp,
+        |    CAST(greatest(floor((len(sp) - 10) / 10.0) + 1, 0) AS BIGINT)
+        |      AS nw
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, CAST(u AS INTEGER) AS win_idx,
+        |    md5(array_to_string(list_slice(sp, CAST(u AS INTEGER) * 10 + 1,
+        |      CAST(u AS INTEGER) * 10 + 10), ' ')) AS wh
+        |  FROM n, unnest(range(nw)) s(u)),
+        |r AS (
+        |  SELECT doc_id, win_idx,
+        |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, win_idx)
+        |      AS rn
+        |  FROM w),
+        |d AS (
+        |  SELECT doc_id, list(win_idx ORDER BY win_idx) AS dw
+        |  FROM r WHERE rn > 1 GROUP BY doc_id)
+        |SELECT n.doc_id,
+        |  coalesce(array_to_string(
+        |    flatten(list_transform(
+        |      list_filter(range(nw),
+        |        i -> NOT list_contains(coalesce(dw, CAST([] AS INTEGER[])),
+        |          CAST(i AS INTEGER))),
+        |      i -> list_slice(sp, CAST(i AS BIGINT) * 10 + 1,
+        |        CAST(i AS BIGINT) * 10 + 10)))
+        |    || CASE WHEN len(sp) > nw * 10
+        |         THEN list_slice(sp, nw * 10 + 1, len(sp))
+        |         ELSE CAST([] AS VARCHAR[]) END,
+        |    ' '), '') AS clean_text,
+        |  CAST(coalesce(len(dw), 0) AS INTEGER) AS n_dropped
+        |FROM n LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_incremental_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        |  WHERE doc_id < 500),
+        |n AS (
+        |  SELECT doc_id, sp,
+        |    CAST(greatest(floor((len(sp) - 10) / 10.0) + 1, 0) AS BIGINT)
+        |      AS nw
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, CAST(u AS INTEGER) AS win_idx,
+        |    md5(array_to_string(list_slice(sp, CAST(u AS INTEGER) * 10 + 1,
+        |      CAST(u AS INTEGER) * 10 + 10), ' ')) AS wh
+        |  FROM n, unnest(range(nw)) s(u)),
+        |r AS (
+        |  SELECT doc_id, win_idx,
+        |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, win_idx)
+        |      AS rn
+        |  FROM w),
+        |d AS (
+        |  SELECT doc_id, list(win_idx ORDER BY win_idx) AS dw
+        |  FROM r WHERE rn > 1 GROUP BY doc_id)
+        |SELECT n.doc_id,
+        |  coalesce(array_to_string(
+        |    flatten(list_transform(
+        |      list_filter(range(nw),
+        |        i -> NOT list_contains(coalesce(dw, CAST([] AS INTEGER[])),
+        |          CAST(i AS INTEGER))),
+        |      i -> list_slice(sp, CAST(i AS BIGINT) * 10 + 1,
+        |        CAST(i AS BIGINT) * 10 + 10)))
+        |    || CASE WHEN len(sp) > nw * 10
+        |         THEN list_slice(sp, nw * 10 + 1, len(sp))
+        |         ELSE CAST([] AS VARCHAR[]) END,
+        |    ' '), '') AS clean_text,
+        |  CAST(coalesce(len(dw), 0) AS INTEGER) AS n_dropped
+        |FROM n LEFT JOIN d USING (doc_id)
+        |WHERE n.doc_id >= 250
+        |ORDER BY doc_id""".stripMargin,
     "q_pack_shards" ->
       """SELECT doc_id,
         |  CAST(floor(COALESCE(SUM(len(string_split(text, ' ')))

@@ -315,4 +315,66 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(out == Map((1L, 0) -> 3L, (2L, 1) -> 3L, (3L, 0) -> 3L))
   }
+
+  test("stripDuplicatedPassages keeps the globally-first occurrence, " +
+      "cuts every other (within-doc repeats included), keeps tails " +
+      "and short docs whole") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val repeat = (1 to 10).map(i => s"r$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val other = (1 to 10).map(i => s"g$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$passage $filler"), // keeper of passage: stays whole
+      (2L, s"$other $passage"), // passage cut, other kept
+      (3L, s"$passage short tail"), // passage cut, sub-window tail kept
+      (4L, s"$repeat $repeat x"), // within-doc repeat: second copy cut
+      (5L, "tiny doc")) // shorter than winLen: passes through whole
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedPassages(df, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(out == Map(
+      1L -> ((s"$passage $filler", 0)),
+      2L -> ((other, 1)),
+      3L -> (("short tail", 1)),
+      4L -> ((s"$repeat x", 1)),
+      5L -> (("tiny doc", 0))))
+  }
+
+  test("incrementalStripPassages matches the full recompute on the " +
+      "batch slice and returns exactly the fresh window digests") {
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val f = (1 to 10).map(i => s"f$i").mkString(" ")
+    val g = (1 to 10).map(i => s"g$i").mkString(" ")
+    val h = (1 to 10).map(i => s"h$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$p $f"),
+      (2L, s"$g $p")) // corpus-internal repeat of p: index is a SET,
+      .toDF("doc_id", "text") // so batch verdicts are unaffected
+    val batch = Seq(
+      (10L, s"$p $h"), // p known -> cut; h fresh -> kept (keeper)
+      (11L, s"$h $h x"), // both h windows repeat (10,1) -> cut, tail
+      (12L, "tiny doc")) // sub-window: passes through whole
+      .toDF("doc_id", "text")
+    val idx = Dedup.windowDigestSet(corpus, "doc_id", "text", 10)
+    val inc = Dedup.incrementalStripPassages(idx, batch, "doc_id",
+      "text", 10)
+    val got = inc.cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == Map(
+      10L -> ((h, 1)), 11L -> (("x", 2)), 12L -> (("tiny doc", 0))))
+    // parity: the full kernel over corpus ∪ batch gives the same
+    // batch-slice verdicts (corpus ids precede batch ids)
+    val full = Dedup.stripDuplicatedPassages(
+        corpus.union(batch), "doc_id", "text", 10)
+      .filter(col("id") >= 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == full)
+    // the digest delta is exactly the fresh windows (h), not p
+    val newWh = inc.newWindows.collect().map(_.getString(0)).toSet
+    val hDigest = Dedup.windowDigestSet(
+        Seq((1L, h)).toDF("doc_id", "text"), "doc_id", "text", 10)
+      .collect().map(_.getString(0)).toSet
+    assert(newWh == hDigest)
+  }
 }

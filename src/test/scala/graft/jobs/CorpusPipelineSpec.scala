@@ -442,6 +442,24 @@ class CorpusPipelineSpec extends SparkSpec {
       .toSeq == Seq("doc-1", "doc-6", "doc-7"))
   }
 
+  test("stripPassages cuts a shared boilerplate window from every kept " +
+      "doc but the globally-first occurrence; doc-level survivors stay") {
+    val boiler = (0 until 10).map(i => s"boiler$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler ${cleanText("fox")}"),
+      (2L, s"$boiler ${cleanText("gull")}")).toDF("doc_id", "text")
+    val res = CorpusPipeline.run(df, "doc_id", "text", benchmark,
+      shardBudget = 10000L, stripPassages = Some(10))
+    val m = res.cleaned.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // the shared 10-word prefix is below the doc-level near-dup
+    // threshold, so BOTH docs survive — the cut is passage-level
+    assert(m.keySet == Set(1L, 2L), s"doc-level gates dropped: $m")
+    assert(m(1L).startsWith("boiler0 "), m(1L))
+    assert(!m(2L).contains("boiler0"), m(2L))
+    assert(m(2L).startsWith("gull0 "), m(2L))
+  }
+
   test("runs end-to-end on the real sf0.001 documents table: stats " +
       "reconcile, every kept doc has a split, shard iff train") {
     val dir = "/root/testdata/sf0.001"
