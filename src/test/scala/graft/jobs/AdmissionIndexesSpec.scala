@@ -86,6 +86,49 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS band_index_bucketed")
   }
 
+  test("window index round-trips through the bucketed layout and an " +
+      "appended batch delta feeds the next incremental strip") {
+    val corpus = (0 until 50).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS window_index_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "window_index_bucketed")
+    if (loc.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val idx = Dedup.windowDigestSet(corpus, "doc_id", "text")
+    AdmissionIndexes.saveWindowIndex(idx, "window_index_bucketed",
+      buckets = 8)
+    val loaded = AdmissionIndexes.load(spark, "window_index_bucketed")
+    assert(loaded.count() == idx.count())
+
+    // a batch repeating corpus text is fully cut when probed against
+    // the RELOADED index; its fresh digests append and cover the next
+    // batch's identical windows
+    val freshDoc = (0 until 30).map(j => s"fresh$j").mkString(" ")
+    val batch = Seq((1000L, docText(3)), (1001L, freshDoc))
+      .toDF("doc_id", "text")
+    val res = Dedup.incrementalStripPassages(loaded, batch,
+      "doc_id", "text")
+    val cleaned = res.cleaned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cleaned(1000L) == 3 && cleaned(1001L) == 0,
+      s"expected doc 1000 fully cut, 1001 untouched: $cleaned")
+    AdmissionIndexes.saveWindowIndex(res.newWindows,
+      "window_index_bucketed", buckets = 8, append = true)
+    val next = Dedup.incrementalStripPassages(
+      AdmissionIndexes.load(spark, "window_index_bucketed"),
+      Seq((2000L, freshDoc)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(next.cleaned.collect().head.getInt(2) == 3,
+      "appended delta not visible to the next batch's probe")
+    spark.sql("DROP TABLE IF EXISTS window_index_bucketed")
+  }
+
   test("digest and code indexes refuse a frame missing their probe key") {
     val e = intercept[IllegalArgumentException] {
       AdmissionIndexes.saveDigestIndex(
