@@ -81,7 +81,8 @@ object Dedup {
   // SQL implements the SAME tokenization (the gate checks parity, not
   // an ideal), so this stays as-is — normalizing here without
   // migrating every oracle would break the hash compare.
-  private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
+  private[graft] def tokensOf(text: Column): Column =
+    split(trim(text), "\\s+")
 
   /** (id, sh): distinct word n-gram shingles per document, with the
     * token array materialized in its own projection BEFORE the
@@ -379,30 +380,37 @@ object Dedup {
       idCol: String,
       textCol: String,
       winLen: Int,
-      stride: Int): DataFrame = {
-    require(winLen > 0 && stride > 0, "winLen and stride must be > 0")
+      stride: Int): DataFrame =
     // Tokens are materialized in their own projection BEFORE the
     // window lambda references them: HOF lambdas evaluate interpreted
     // with no subexpression elimination, so an inlined split() would
     // re-tokenize the document once per window. CollapseProject leaves
     // the materialization alone (non-cheap producer, multiple refs).
-    val toks = col("__t")
-    // window ordinals i = 0.., window i covers tokens [i*stride+1,
-    // i*stride+winLen] (1-based slice); emit only complete windows
+    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+      .select(col("id"), explode(windowArr(col("__t"), winLen, stride))
+        .as("w"))
+      .select(col("id"), col("w.win_idx"), col("w.wh"))
+
+  /** (win_idx, wh) struct array of a token column — THE window
+    * construction shared by every passage face (detect / strip /
+    * incremental / streaming); one definition so window hashes can
+    * never drift between a stored index and a probe. Window ordinal
+    * i covers tokens [i*stride+1, i*stride+winLen] (1-based slice);
+    * only complete windows are emitted. */
+  private[graft] def windowArr(
+      toks: Column, winLen: Int, stride: Int): Column = {
+    require(winLen > 0 && stride > 0, "winLen and stride must be > 0")
     val nWins = greatest(
       floor((size(toks) - winLen).cast("double") / stride).cast("int") + 1,
       lit(0))
     // sequence(0, n-1) DESCENDS when n = 0 — guard with an empty array
     // so too-short documents contribute no windows
-    val winArr = when(nWins > 0,
+    when(nWins > 0,
       transform(sequence(lit(0), nWins - 1),
         i => struct(i.as("win_idx"),
           md5(concat_ws(" ", slice(toks, i * stride + 1, lit(winLen))))
             .as("wh"))))
       .otherwise(array().cast("array<struct<win_idx:int,wh:string>>"))
-    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
-      .select(col("id"), explode(winArr).as("w"))
-      .select(col("id"), col("w.win_idx"), col("w.wh"))
   }
 
   /** Duplicated-passage REMOVAL — the acting half of
@@ -463,11 +471,24 @@ object Dedup {
       dropRows: DataFrame): DataFrame = {
     val drops = dropRows.groupBy(col("id"))
       .agg(sort_array(collect_list(col("win_idx"))).as("__drop"))
-    val toks = col("__t")
+    val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
+    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"),
+        rebuiltText(col("__t"), dropArr, winLen).as("clean_text"),
+        size(dropArr).as("n_dropped"))
+  }
+
+  /** Rebuilt document minus the dropped window ordinals — the
+    * row-local column form of the acting tail, shared by the batch
+    * rebuild and the streaming face: kept windows + the sub-window
+    * tail, single-space joined. `dropArr` must be non-null (coalesce
+    * an absent verdict to an empty array). */
+  private[graft] def rebuiltText(
+      toks: Column, dropArr: Column, winLen: Int): Column = {
     val nWins = greatest(
       floor((size(toks) - winLen).cast("double") / winLen).cast("int") + 1,
       lit(0))
-    val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
     val keptIdx = when(nWins > 0,
       filter(sequence(lit(0), nWins - 1),
         i => !array_contains(dropArr, i)))
@@ -477,11 +498,7 @@ object Dedup {
     val tail = when(size(toks) > nWins * winLen,
       slice(toks, nWins * winLen + 1, size(toks) - nWins * winLen))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
-      .join(drops, Seq("id"), "left")
-      .select(col("id"),
-        array_join(concat(keptToks, tail), " ").as("clean_text"),
-        size(dropArr).as("n_dropped"))
+    array_join(concat(keptToks, tail), " ")
   }
 
   /** The persisted side of incremental passage stripping: the

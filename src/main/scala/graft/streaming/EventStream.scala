@@ -418,6 +418,72 @@ object EventStream {
       .select(col(idCol), col(tsCol), col(vecCol), col("best_cos"))
   }
 
+  /** Streaming passage strip against a persisted window-digest index
+    * — the streaming face of
+    * [[graft.dedup.Dedup.incrementalStripPassages]]: documents
+    * arriving on a stream are REWRITTEN (not dropped) with every
+    * `winLen`-word window whose digest is already in the corpus
+    * index cut from their text.
+    *
+    * Windows are hashed ROW-LOCALLY through the shared
+    * `Dedup.windowArr` construction, so a batch-built
+    * [[graft.dedup.Dedup.windowDigestSet]] serves the stream with no
+    * special build — one definition, hashes can't drift. Verdicts
+    * come from the STATELESS stream-static join of exploded window
+    * digests against the index; the one stateful step is folding a
+    * document's per-window verdicts back together ("which ordinals
+    * were hit" needs all of a doc's window rows): a watermarked
+    * tumbling-window aggregation, append-mode, state bounded by
+    * arrival rate x watermark — identical shape to
+    * [[streamingNearDupAdmission]]'s verdict.
+    *
+    * Within-stream and within-document repeats are out of scope by
+    * construction (two stream docs never compare, and no keeper
+    * election runs on the stream side) — chain the batch kernel over
+    * emitted rows for those, and append its `newWindows` delta to
+    * the index between restarts exactly as with
+    * [[streamingAdmission]]'s digests.
+    *
+    * Output: (idCol, tsCol, textCol rebuilt, n_stripped) for EVERY
+    * document — docs shorter than `winLen` or with no indexed window
+    * pass through whole with n_stripped = 0. */
+  def streamingStripPassages(
+      docs: DataFrame,
+      indexWindows: DataFrame, // windowDigestSet output (wh)
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      winLen: Int = 10,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.dedup.Dedup
+    // static side materialized ONCE (each micro-batch re-plans it
+    // otherwise); at real scale this IS the persisted window index,
+    // loaded rather than built
+    val index = indexWindows
+      .select(col("wh"), lit(true).as("__hit"))
+      .localCheckpoint()
+    // explode_outer: sub-winLen docs contribute one null window row,
+    // so they still reach the verdict aggregate and emit whole
+    val exploded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        Dedup.tokensOf(col(textCol)).as("__t"))
+      .select(col(idCol), col(tsCol), col("__t"),
+        explode_outer(Dedup.windowArr(col("__t"), winLen, winLen))
+          .as("w"))
+    exploded
+      .join(index, col("w.wh") === col("wh"), "left")
+      .groupBy(window(col(tsCol), watermark), col(idCol))
+      // collect_list skips the nulls of un-hit (and null-window) rows
+      .agg(sort_array(collect_list(when(col("__hit"),
+          col("w.win_idx")))).as("__drop"),
+        first(col(tsCol)).as(tsCol), first(col("__t")).as("__t"))
+      .select(col(idCol), col(tsCol),
+        Dedup.rebuiltText(col("__t"), col("__drop"), winLen)
+          .as(textCol),
+        size(col("__drop")).as("n_stripped"))
+  }
+
   /** SCHEMA-GENERIC stream-stream interval join: match each left row
     * to the right rows with the same `keyCol` value within `within`
     * of event time (|l.ts - r.ts| <= within). Both sides carry

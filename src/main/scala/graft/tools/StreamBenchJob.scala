@@ -25,7 +25,9 @@ import graft.streaming.EventStream.Event
   * rows total across stateful operators).
   *
   * Ops: `admission` ([[EventStream.streamingAdmission]] — digest
-  * anti-join + dropDuplicatesWithinWatermark), `embed_admission`
+  * anti-join + dropDuplicatesWithinWatermark), `strip`
+  * ([[EventStream.streamingStripPassages]] — window-index probe +
+  * windowed per-doc verdict fold + row-local rebuild), `embed_admission`
   * ([[EventStream.streamingEmbedAdmission]] — sign-code index probe
   * + cosine verify + windowed verdict), `interval_join`
   * ([[EventStream.streamingIntervalJoinOn]], inner, ±within), and
@@ -55,7 +57,7 @@ object StreamBenchJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamBenchJob <admission|embed_admission|interval_join|windowed> <nEvents> " +
+      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|windowed> <nEvents> " +
         "[chunk] [watermarkMin] [simRate] [embedBits] [statePartitions]")
     val op = args(0)
     val nEvents = args(1).toLong
@@ -122,6 +124,37 @@ object StreamBenchJob {
         while (i < nEvents) {
           val hi = math.min(i + chunk, nEvents)
           in.addData((i until hi).map(j => Doc(j, eventTs(j, simRate), text(j))))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "strip" =>
+        // ~2% of stream docs open with one of 200 indexed 10-word
+        // passages (that window is cut); the rest are fresh and pass
+        // whole — every doc emits, so the stateful step under test is
+        // the watermark-windowed verdict fold, same equilibrium
+        // family as the admission verdicts
+        def passage(j: Long): String =
+          (0 until 10).map(t => s"pass${j}w$t").mkString(" ")
+        def filler(i: Long): String =
+          (0 until 10).map(t => s"doc${i}tok$t").mkString(" ")
+        def text(i: Long): String =
+          if (i % 50 == 0) s"${passage(i / 50 % 200)} ${filler(i)}"
+          else s"${filler(i)} tail"
+        val index = graft.dedup.Dedup.windowDigestSet(
+          (0L until 200L).map(j => (j, passage(j)))
+            .toDF("doc_id", "text"),
+          "doc_id", "text").localCheckpoint()
+        val in = MemoryStream[Doc]
+        val q = EventStream.streamingStripPassages(
+            in.toDF(), index, watermark = watermark)
+          .writeStream.format("noop").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            Doc(j, eventTs(j, simRate), text(j))))
           q.processAllAvailable()
           i = hi
         }

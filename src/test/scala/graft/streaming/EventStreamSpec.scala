@@ -294,6 +294,40 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming passage strip: indexed windows are cut from arriving " +
+      "docs once the watermark closes their verdict window; fresh and " +
+      "sub-window docs pass through whole") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val f = (1 to 10).map(i => s"f$i").mkString(" ")
+    val idx = graft.dedup.Dedup.windowDigestSet(
+      Seq((1L, p)).toDF("doc_id", "text"), "doc_id", "text")
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingStripPassages(in.toDF(), idx,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("strip_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:00"), s"$p $f"), // window 0 cut
+      Doc(11L, ts("2024-01-01 00:01:00"), f), // fresh: passes whole
+      Doc(12L, ts("2024-01-01 00:02:00"), "tiny doc")) // sub-window
+    q.processAllAvailable()
+    // verdicts are watermark-gated: advance event time past the
+    // window end + watermark so the first window's verdicts emit
+    in.addData(Doc(99L, ts("2024-01-01 02:00:00"), "watermark pusher"))
+    q.processAllAvailable()
+    val rows = spark.table("strip_out").collect()
+    q.stop()
+    val m = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Int]("n_stripped")))).toMap
+    assert(m(10L) == ((f, 1)), s"got $m")
+    assert(m(11L) == ((f, 0)))
+    assert(m(12L) == (("tiny doc", 0)))
+    }
+  }
+
   test("streaming admission survives stop/restart from its checkpoint: " +
       "committed batches are not replayed and dedupe state is restored " +
       "across the boundary (exactly-once admission)") {
