@@ -25,23 +25,29 @@ import graft.text.TextStats
   * default Gopher gate would empty the pipeline and the measurement
   * would time nothing — CorpusPipelineSpec documents the same).
   *
-  * Args: <sfDir> [embDir]. With `embDir`, the near-dup stage runs
-  * the EMBEDDINGS pair source instead of token LSH (that dir's
+  * Args: <sfDir> [embDir] [strip]. With `embDir`, the near-dup stage
+  * runs the EMBEDDINGS pair source instead of token LSH (that dir's
   * embeddings table joined on vec_id = doc_id, cosine >= 0.95) —
   * different kernels entirely (sign-code self-join + pipelined
-  * cosine verify), so its per-stage cost is its own measurement. */
+  * cosine verify), so its per-stage cost is its own measurement.
+  * With the literal flag `strip`, the optional passage-strip stage
+  * runs over the survivors (winLen 10); its cost lands in
+  * `finalize_s`, so the with/without delta at the same sfDir is the
+  * stage's end-to-end price. */
 object PipelineBenchJob {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1 && args.length <= 2,
-      "usage: PipelineBenchJob <sfDir> [embDir]")
-    val sfDir = args(0)
+    val strip = args.contains("strip")
+    val pos = args.filterNot(_ == "strip")
+    require(pos.length >= 1 && pos.length <= 2,
+      "usage: PipelineBenchJob <sfDir> [embDir] [strip]")
+    val sfDir = pos(0)
     val spark = Sessions.local("graft-pipebench")
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)
     val (srcName, pairSource) =
-      if (args.length == 2) {
-        val emb = Tables.embeddings(spark, args(1))
+      if (pos.length == 2) {
+        val emb = Tables.embeddings(spark, pos(1))
         ("embeddings", CorpusPipeline.PairSource.Embeddings(
           emb, simThreshold = 0.95,
           embIdCol = "vec_id", vecCol = "embedding"))
@@ -54,7 +60,8 @@ object PipelineBenchJob {
       shardBudget = 4096L,
       pairSource = pairSource,
       quality = t => TextStats.tokenCount(t) >= 10,
-      onStage = (s, w) => stageWalls(s) = w)
+      onStage = (s, w) => stageWalls(s) = w,
+      stripPassages = if (strip) Some(10) else None)
     val s = CorpusPipeline.stats(res.annotated).collect().head
     val cleanedRows = res.cleaned.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -72,7 +79,7 @@ object PipelineBenchJob {
       s""""near_dup":${s.getAs[Long]("near_dup")},""" +
       s""""contaminated":${s.getAs[Long]("contaminated")},""" +
       s""""kept":${s.getAs[Long]("kept")},"cleaned":$cleanedRows,""" +
-      s""""pair_source":"$srcName",""" +
+      s""""pair_source":"$srcName","strip":$strip,""" +
       s""""decisions":$dec,"stage_walls":$stagesJson,""" +
       s""""wall_s":${f"$wall%.2f"},"sf":"$sfDir"}""")
     spark.stop()

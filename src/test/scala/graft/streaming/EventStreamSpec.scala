@@ -439,6 +439,57 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming passage strip survives stop/restart: pending window " +
+      "verdicts are restored from the checkpoint (rebuilt texts emit " +
+      "exactly once, with their cuts intact)") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val f = (1 to 10).map(i => s"f$i").mkString(" ")
+    val g = (1 to 10).map(i => s"g$i").mkString(" ")
+    val idx = graft.dedup.Dedup.windowDigestSet(
+      Seq((1L, p)).toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    val ckpt = java.nio.file.Files.createTempDirectory("strip_ckpt")
+      .toString
+    val in = MemoryStream[Doc]
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int)]()
+    def start() = EventStream.streamingStripPassages(in.toDF(), idx,
+        watermark = "10 minutes")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_stripped"))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:00"), s"$p $f"), // indexed cut
+      Doc(11L, ts("2024-01-01 00:01:00"), g)) // fresh: whole
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.isEmpty,
+      s"verdicts emitted before the watermark: ${emitted.asScala.toSeq}")
+
+    // arrivals while the query is DOWN: one more doc, then a
+    // far-future doc that closes the first window
+    in.addData(
+      Doc(12L, ts("2024-01-01 00:02:00"), s"$g $p"), // window 1 cut
+      Doc(99L, ts("2024-01-01 02:00:00"), "watermark pusher"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = emitted.asScala.toSeq.sortBy(_._1)
+    assert(got == Seq((10L, f, 1), (11L, g, 0), (12L, g, 1)),
+      s"restart broke the pending verdicts: $got")
+    }
+  }
+
   test("streaming embed admission survives stop/restart: pending " +
       "window verdicts are restored from the checkpoint and the " +
       "near-dup drop verdict holds across the boundary") {
