@@ -527,7 +527,7 @@ object Dedup {
     * incremental kernels; DedupSpec pins the parity).
     *
     * Scale shape: ONLY the batch is window-hashed — the corpus
-    * contributes one semi/anti-join against its digest index (32-char
+    * contributes ONE probe join against its digest index (32-char
     * rows; bucketed by wh under [[graft.jobs.AdmissionIndexes]]-style
     * persistence the index side never re-shuffles). Corpus text is
     * never read at all. */
@@ -537,13 +537,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       winLen: Int = 10): StrippedBatch = {
+    // ONE probe of the corpus-sized index (a left join with a hit
+    // marker, split afterwards) — the index is the side that grows
+    // with the corpus, so probing it twice (semi + anti) would double
+    // the recurring cost this kernel exists to minimize. The probed
+    // frame is lazily checkpointed: both the known/fresh splits and
+    // the keeper/dup joins read its blocks, so batch window hashing
+    // AND the index probe each run exactly once.
     val wins = windowDigests(batch, idCol, textCol, winLen,
-      stride = winLen).localCheckpoint(eager = false)
-    val idx = indexWindows.select(col("wh"))
-    val known = wins.join(idx, Seq("wh"), "left_semi")
-      .select(col("id"), col("win_idx"))
-    val fresh = wins.join(idx, Seq("wh"), "left_anti")
+      stride = winLen)
+    val probed = wins.join(
+        indexWindows.select(col("wh"), lit(true).as("__hit")),
+        Seq("wh"), "left")
       .localCheckpoint(eager = false)
+    val known = probed.filter(col("__hit"))
+      .select(col("id"), col("win_idx"))
+    val fresh = probed.filter(col("__hit").isNull)
     val keeper = fresh.groupBy(col("wh"))
       .agg(min(struct(col("id"), col("win_idx"))).as("k"))
     val batchDups = fresh.join(keeper, "wh")

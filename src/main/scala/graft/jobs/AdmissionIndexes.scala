@@ -64,6 +64,25 @@ object AdmissionIndexes {
     keys.foreach(k => require(df.columns.contains(k),
       s"index frame is missing probe-key column '$k' " +
         s"(has ${df.columns.mkString(", ")})"))
+    if (!append) {
+      // an overwrite must be RERUNNABLE across JVMs: with an
+      // in-memory catalog and a fixed warehouse dir, a fresh session
+      // sees an empty catalog but the previous run's managed location
+      // still on disk, and saveAsTable (now a CREATE) refuses the
+      // non-empty directory. Drop the table if this session knows it,
+      // then clear any stale location.
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
     df.write
       .mode(if (append) "append" else "overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

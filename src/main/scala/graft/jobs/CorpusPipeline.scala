@@ -515,13 +515,14 @@ object CorpusPipeline {
     // occurrence before redaction/encoding, so shared passages never
     // reach training shards twice. Runs on kept docs only; dropped
     // docs never pay the window hashing.
+    // strip returns EVERY kept doc (it rewrites, never drops), and
+    // base consumes only (id, text) — so the stripped frame IS the
+    // base input directly; joining back to kept would re-execute the
+    // kept plan a third time to re-attach columns nothing reads
     val deduped = stripPassages match {
       case Some(w) =>
-        val clean = Dedup
-          .stripDuplicatedPassages(kept, idCol, textCol, w)
-          .select(col("id").as(idCol), col("clean_text"))
-        kept.drop(textCol).join(clean, Seq(idCol))
-          .withColumnRenamed("clean_text", textCol)
+        Dedup.stripDuplicatedPassages(kept, idCol, textCol, w)
+          .select(col("id").as(idCol), col("clean_text").as(textCol))
       case None => kept
     }
     val base = deduped.select(id,

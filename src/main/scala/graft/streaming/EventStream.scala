@@ -463,7 +463,11 @@ object EventStream {
       .select(col("wh"), lit(true).as("__hit"))
       .localCheckpoint()
     // explode_outer: sub-winLen docs contribute one null window row,
-    // so they still reach the verdict aggregate and emit whole
+    // so they still reach the verdict aggregate and emit whole. The
+    // token array rides ONE row per document (window 0, or the null
+    // row of a window-less doc), not every window row — carrying it
+    // on all of them would make per-doc verdict-shuffle volume
+    // QUADRATIC in document length (windows x tokens).
     val exploded = docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol),
@@ -471,13 +475,17 @@ object EventStream {
       .select(col(idCol), col(tsCol), col("__t"),
         explode_outer(Dedup.windowArr(col("__t"), winLen, winLen))
           .as("w"))
+      .select(col(idCol), col(tsCol), col("w"),
+        when(coalesce(col("w.win_idx"), lit(0)) === 0, col("__t"))
+          .as("__t"))
     exploded
       .join(index, col("w.wh") === col("wh"), "left")
       .groupBy(window(col(tsCol), watermark), col(idCol))
       // collect_list skips the nulls of un-hit (and null-window) rows
       .agg(sort_array(collect_list(when(col("__hit"),
           col("w.win_idx")))).as("__drop"),
-        first(col(tsCol)).as(tsCol), first(col("__t")).as("__t"))
+        first(col(tsCol)).as(tsCol),
+        first(col("__t"), ignoreNulls = true).as("__t"))
       .select(col(idCol), col(tsCol),
         Dedup.rebuiltText(col("__t"), col("__drop"), winLen)
           .as(textCol),

@@ -21,18 +21,8 @@ class AdmissionIndexesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val bands = Dedup.minhashBandRows(corpus, "doc_id", "text",
       shingleN = 3, bands = 8, rowsPerBand = 2)
-    spark.sql("DROP TABLE IF EXISTS band_index_bucketed")
-    // an in-memory catalog DROP leaves the managed location's files
-    // behind across JVMs — clear them or the CREATE refuses
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), "band_index_bucketed")
-    if (loc.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    // overwrite is rerunnable by contract: save() itself drops the
+    // table and clears any stale managed location from a prior JVM
     AdmissionIndexes.saveBandIndex(bands, "band_index_bucketed",
       buckets = 8)
 
@@ -90,16 +80,6 @@ class AdmissionIndexesSpec extends SparkSpec {
       "appended batch delta feeds the next incremental strip") {
     val corpus = (0 until 50).map(i => (i.toLong, docText(i)))
       .toDF("doc_id", "text")
-    spark.sql("DROP TABLE IF EXISTS window_index_bucketed")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), "window_index_bucketed")
-    if (loc.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
     val idx = Dedup.windowDigestSet(corpus, "doc_id", "text")
     AdmissionIndexes.saveWindowIndex(idx, "window_index_bucketed",
       buckets = 8)
