@@ -36,6 +36,7 @@ object AdmissionIndexes {
   val bandKeys: Seq[String] = Seq("band", "bh")
   val codeKeys: Seq[String] = Seq("tbl", "code")
   val windowKeys: Seq[String] = Seq("wh")
+  val postingsKeys: Seq[String] = Seq("term")
 
   def saveDigestIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
@@ -55,6 +56,15 @@ object AdmissionIndexes {
   def saveWindowIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
     save(df, table, windowKeys, buckets, append)
+
+  /** Inverted-index postings: (term, id, tf, len) from
+    * [[graft.text.Search.postings]], probed by term —
+    * [[graft.text.Search.bm25FromPostings]]' stored side. A query's
+    * term filter reads only the probed buckets; the corpus-sized
+    * posting list never re-shuffles. */
+  def savePostingsIndex(df: DataFrame, table: String, buckets: Int = 64,
+      append: Boolean = false): Unit =
+    save(df, table, postingsKeys, buckets, append)
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

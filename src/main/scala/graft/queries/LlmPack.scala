@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Dedup, SimJoin}
 import graft.similarity.Similarity
-import graft.text.TextStats
+import graft.text.{Search, TextStats}
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), text
@@ -129,6 +129,23 @@ object LlmPack extends QueryPack {
           TextStats.fingerprint(t).as("fp"))
         .orderBy(col("doc_id"))
     }),
+
+    // BM25 keyword retrieval (graft.text.Search): top-20 docs for a
+    // 3-term query. Log-free rational idf + DECIMAL-routed per-term
+    // scores keep the double math bit-identical to the oracle.
+    "q_bm25_topk" -> ((s, d) =>
+      Search.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 20)),
+
+    // The inverted index itself: per-term document frequency,
+    // collection frequency, and max tf — integer-exact over the
+    // full vocabulary.
+    "q_postings_stats" -> ((s, d) =>
+      Search.postings(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("tf")).as("max_tf"))
+        .orderBy(col("term"))),
 
     // Decontamination: corpus docs (doc_id >= 20) sharing any word
     // 5-gram with the benchmark set (doc_id < 20). Benchmark digests
@@ -988,6 +1005,47 @@ object LlmPack extends QueryPack {
         |    ELSE 'de' END AS lang_guess,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BM25 oracle mirrors Search.score's expression tree exactly:
+    // rational idf (N-df+0.5)/(df+0.5), saturation tf*(k1+1)/(tf +
+    // k1*(1-b + b*len/avgLen)) with k1+1 COMPUTED (1.2 + 1.0) the
+    // way the Scala side computes it (the parsed literal 2.2 is a
+    // different double), per-term scores through DECIMAL(18,6) so
+    // the sum is order-independent.
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS len,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT term, doc_id, len, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'window', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |corpus AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))) AS sum_len
+        |  FROM documents),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(
+        |    ((n_docs - df + 0.5) / (df + 0.5)) *
+        |    ((tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |  COUNT(*) AS hits
+        |FROM post JOIN dfreq USING (term) CROSS JOIN corpus
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    "q_postings_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  MAX(tf) AS max_tf
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),

@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus — the keyword
+  * face of the engine's search surface (the ANN family in
+  * [[graft.similarity.Similarity]] is the embedding face).
+  *
+  * Two-layer design, mirroring the admission-index pattern the
+  * dedup/ANN kernels use:
+  *
+  *   - [[postings]] builds the INVERTED INDEX: one `(term, id, tf,
+  *     len)` row per distinct term per document, from a single
+  *     explode + map-side-combinable groupBy. At corpus scale this
+  *     is persisted once via
+  *     [[graft.jobs.AdmissionIndexes.savePostingsIndex]] (bucketed
+  *     by term), and every query probes it without re-reading text.
+  *   - [[bm25]] / [[bm25FromPostings]] score a query: the term list
+  *     is a handful of literals compiled into an `isin` filter, so
+  *     only the queried terms' postings ever leave the scan; the
+  *     per-term document frequencies and the corpus constants
+  *     (N, total length) are tiny aggregates joined back broadcast.
+  *     No shuffle touches anything proportional to corpus size
+  *     except the initial postings build.
+  *
+  * Scoring uses the BM25 term-saturation shape with a RATIONAL idf
+  * — `(N - df + 0.5) / (df + 0.5)`, the inside of the classical
+  * `ln` — kept log-free deliberately: every arithmetic step is then
+  * an IEEE-exact integer promotion or a single correctly-rounded
+  * double op, so Spark and the DuckDB oracle agree bit-for-bit
+  * (`ln` is implementation-defined in the last ulp; a monotone
+  * transform of it ranks identically). Per-term scores route
+  * through DECIMAL(18,6) before summing — the RelationalPack.dsum
+  * discipline — so the cross-term sum is order-independent.
+  *
+  * Reference scope: the reference engine has no text-retrieval
+  * operator; this extends the training-data surface (corpus
+  * triage: "which documents mention these terms, ranked") the same
+  * way the dedup/ANN kernels do.
+  */
+object Search {
+
+  /** Whitespace tokens with edge-empties dropped — unlike
+    * [[graft.dedup.Dedup]]'s oracle-pinned tokenization, retrieval
+    * wants no phantom empty term. */
+  private def terms(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Inverted-index postings: one row per (term, id) with the term
+    * frequency and the document's token length. Columns
+    * `(term, id, tf, len)`; `len` rides the groupBy key (it is
+    * functionally dependent on `id`) so no second pass re-derives
+    * it at scoring time. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), terms(col(textCol)).as("__t"))
+      .select(col("id"), size(col("__t")).as("len"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("term"), col("id"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus constants the scorer needs besides postings: document
+    * count and summed token length (avg length derives as one exact
+    * integer division at scoring time). One row. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(size(terms(col(textCol))).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+
+  /** Top-k BM25 over raw documents: builds postings for the queried
+    * terms only (the `isin` filter runs BEFORE the tf aggregate, so
+    * non-matching terms never shuffle), then scores. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val post = docs
+      .select(col(idCol).as("id"), terms(col(textCol)).as("__t"))
+      .select(col("id"), size(col("__t")).as("len"),
+        explode(col("__t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term"), col("id"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+    score(post, corpusStats(docs, textCol), idCol, k, k1, b)
+  }
+
+  /** Top-k BM25 probing a PREBUILT postings index (the persisted
+    * path — bucketed by term under AdmissionIndexes, the index side
+    * never re-shuffles and corpus text is never read). `stats` is
+    * one [[corpusStats]] row persisted alongside the index. */
+  def bm25FromPostings(post: DataFrame, stats: DataFrame,
+      idCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    score(post.filter(col("term").isin(queryTerms: _*)),
+      stats, idCol, k, k1, b)
+  }
+
+  /** Shared scorer: postings of the queried terms -> broadcast df
+    * per term + 1-row corpus constants -> per-term saturated score
+    * through DECIMAL(18,6) -> order-independent sum -> top-k with a
+    * deterministic id tie-break. */
+  private def score(post: DataFrame, stats: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avg_len",
+        col("sum_len").cast("double") / col("n_docs"))
+      // rational idf: integers subtract exactly, one double divide
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      // term saturation: tf*(k1+1) / (tf + k1*(1-b + b*len/avgLen)),
+      // parenthesized identically to the oracle SQL
+      .withColumn("tnorm",
+        (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + (lit(b) * col("len")) / col("avg_len"))))
+      .withColumn("tscore",
+        (col("idf") * col("tnorm")).cast("decimal(18,6)"))
+      .groupBy(col("id"))
+      .agg(sum(col("tscore")).cast("double").as("score"),
+        count(lit(1)).as("hits"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"), col("hits"))
+  }
+}
