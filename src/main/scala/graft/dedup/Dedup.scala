@@ -421,8 +421,10 @@ object Dedup {
     * Returns (id, clean_text, n_dropped): the rebuilt text (kept
     * windows + the sub-window tail, single-space joined — i.e.
     * whitespace-normalized, like [[contentDigestOf]]'s canonical
-    * form) and how many windows were cut. Docs shorter than `winLen`
-    * pass through whole.
+    * form) and how many windows were cut. Documents with NOTHING cut
+    * — including docs shorter than `winLen` — keep their original
+    * text verbatim; normalization is a side effect of surgery, not a
+    * blanket rewrite.
     *
     * Windows are non-overlapping BY CONSTRUCTION (stride = winLen):
     * every token belongs to exactly one window, so "remove the
@@ -462,7 +464,11 @@ object Dedup {
     * [[incrementalStripPassages]]. Verdicts fold to one small int
     * array per affected doc; the rebuild is a row-local HOF
     * projection (kept windows + the sub-window tail, single-space
-    * joined), so text never shuffles. */
+    * joined), so text never shuffles. A document with NO dropped
+    * windows keeps its ORIGINAL text verbatim — whitespace
+    * normalization (newlines/tabs/run-spaces collapsed) applies only
+    * to documents that actually had passages cut, so untouched code
+    * or markdown survives byte-for-byte. */
   private def rebuildWithoutWindows(
       df: DataFrame,
       idCol: String,
@@ -472,10 +478,13 @@ object Dedup {
     val drops = dropRows.groupBy(col("id"))
       .agg(sort_array(collect_list(col("win_idx"))).as("__drop"))
     val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
-    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("__t"))
+    df.select(col(idCol).as("id"), col(textCol).as("__orig"),
+        tokensOf(col(textCol)).as("__t"))
       .join(drops, Seq("id"), "left")
       .select(col("id"),
-        rebuiltText(col("__t"), dropArr, winLen).as("clean_text"),
+        when(size(dropArr) === 0, col("__orig"))
+          .otherwise(rebuiltText(col("__t"), dropArr, winLen))
+          .as("clean_text"),
         size(dropArr).as("n_dropped"))
   }
 

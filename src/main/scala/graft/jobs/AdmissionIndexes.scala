@@ -57,7 +57,7 @@ object AdmissionIndexes {
       append: Boolean = false): Unit =
     save(df, table, windowKeys, buckets, append)
 
-  /** Inverted-index postings: (term, id, tf, len) from
+  /** Inverted-index postings: (term, id, len, tf) from
     * [[graft.text.Search.postings]], probed by term —
     * [[graft.text.Search.bm25FromPostings]]' stored side. A query's
     * term filter reads only the probed buckets; the corpus-sized
@@ -71,6 +71,15 @@ object AdmissionIndexes {
 
   private def save(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int, append: Boolean): Unit = {
+    // the stale-location cleanup below resolves the managed location
+    // by string concatenation, so only a plain unqualified name in
+    // the default database is safe — a qualified (db.tbl) or
+    // path-like name would compute the WRONG path (silently breaking
+    // the rerunnable-overwrite contract at best, deleting outside
+    // the warehouse at worst). Refuse anything else up front.
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"index table name must be a plain unqualified identifier " +
+        s"([A-Za-z0-9_]+); got '$table'")
     keys.foreach(k => require(df.columns.contains(k),
       s"index frame is missing probe-key column '$k' " +
         s"(has ${df.columns.mkString(", ")})"))
@@ -80,17 +89,23 @@ object AdmissionIndexes {
       // sees an empty catalog but the previous run's managed location
       // still on disk, and saveAsTable (now a CREATE) refuses the
       // non-empty directory. Drop the table if this session knows it,
-      // then clear any stale location.
+      // then clear any stale location. The cleanup applies to LOCAL
+      // file: warehouses only (the test/local-mode case); on a
+      // remote warehouse (hdfs:/s3a:) an external catalog owns the
+      // location and the DROP alone suffices.
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = new java.io.File(wh, table.toLowerCase)
-      if (loc.exists()) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      val whUri = spark.conf.get("spark.sql.warehouse.dir")
+      val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
+      if (isLocal) {
+        val loc = new java.io.File(
+          whUri.stripPrefix("file:"), table.toLowerCase)
+        if (loc.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
       }
     }
     df.write

@@ -131,8 +131,10 @@ object LlmPack extends QueryPack {
     }),
 
     // BM25 keyword retrieval (graft.text.Search): top-20 docs for a
-    // 3-term query. Log-free rational idf + DECIMAL-routed per-term
-    // scores keep the double math bit-identical to the oracle.
+    // 3-term query. Lucene-form idf ln(1 + (N-df+0.5)/(df+0.5));
+    // per-term scores route through DECIMAL(18,6), which both makes
+    // the sum order-independent and absorbs the last-ulp ln
+    // difference between Spark and DuckDB.
     "q_bm25_topk" -> ((s, d) =>
       Search.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 20)),
@@ -517,7 +519,9 @@ object LlmPack extends QueryPack {
 
     // Duplicated-passage REMOVAL: every repeated 10-word window cut
     // except its globally-first (id, win_idx) occurrence, within-doc
-    // repeats included; rebuilt text is whitespace-normalized. The
+    // repeats included; rebuilt text is whitespace-normalized ONLY
+    // for documents that actually had windows cut — untouched docs
+    // keep their original text verbatim. The
     // keeper is a min(struct) hash-aggregate — partial-aggregatable,
     // so a viral passage combines map-side instead of sorting one
     // giant digest partition — and text never shuffles: verdicts
@@ -1006,11 +1010,12 @@ object LlmPack extends QueryPack {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     // BM25 oracle mirrors Search.score's expression tree exactly:
-    // rational idf (N-df+0.5)/(df+0.5), saturation tf*(k1+1)/(tf +
-    // k1*(1-b + b*len/avgLen)) with k1+1 COMPUTED (1.2 + 1.0) the
-    // way the Scala side computes it (the parsed literal 2.2 is a
-    // different double), per-term scores through DECIMAL(18,6) so
-    // the sum is order-independent.
+    // Lucene-form idf ln(1 + (N-df+0.5)/(df+0.5)), saturation
+    // tf*(k1+1)/(tf + k1*(1-b + b*len/avgLen)) with k1+1 COMPUTED
+    // (1.2 + 1.0) the way the Scala side computes it (the parsed
+    // literal 2.2 is a different double), per-term scores through
+    // DECIMAL(18,6) so the sum is order-independent and the ln's
+    // last-ulp wobble is absorbed.
     "q_bm25_topk" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1028,7 +1033,7 @@ object LlmPack extends QueryPack {
         |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)
         |SELECT doc_id,
         |  CAST(SUM(CAST(
-        |    ((n_docs - df + 0.5) / (df + 0.5)) *
+        |    ln(1.0 + ((n_docs - df + 0.5) / (df + 0.5))) *
         |    ((tf * (1.2 + 1.0)) /
         |      (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
         |    AS DECIMAL(18,6))) AS DOUBLE) AS score,
@@ -1465,9 +1470,10 @@ object LlmPack extends QueryPack {
         |ORDER BY doc_id, win_idx""".stripMargin,
     "q_strip_passages" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |  SELECT doc_id, text, string_split(text, ' ') AS sp
+        |  FROM documents),
         |n AS (
-        |  SELECT doc_id, sp,
+        |  SELECT doc_id, text, sp,
         |    CAST(greatest(floor((len(sp) - 10) / 10.0) + 1, 0) AS BIGINT)
         |      AS nw
         |  FROM t),
@@ -1485,7 +1491,8 @@ object LlmPack extends QueryPack {
         |  SELECT doc_id, list(win_idx ORDER BY win_idx) AS dw
         |  FROM r WHERE rn > 1 GROUP BY doc_id)
         |SELECT n.doc_id,
-        |  coalesce(array_to_string(
+        |  CASE WHEN coalesce(len(dw), 0) = 0 THEN text
+        |  ELSE coalesce(array_to_string(
         |    flatten(list_transform(
         |      list_filter(range(nw),
         |        i -> NOT list_contains(coalesce(dw, CAST([] AS INTEGER[])),
@@ -1495,16 +1502,17 @@ object LlmPack extends QueryPack {
         |    || CASE WHEN len(sp) > nw * 10
         |         THEN list_slice(sp, nw * 10 + 1, len(sp))
         |         ELSE CAST([] AS VARCHAR[]) END,
-        |    ' '), '') AS clean_text,
+        |    ' '), '') END AS clean_text,
         |  CAST(coalesce(len(dw), 0) AS INTEGER) AS n_dropped
         |FROM n LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_incremental_strip" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        |  SELECT doc_id, text, string_split(text, ' ') AS sp
+        |  FROM documents
         |  WHERE doc_id < 500),
         |n AS (
-        |  SELECT doc_id, sp,
+        |  SELECT doc_id, text, sp,
         |    CAST(greatest(floor((len(sp) - 10) / 10.0) + 1, 0) AS BIGINT)
         |      AS nw
         |  FROM t),
@@ -1522,7 +1530,8 @@ object LlmPack extends QueryPack {
         |  SELECT doc_id, list(win_idx ORDER BY win_idx) AS dw
         |  FROM r WHERE rn > 1 GROUP BY doc_id)
         |SELECT n.doc_id,
-        |  coalesce(array_to_string(
+        |  CASE WHEN coalesce(len(dw), 0) = 0 THEN text
+        |  ELSE coalesce(array_to_string(
         |    flatten(list_transform(
         |      list_filter(range(nw),
         |        i -> NOT list_contains(coalesce(dw, CAST([] AS INTEGER[])),
@@ -1532,7 +1541,7 @@ object LlmPack extends QueryPack {
         |    || CASE WHEN len(sp) > nw * 10
         |         THEN list_slice(sp, nw * 10 + 1, len(sp))
         |         ELSE CAST([] AS VARCHAR[]) END,
-        |    ' '), '') AS clean_text,
+        |    ' '), '') END AS clean_text,
         |  CAST(coalesce(len(dw), 0) AS INTEGER) AS n_dropped
         |FROM n LEFT JOIN d USING (doc_id)
         |WHERE n.doc_id >= 250

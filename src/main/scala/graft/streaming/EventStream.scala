@@ -464,20 +464,20 @@ object EventStream {
       .localCheckpoint()
     // explode_outer: sub-winLen docs contribute one null window row,
     // so they still reach the verdict aggregate and emit whole. The
-    // token array rides ONE row per document (window 0, or the null
-    // row of a window-less doc), not every window row — carrying it
-    // on all of them would make per-doc verdict-shuffle volume
-    // QUADRATIC in document length (windows x tokens).
+    // document text rides ONE row per document (window 0, or the
+    // null row of a window-less doc), not every window row —
+    // carrying it on all of them would make per-doc verdict-shuffle
+    // volume QUADRATIC in document length (windows x tokens).
     val exploded = docs
       .withWatermark(tsCol, watermark)
-      .select(col(idCol), col(tsCol),
+      .select(col(idCol), col(tsCol), col(textCol),
         Dedup.tokensOf(col(textCol)).as("__t"))
-      .select(col(idCol), col(tsCol), col("__t"),
+      .select(col(idCol), col(tsCol), col(textCol),
         explode_outer(Dedup.windowArr(col("__t"), winLen, winLen))
           .as("w"))
       .select(col(idCol), col(tsCol), col("w"),
-        when(coalesce(col("w.win_idx"), lit(0)) === 0, col("__t"))
-          .as("__t"))
+        when(coalesce(col("w.win_idx"), lit(0)) === 0, col(textCol))
+          .as("__txt"))
     exploded
       .join(index, col("w.wh") === col("wh"), "left")
       .groupBy(window(col(tsCol), watermark), col(idCol))
@@ -485,9 +485,16 @@ object EventStream {
       .agg(sort_array(collect_list(when(col("__hit"),
           col("w.win_idx")))).as("__drop"),
         first(col(tsCol)).as(tsCol),
-        first(col("__t"), ignoreNulls = true).as("__t"))
+        first(col("__txt"), ignoreNulls = true).as("__txt"))
+      // tokens re-derived in their own projection (one split per doc,
+      // referenced many times by the rebuild HOFs — the windowDigests
+      // materialization discipline); an un-hit document keeps its
+      // ORIGINAL text verbatim, matching the batch kernel
+      .select(col(idCol), col(tsCol), col("__txt"), col("__drop"),
+        Dedup.tokensOf(col("__txt")).as("__t"))
       .select(col(idCol), col(tsCol),
-        Dedup.rebuiltText(col("__t"), col("__drop"), winLen)
+        when(size(col("__drop")) === 0, col("__txt"))
+          .otherwise(Dedup.rebuiltText(col("__t"), col("__drop"), winLen))
           .as(textCol),
         size(col("__drop")).as("n_stripped"))
   }

@@ -24,15 +24,19 @@ import org.apache.spark.sql.functions._
   *     No shuffle touches anything proportional to corpus size
   *     except the initial postings build.
   *
-  * Scoring uses the BM25 term-saturation shape with a RATIONAL idf
-  * — `(N - df + 0.5) / (df + 0.5)`, the inside of the classical
-  * `ln` — kept log-free deliberately: every arithmetic step is then
-  * an IEEE-exact integer promotion or a single correctly-rounded
-  * double op, so Spark and the DuckDB oracle agree bit-for-bit
-  * (`ln` is implementation-defined in the last ulp; a monotone
-  * transform of it ranks identically). Per-term scores route
-  * through DECIMAL(18,6) before summing — the RelationalPack.dsum
-  * discipline — so the cross-term sum is order-independent.
+  * Scoring is standard BM25 with the Lucene/ATIRE idf
+  * `ln(1 + (N - df + 0.5) / (df + 0.5))` — the `+1` keeps idf
+  * strictly positive where the classical form goes negative for
+  * terms in more than half the corpus, and the `ln` is essential
+  * for MULTI-term queries: summed per-term scores only weight terms
+  * like BM25 if each term carries the log (a log-free rational idf
+  * ranks identically per term but lets a df=1 term swamp the sum
+  * with weight ~N instead of ~ln N). `ln` is implementation-defined
+  * in the last ulp, so per-term scores route through DECIMAL(18,6)
+  * before summing — the RelationalPack.dsum discipline — which both
+  * makes the cross-term sum order-independent and absorbs the
+  * ≤1-ulp Spark-vs-DuckDB `ln` divergence (a ~1e-16 relative wobble
+  * against a 1e-6 rounding grid).
   *
   * Reference scope: the reference engine has no text-retrieval
   * operator; this extends the training-data surface (corpus
@@ -49,9 +53,9 @@ object Search {
 
   /** Inverted-index postings: one row per (term, id) with the term
     * frequency and the document's token length. Columns
-    * `(term, id, tf, len)`; `len` rides the groupBy key (it is
-    * functionally dependent on `id`) so no second pass re-derives
-    * it at scoring time. */
+    * `(term, id, len, tf)` in that order; `len` rides the groupBy
+    * key (it is functionally dependent on `id`) so no second pass
+    * re-derives it at scoring time. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"), terms(col(textCol)).as("__t"))
@@ -109,9 +113,13 @@ object Search {
       .crossJoin(broadcast(stats))
       .withColumn("avg_len",
         col("sum_len").cast("double") / col("n_docs"))
-      // rational idf: integers subtract exactly, one double divide
+      // Lucene-form BM25 idf: ln(1 + (N-df+0.5)/(df+0.5)). The
+      // rational inside is exact double math (integer subtracts, one
+      // divide); the ln's last-ulp wobble is absorbed by the
+      // DECIMAL(18,6) routing below.
       .withColumn("idf",
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       // term saturation: tf*(k1+1) / (tf + k1*(1-b + b*len/avgLen)),
       // parenthesized identically to the oracle SQL
       .withColumn("tnorm",

@@ -341,6 +341,30 @@ class DedupSpec extends SparkSpec {
       5L -> (("tiny doc", 0))))
   }
 
+  test("strip preserves untouched documents byte-for-byte: whitespace " +
+      "normalization applies only where windows were actually cut") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    // doc 2 shares the passage (gets cut -> normalized rebuild); docs
+    // 3/4 carry newlines/tabs/run-spaces but share nothing, so their
+    // text must come back VERBATIM — code and markdown structure
+    // survives the pass untouched
+    val code = "def f(x):\n\treturn  x + 1\n\n# comment"
+    val md = s"# title\n\nline one   spaced\nline\ttwo"
+    val df = Seq(
+      (1L, s"$passage tail"),
+      (2L, s"pre1 pre2 pre3 pre4 pre5 pre6 pre7 pre8 pre9 pre10 $passage"),
+      (3L, code),
+      (4L, md))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedPassages(df, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(out(2L)._2 == 1, "doc 2 must lose the shared passage")
+    assert(out(3L) == ((code, 0)), "untouched code must be verbatim")
+    assert(out(4L) == ((md, 0)), "untouched markdown must be verbatim")
+    assert(out(1L) == ((s"$passage tail", 0)))
+  }
+
   test("incrementalStripPassages matches the full recompute on the " +
       "batch slice and returns exactly the fresh window digests") {
     val p = (1 to 10).map(i => s"p$i").mkString(" ")

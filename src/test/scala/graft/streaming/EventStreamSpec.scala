@@ -312,7 +312,10 @@ class EventStreamSpec extends SparkSpec {
     in.addData(
       Doc(10L, ts("2024-01-01 00:00:00"), s"$p $f"), // window 0 cut
       Doc(11L, ts("2024-01-01 00:01:00"), f), // fresh: passes whole
-      Doc(12L, ts("2024-01-01 00:02:00"), "tiny doc")) // sub-window
+      Doc(12L, ts("2024-01-01 00:02:00"), "tiny doc"), // sub-window
+      // un-hit doc with newlines/tabs: must come back VERBATIM (the
+      // batch kernel's preserve-originals contract, streaming face)
+      Doc(13L, ts("2024-01-01 00:03:00"), "code:\n\tx = 1\n\ny  z"))
     q.processAllAvailable()
     // verdicts are watermark-gated: advance event time past the
     // window end + watermark so the first window's verdicts emit
@@ -325,6 +328,7 @@ class EventStreamSpec extends SparkSpec {
     assert(m(10L) == ((f, 1)), s"got $m")
     assert(m(11L) == ((f, 0)))
     assert(m(12L) == (("tiny doc", 0)))
+    assert(m(13L) == (("code:\n\tx = 1\n\ny  z", 0)))
     }
   }
 

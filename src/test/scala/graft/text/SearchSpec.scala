@@ -35,18 +35,23 @@ class SearchSpec extends SparkSpec {
   test("bm25 ranks by saturated tf and rarity, hand-checked score") {
     val res = Search.bm25(docs, "doc_id", "text",
       Seq("window"), k = 10).collect()
-    // df=1, N=3: idf = (3-1+0.5)/(1+0.5) = 5/3; tf=1, len=avgLen:
-    // tnorm = 2.2/2.2 = 1.0 -> score = 1.666667 after DECIMAL(18,6)
+    // df=1, N=3: idf = ln(1 + (3-1+0.5)/(1+0.5)) = ln(1 + 5/3)
+    // ~= 0.98082925; tf=1, len=avgLen: tnorm = 2.2/2.2 = 1.0 ->
+    // score = 0.980829 after DECIMAL(18,6)
     assert(res.map(_.getLong(0)).toList == List(2L))
-    assert(math.abs(res(0).getDouble(1) - 1.666667) < 1e-9)
+    assert(math.abs(res(0).getDouble(1) - 0.980829) < 1e-9)
 
     val multi = Search.bm25(docs, "doc_id", "text",
       Seq("spark", "window", "merge"), k = 10).collect()
     // doc 1 (spark tf=2 rare via df=1, merge) must outrank doc 2
-    // (window + merge); doc 3 matches nothing and must be absent
+    // (window + merge); doc 3 matches nothing and must be absent.
+    // Hand-checked with the Lucene-form log idf: doc1 = round(ln(1 +
+    // 5/3) * (2*2.2/3.2)) + round(ln(1.6)) = 1.348640 + 0.470004,
+    // doc2 = 0.980829 + 0.470004.
     assert(multi.map(_.getLong(0)).toList == List(1L, 2L))
     assert(multi(0).getLong(2) == 2 && multi(1).getLong(2) == 2)
-    assert(multi(0).getDouble(1) > multi(1).getDouble(1))
+    assert(math.abs(multi(0).getDouble(1) - 1.818644) < 1e-9)
+    assert(math.abs(multi(1).getDouble(1) - 1.450833) < 1e-9)
   }
 
   test("bm25FromPostings over the persisted bucketed index equals " +
