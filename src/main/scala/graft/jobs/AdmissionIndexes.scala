@@ -69,45 +69,78 @@ object AdmissionIndexes {
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  private def save(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int, append: Boolean): Unit = {
-    // the stale-location cleanup below resolves the managed location
-    // by string concatenation, so only a plain unqualified name in
-    // the default database is safe — a qualified (db.tbl) or
-    // path-like name would compute the WRONG path (silently breaking
-    // the rerunnable-overwrite contract at best, deleting outside
-    // the warehouse at worst). Refuse anything else up front.
+  /** Persist the 1-row BM25 corpus-stats frame
+    * ([[graft.text.Search.corpusStats]]: n_docs, sum_len) alongside
+    * the postings index, so a COLD session can probe the index
+    * without ever re-reading corpus text. Appends are ADDITIVE: each
+    * admitted batch appends its own stats row (counts and sums
+    * compose), and [[loadCorpusStats]] folds the rows back to one —
+    * no read-modify-write race on the stored table. */
+  def saveCorpusStats(df: DataFrame, table: String,
+      append: Boolean = false): Unit = {
+    requirePlainName(table)
+    Seq("n_docs", "sum_len").foreach(c =>
+      require(df.columns.contains(c),
+        s"corpus-stats frame needs column '$c' " +
+          s"(has ${df.columns.mkString(", ")})"))
+    if (!append) prepareOverwrite(df.sparkSession, table)
+    df.write.mode(if (append) "append" else "overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The 1-row (n_docs, sum_len) frame from a stats table written by
+    * [[saveCorpusStats]] — appended batch rows fold additively. */
+  def loadCorpusStats(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{sum, col}
+    spark.table(table).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_len")).as("sum_len"))
+  }
+
+  /** The stale-location cleanup in [[prepareOverwrite]] resolves the
+    * managed location by string concatenation, so only a plain
+    * unqualified name in the default database is safe — a qualified
+    * (db.tbl) or path-like name would compute the WRONG path
+    * (silently breaking the rerunnable-overwrite contract at best,
+    * deleting outside the warehouse at worst). Refuse anything else
+    * up front. */
+  private def requirePlainName(table: String): Unit =
     require(table.matches("[A-Za-z0-9_]+"),
       s"index table name must be a plain unqualified identifier " +
         s"([A-Za-z0-9_]+); got '$table'")
+
+  /** An overwrite must be RERUNNABLE across JVMs: with an in-memory
+    * catalog and a fixed warehouse dir, a fresh session sees an empty
+    * catalog but the previous run's managed location still on disk,
+    * and saveAsTable (now a CREATE) refuses the non-empty directory.
+    * Drop the table if this session knows it, then clear any stale
+    * location. The cleanup applies to LOCAL file: warehouses only
+    * (the test/local-mode case); on a remote warehouse (hdfs:/s3a:)
+    * an external catalog owns the location and the DROP alone
+    * suffices. */
+  private def prepareOverwrite(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val whUri = spark.conf.get("spark.sql.warehouse.dir")
+    val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
+    if (isLocal) {
+      val loc = new java.io.File(
+        whUri.stripPrefix("file:"), table.toLowerCase)
+      if (loc.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
+
+  private def save(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, append: Boolean): Unit = {
+    requirePlainName(table)
     keys.foreach(k => require(df.columns.contains(k),
       s"index frame is missing probe-key column '$k' " +
         s"(has ${df.columns.mkString(", ")})"))
-    if (!append) {
-      // an overwrite must be RERUNNABLE across JVMs: with an
-      // in-memory catalog and a fixed warehouse dir, a fresh session
-      // sees an empty catalog but the previous run's managed location
-      // still on disk, and saveAsTable (now a CREATE) refuses the
-      // non-empty directory. Drop the table if this session knows it,
-      // then clear any stale location. The cleanup applies to LOCAL
-      // file: warehouses only (the test/local-mode case); on a
-      // remote warehouse (hdfs:/s3a:) an external catalog owns the
-      // location and the DROP alone suffices.
-      val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val whUri = spark.conf.get("spark.sql.warehouse.dir")
-      val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
-      if (isLocal) {
-        val loc = new java.io.File(
-          whUri.stripPrefix("file:"), table.toLowerCase)
-        if (loc.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
-      }
-    }
+    if (!append) prepareOverwrite(df.sparkSession, table)
     df.write
       .mode(if (append) "append" else "overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -139,6 +139,23 @@ object LlmPack extends QueryPack {
       Search.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 20)),
 
+    // Batch-query BM25: three queries scored against the postings in
+    // ONE pass (broadcast query vocabulary semi-joins the postings;
+    // per-query top-k through the two-phase salted rank) — the
+    // eval-set / hard-negative-mining shape. Query 1 repeats
+    // q_bm25_topk's terms, so its slice cross-checks the single-query
+    // face; query 2 mixes common terms with the rare 'dup'.
+    "q_bm25_multi" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark"), (1L, "window"), (1L, "merge"),
+        (2L, "data"), (2L, "dup"), (2L, "vector"),
+        (3L, "the")).toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      Search.bm25Batch(Search.postings(docs, "doc_id", "text"),
+        Search.corpusStats(docs, "text"), queries, "doc_id", k = 10)
+    }),
+
     // The inverted index itself: per-term document frequency,
     // collection frequency, and max tf — integer-exact over the
     // full vocabulary.
@@ -1042,6 +1059,45 @@ object LlmPack extends QueryPack {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "q_bm25_multi" ->
+      """WITH queries AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+        |    (1, 'spark'), (1, 'window'), (1, 'merge'),
+        |    (2, 'data'), (2, 'dup'), (2, 'vector'),
+        |    (3, 'the')) q(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS len,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT term, doc_id, len, COUNT(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM queries)
+        |  GROUP BY 1, 2, 3),
+        |corpus AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))) AS sum_len
+        |  FROM documents),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, doc_id,
+        |    CAST(SUM(CAST(
+        |      ln(1.0 + ((n_docs - df + 0.5) / (df + 0.5))) *
+        |      ((tf * (1.2 + 1.0)) /
+        |        (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |    COUNT(*) AS hits
+        |  FROM post JOIN dfreq USING (term) JOIN queries q USING (term)
+        |  CROSS JOIN corpus
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, hits,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q_postings_stats" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -101,12 +101,77 @@ object Search {
       stats, idCol, k, k1, b)
   }
 
+  /** Batch-query BM25: score a whole TABLE of queries against a
+    * postings index in ONE pass — the eval-set / hard-negative-mining
+    * / corpus-triage shape where issuing one Spark job per query
+    * (the `Seq[String]` faces above) would hit the driver-cadence
+    * wall. `queries` carries (query_id, term) rows, one per query
+    * term (duplicate (query_id, term) rows are collapsed — a term
+    * listed twice scores once, matching the single-query faces).
+    *
+    * Plan shape: the distinct query vocabulary broadcast-SEMI-joins
+    * the postings (the table-form analogue of the `isin` filter —
+    * non-queried terms never leave the scan and the corpus-sized
+    * index side never shuffles); per-term df and the 1-row corpus
+    * stats join back broadcast; the query table itself joins
+    * broadcast (an eval set is thousands of rows — tiny next to
+    * postings); the only corpus-proportional shuffle is the final
+    * per-(query_id, id) sum over MATCHED postings. Per-query top-k
+    * runs through [[graft.mix.Quota.topNPerGroup]]'s two-phase
+    * salted rank, so one viral query cannot serialize the limit into
+    * a single task.
+    *
+    * Output: (query_id, idCol, score, hits, rank), rank 1..k per
+    * query in (score desc, id) order — per-(query, doc) scores are
+    * bit-identical to the single-query faces (same expression tree,
+    * same DECIMAL(18,6) routing; SearchSpec pins the parity). */
+  def bm25Batch(post: DataFrame, stats: DataFrame, queries: DataFrame,
+      idCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "bm25Batch needs k > 0")
+    Seq("query_id", "term").foreach(c =>
+      require(queries.columns.contains(c),
+        s"queries frame needs a '$c' column " +
+          s"(has ${queries.columns.mkString(", ")})"))
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val wanted = qterms.select(col("term")).distinct()
+    val scored = termScores(
+      post.join(broadcast(wanted), Seq("term"), "left_semi"),
+      stats, k1, b)
+    val perQuery = scored
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("tscore")).cast("double").as("score"),
+        count(lit(1)).as("hits"))
+    graft.mix.Quota.topNPerGroup(perQuery, "query_id",
+        struct((-col("score")).as("s"), col("id").as("i")), k)
+      .select(col("query_id"), col("id").as(idCol), col("score"),
+        col("hits"), col("rnk").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Shared scorer: postings of the queried terms -> broadcast df
     * per term + 1-row corpus constants -> per-term saturated score
     * through DECIMAL(18,6) -> order-independent sum -> top-k with a
     * deterministic id tie-break. */
   private def score(post: DataFrame, stats: DataFrame, idCol: String,
-      k: Int, k1: Double, b: Double): DataFrame = {
+      k: Int, k1: Double, b: Double): DataFrame =
+    termScores(post, stats, k1, b)
+      .groupBy(col("id"))
+      .agg(sum(col("tscore")).cast("double").as("score"),
+        count(lit(1)).as("hits"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"), col("hits"))
+
+  /** Per-(term, doc) saturated BM25 contribution `tscore` — ONE
+    * expression tree shared by the single-query and batch-query
+    * faces, so their per-doc scores can never drift. Input postings
+    * must already be filtered to the queried vocabulary (df is
+    * computed per term over what arrives, which equals the corpus df
+    * for every term that survives a term-level filter). */
+  private def termScores(post: DataFrame, stats: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     post
       .join(broadcast(dfreq), "term")
@@ -128,11 +193,5 @@ object Search {
             (lit(1.0 - b) + (lit(b) * col("len")) / col("avg_len"))))
       .withColumn("tscore",
         (col("idf") * col("tnorm")).cast("decimal(18,6)"))
-      .groupBy(col("id"))
-      .agg(sum(col("tscore")).cast("double").as("score"),
-        count(lit(1)).as("hits"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-      .select(col("id").as(idCol), col("score"), col("hits"))
   }
 }

@@ -68,6 +68,74 @@ class SearchSpec extends SparkSpec {
     assert(probed == direct)
   }
 
+  test("bm25Batch scores a query TABLE in one pass, bit-identical to " +
+      "the equivalent single-query calls, ranked per query") {
+    val post = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(docs, "text").localCheckpoint()
+    val qs = Map(
+      1L -> Seq("spark", "merge"),
+      2L -> Seq("window", "fast"),
+      3L -> Seq("the", "quick", "fox"))
+    val queries = qs.toSeq.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .toDF("query_id", "term")
+    val batch = Search.bm25Batch(post, stats, queries, "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val singles = qs.toSeq.flatMap { case (qid, ts) =>
+      Search.bm25FromPostings(post, stats, "doc_id", ts, k = 2)
+        .collect().toSeq.zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getDouble(1), r.getLong(2), i + 1) }
+    }.toSet
+    assert(batch == singles)
+  }
+
+  test("bm25Batch collapses duplicate (query_id, term) rows — a term " +
+      "listed twice scores once, like the Seq faces") {
+    val post = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(docs, "text").localCheckpoint()
+    val dup = Seq((1L, "spark"), (1L, "spark"), (1L, "merge"))
+      .toDF("query_id", "term")
+    val got = Search.bm25Batch(post, stats, dup, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toList
+    val want = Search.bm25FromPostings(post, stats, "doc_id",
+        Seq("spark", "merge"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toList
+    assert(got == want)
+  }
+
+  test("cold-session probe: persisted postings + ADDITIVE corpus-stats " +
+      "table alone reproduce the direct scorer — text never re-read") {
+    // two "batches" admitted over time: index appended, stats row
+    // appended per batch; the fold must equal single-shot stats
+    val batch1 = docs.filter(col("doc_id") <= 2L)
+    val batch2 = docs.filter(col("doc_id") === 3L)
+    AdmissionIndexes.savePostingsIndex(
+      Search.postings(batch1, "doc_id", "text"), "postings_cold",
+      buckets = 4)
+    AdmissionIndexes.saveCorpusStats(
+      Search.corpusStats(batch1, "text"), "postings_cold_stats")
+    AdmissionIndexes.savePostingsIndex(
+      Search.postings(batch2, "doc_id", "text"), "postings_cold",
+      buckets = 4, append = true)
+    AdmissionIndexes.saveCorpusStats(
+      Search.corpusStats(batch2, "text"), "postings_cold_stats",
+      append = true)
+    val statsRows = AdmissionIndexes
+      .loadCorpusStats(spark, "postings_cold_stats").collect()
+    assert(statsRows.length == 1)
+    assert(statsRows(0).getLong(0) == 3L && statsRows(0).getLong(1) == 9L)
+    val probed = Search.bm25FromPostings(
+      AdmissionIndexes.load(spark, "postings_cold"),
+      AdmissionIndexes.loadCorpusStats(spark, "postings_cold_stats"),
+      "doc_id", Seq("spark", "merge"), k = 10).collect().toList
+    val direct = Search.bm25(docs, "doc_id", "text",
+      Seq("spark", "merge"), k = 10).collect().toList
+    assert(probed == direct)
+  }
+
   test("k bounds the result and ties break deterministically by id") {
     val tied = Seq(
       (5L, "alpha beta"), (4L, "alpha beta"), (6L, "alpha beta"))
