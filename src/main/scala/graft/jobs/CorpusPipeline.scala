@@ -579,13 +579,30 @@ object CorpusPipeline {
     * batch coded) — and `newCodes` carries the admitted rows' code
     * delta for the stored embedding index, same append contract as
     * newDigests/newBands. */
+  /** With `stripWindows` set, the strip/retrieval state rides the
+    * SAME admission pass instead of separate jobs re-reading the
+    * batch: `admittedClean` is the admitted rows with already-known
+    * (corpus) and batch-repeated passages cut (batch schema, textCol
+    * rewritten — this is what lands in the corpus), `newWindows` the
+    * window-digest delta for
+    * [[AdmissionIndexes.saveWindowIndex]] (append). With
+    * `withPostings`, `newPostings`/`newStats` carry the BM25 index +
+    * corpus-stats deltas for [[AdmissionIndexes.savePostingsIndex]] /
+    * [[AdmissionIndexes.saveCorpusStats]] appends. When strip is on,
+    * EVERY text-derived delta (newDigests/newBands/newPostings/
+    * newStats) is computed from the stripped text — the indexes
+    * describe the corpus as stored, not as it arrived. */
   final case class Admission(
       annotated: DataFrame,
       admitted: DataFrame,
       newDigests: DataFrame,
       newBands: DataFrame,
       decisions: Seq[StageDecision] = Nil,
-      newCodes: Option[DataFrame] = None)
+      newCodes: Option[DataFrame] = None,
+      admittedClean: Option[DataFrame] = None,
+      newWindows: Option[DataFrame] = None,
+      newPostings: Option[DataFrame] = None,
+      newStats: Option[DataFrame] = None)
 
   /** Embedding-admission inputs for [[admitBatch]]: `corpusVecs` /
     * `batchVecs` carry (id, vec) with id VALUES in the respective
@@ -617,7 +634,10 @@ object CorpusPipeline {
       rowsPerBand: Int = 2,
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
-      embedding: Option[EmbeddingAdmission] = None): Admission = {
+      embedding: Option[EmbeddingAdmission] = None,
+      stripWindows: Option[DataFrame] = None,
+      stripWinLen: Int = 10,
+      withPostings: Boolean = false): Admission = {
     val id = col(idCol)
 
     // exact stage: one digest pass over the batch serves both verdicts
@@ -705,20 +725,64 @@ object CorpusPipeline {
     val admitted = annotated
       .filter(keepFilter)
       .select(batch.columns.map(col): _*)
+
+    // strip + retrieval state ride the admission pass: the admitted
+    // rows are already in hand, so the window probe / postings build
+    // are one more pass over the BATCH text here instead of separate
+    // jobs each re-reading (and re-filtering) it later. The admitted
+    // frame feeds up to three consumers below — checkpoint it so the
+    // verdict joins above run once, not once per delta.
+    val admittedCk =
+      if (stripWindows.isDefined || withPostings)
+        admitted.localCheckpoint(eager = false)
+      else admitted
+    val strippedBatch = stripWindows.map(idx =>
+      Dedup.incrementalStripPassages(idx, admittedCk, idCol, textCol,
+        stripWinLen))
+    // admittedClean keeps the batch schema (textCol rewritten) so it
+    // drops into writeCleaned / the next round's corpus unchanged;
+    // checkpointed because every index delta below reads it
+    val admittedClean = strippedBatch.map { sb =>
+      admittedCk
+        .join(sb.cleaned.select(col("id").as(idCol),
+          col("clean_text")), Seq(idCol))
+        .withColumn(textCol, col("clean_text"))
+        .select(batch.columns.map(col): _*)
+        .localCheckpoint(eager = false)
+    }
+    // every text-derived index delta describes the corpus AS STORED:
+    // when strip is on, the stripped text is what lands, so digests,
+    // bands, postings, and stats are all computed from it (index
+    // after surgery — otherwise the stored indexes drift from the
+    // corpus they describe)
+    val indexable = admittedClean.getOrElse(admittedCk)
+    val newPostings =
+      if (withPostings)
+        Some(graft.text.Search.postings(indexable, idCol, textCol))
+      else None
+    val newStats =
+      if (withPostings)
+        Some(graft.text.Search.corpusStats(indexable, textCol))
+      else None
+
     Admission(
       annotated,
       admitted,
-      Dedup.contentDigests(admitted, idCol, textCol),
-      Dedup.minhashBandRows(admitted, idCol, textCol,
+      Dedup.contentDigests(indexable, idCol, textCol),
+      Dedup.minhashBandRows(indexable, idCol, textCol,
         shingleN, bands, rowsPerBand),
       Seq(batchNearDecision),
       embedding.map { e =>
         import graft.similarity.Similarity
         Similarity.signCodeIndex(
-          e.batchVecs.join(admitted.select(id.as("id")), Seq("id"),
+          e.batchVecs.join(admittedCk.select(id.as("id")), Seq("id"),
             "left_semi"),
           e.dim, e.nBits, e.nTables, e.seed)
-      })
+      },
+      admittedClean,
+      strippedBatch.map(_.newWindows),
+      newPostings,
+      newStats)
   }
 
   /** Write the pipeline's cleaned output in training-read order:

@@ -72,13 +72,47 @@ object AdmissionBenchJob {
     val nDeltaDigests = adm.newDigests.count()
     val tAdmit = (System.nanoTime() - t1) / 1e9
 
+    // the folded strip + postings pass: same admission, with the
+    // window index probed and the retrieval deltas built in the same
+    // job. admit_full_s - admit_s prices what maintaining strip +
+    // BM25 state costs WHEN it rides the admission pass (vs two
+    // extra standalone jobs that would each re-read the batch).
+    val tw = System.nanoTime()
+    val corpusWindows = layout match {
+      case "bucketed" =>
+        AdmissionIndexes.saveWindowIndex(
+          graft.dedup.Dedup.windowDigestSet(corpus, "doc_id", "text"),
+          "admitbench_window_idx")
+        AdmissionIndexes.load(spark, "admitbench_window_idx")
+      case _ =>
+        graft.dedup.Dedup.windowDigestSet(corpus, "doc_id", "text")
+          .localCheckpoint()
+    }
+    val nWindows = corpusWindows.count()
+    val tWinIndex = (System.nanoTime() - tw) / 1e9
+    val t2 = System.nanoTime()
+    val admFull = CorpusPipeline.admitBatch(corpus, corpusDigests,
+      corpusBands, batch, "doc_id", "text", shingleN = 3, bands = 8,
+      rowsPerBand = 2, threshold = 0.3,
+      stripWindows = Some(corpusWindows), stripWinLen = 10,
+      withPostings = true)
+    val nClean = admFull.admittedClean.get.count()
+    val nNewWindows = admFull.newWindows.get.count()
+    val nNewPostings = admFull.newPostings.get.count()
+    val tAdmitFull = (System.nanoTime() - t2) / 1e9
+
     val dec = adm.decisions.map(d =>
       s"""{"stage":"${d.stage}","decision":"${d.decision}"}""")
       .mkString("[", ",", "]")
     println(s"""{"corpus":$nCorpus,"batch":$nBatch,""" +
       s""""index_rows":$nBands,"index_build_s":${f"$tIndex%.2f"},""" +
       s""""admitted":$nAdmitted,"delta_digests":$nDeltaDigests,""" +
-      s""""admit_s":${f"$tAdmit%.2f"},"layout":"$layout",""" +
+      s""""admit_s":${f"$tAdmit%.2f"},""" +
+      s""""window_index_rows":$nWindows,""" +
+      s""""window_index_build_s":${f"$tWinIndex%.2f"},""" +
+      s""""admit_full_s":${f"$tAdmitFull%.2f"},""" +
+      s""""clean_rows":$nClean,"delta_windows":$nNewWindows,""" +
+      s""""delta_postings":$nNewPostings,"layout":"$layout",""" +
       s""""decisions":$dec,"sf":"$sfDir"}""")
     spark.stop()
   }

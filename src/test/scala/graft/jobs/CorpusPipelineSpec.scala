@@ -144,6 +144,68 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(adm2.admitted.count() == 0)
   }
 
+  test("admitBatch folds strip + postings deltas into the admission " +
+      "pass: a round-1-admitted passage is cut from a round-2 arrival " +
+      "through the persisted window index, and postings/stats deltas " +
+      "compose additively") {
+    def w10(pfx: String): String = (1 to 10).map(i => s"$pfx$i").mkString(" ")
+    val p = w10("p"); val f = w10("f"); val g = w10("g"); val h = w10("h")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyDigests = graft.dedup.Dedup.contentDigests(
+      empty, "doc_id", "text")
+    val emptyBands = graft.dedup.Dedup.minhashBandRows(
+      empty, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+    val emptyWindows = graft.dedup.Dedup.windowDigestSet(
+      empty, "doc_id", "text", winLen = 10)
+
+    // round 1: two novel docs; doc 2 repeats its own g-window
+    val batch1 = Seq((1L, s"$p $f"), (2L, s"$g $g x"))
+      .toDF("doc_id", "text")
+    val adm1 = CorpusPipeline.admitBatch(empty, emptyDigests, emptyBands,
+      batch1, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3, stripWindows = Some(emptyWindows),
+      stripWinLen = 10, withPostings = true)
+    val clean1 = adm1.admittedClean.get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean1(1L) == s"$p $f", "untouched doc must stay verbatim")
+    assert(clean1(2L) == s"$g x", "within-batch repeat must be cut")
+    // window delta = the three distinct fresh passages
+    assert(adm1.newWindows.get.count() == 3)
+    // postings/stats index the CLEANED text: doc 2 contributes len 11
+    val stats1 = adm1.newStats.get.collect()(0)
+    assert(stats1.getLong(0) == 2L && stats1.getLong(1) == 31L)
+    val post1 = adm1.newPostings.get
+    assert(post1.filter(col("id") === 2L && col("term") === "g1")
+      .collect().map(r => (r.getInt(r.fieldIndex("len")),
+        r.getLong(r.fieldIndex("tf")))).toList == List((11, 1L)),
+      "postings must see post-strip tf/len")
+
+    // persist the deltas the deployment way, then round 2: a doc
+    // arriving with round-1's p-passage gets it cut via the index
+    AdmissionIndexes.saveWindowIndex(adm1.newWindows.get,
+      "admit_strip_windows", buckets = 4)
+    val corpus2 = adm1.admittedClean.get
+    val adm2 = CorpusPipeline.admitBatch(corpus2,
+      adm1.newDigests, adm1.newBands,
+      Seq((10L, s"$p $h")).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3,
+      stripWindows = Some(
+        AdmissionIndexes.load(spark, "admit_strip_windows")),
+      stripWinLen = 10, withPostings = true)
+    val clean2 = adm2.admittedClean.get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean2 == Map(10L -> h),
+      s"round-1-admitted passage must be cut from the round-2 arrival")
+    // only h is new; appending keeps the index additive
+    assert(adm2.newWindows.get.count() == 1)
+    AdmissionIndexes.saveWindowIndex(adm2.newWindows.get,
+      "admit_strip_windows", buckets = 4, append = true)
+    assert(AdmissionIndexes.load(spark, "admit_strip_windows").count() == 4)
+    val stats2 = adm2.newStats.get.collect()(0)
+    assert(stats2.getLong(0) == 1L && stats2.getLong(1) == 10L)
+  }
+
   test("skew guard: planted boilerplate trips the bucket monitor, the " +
       "pipeline pre-collapses token-set clones before pair generation " +
       "(recorded in provenance), and flags ALL clones despite a bucket " +
