@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Iteration-state checkpointing for the iterative kernels
+  * (connected components' per-round edge frame, BPE training's
+  * periodic word-table re-materialization).
+  *
+  * `localCheckpoint` keeps blocks in executor memory/disk — fast,
+  * but the blocks die with their executor, so on a real cluster one
+  * lost executor kills an hours-long run mid-iteration. When the
+  * SparkContext has a RELIABLE checkpoint directory configured
+  * (`sc.setCheckpointDir(...)` — HDFS/object store on a cluster),
+  * iteration state goes through `Dataset.checkpoint` instead: blocks
+  * land in fault-tolerant storage and a lost executor merely re-reads
+  * them. Opting in is one session-level call, not a code edit — the
+  * kernels detect the dir and switch.
+  *
+  * Only the EAGER per-round checkpoints route through here. The lazy
+  * (`eager = false`) localCheckpoints the kernels also use are
+  * single-job plan-dedup artifacts (two consumers of one derived
+  * frame inside one action); they don't carry state ACROSS rounds,
+  * so executor loss merely recomputes them. */
+object Checkpoints {
+
+  /** Eager checkpoint of one round's iteration state: reliable when
+    * the context has a checkpoint dir, local otherwise. Both forms
+    * truncate lineage and preserve the frame's partitioning. */
+  def iter(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+}

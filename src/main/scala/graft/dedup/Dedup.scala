@@ -123,10 +123,14 @@ object Dedup {
     * a cache cuts re-EXECUTION but leaves the logical plan growing —
     * the analyzed plan would double per round (exponential Catalyst
     * analysis time, the classic iterative-algorithm trap).
-    * Checkpointing truncates lineage to the materialized blocks. On a
-    * real cluster with lineage-based fault tolerance concerns, swap
-    * localCheckpoint for a reliable `checkpoint` directory — the
-    * algorithm is unchanged. */
+    * Checkpointing truncates lineage to the materialized blocks.
+    * Rounds go through [[graft.Checkpoints.iter]]: set a RELIABLE
+    * checkpoint dir on the SparkContext (`sc.setCheckpointDir`) and
+    * every round lands in fault-tolerant storage instead of
+    * executor-local blocks — executor loss mid-run re-reads rather
+    * than kills; with no dir configured, localCheckpoint as before.
+    * The algorithm is unchanged either way (DedupSpec pins identical
+    * labels on both paths). */
   def connectedComponents(
       pairs: DataFrame,
       idA: String,
@@ -163,10 +167,11 @@ object Dedup {
       .distinct()
 
     // invariant: edges oriented src > dst, no self-loops, distinct
-    var edges = raw.filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      .distinct().localCheckpoint(true)
+    var edges = graft.Checkpoints.iter(
+      raw.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct())
 
     // large-star: for each node u over its full neighborhood Γ(u),
     // m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
@@ -212,7 +217,7 @@ object Dedup {
     var iter = 0
     var done = fp._1 == 0L
     while (!done && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = graft.Checkpoints.iter(smallStar(largeStar(edges)))
       val nfp = fingerprint(next)
       if (nfp == fp) {
         // counts match (from fp) and next \ edges = ∅  ⇒  next == edges

@@ -106,9 +106,8 @@ object Bpe {
       checkpointEvery: Int = 4,
       batch: Int = 1): Trained = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var words = counts
-      .select(col("cnt"), split(col("word"), "").as("sym"))
-      .localCheckpoint()
+    var words = graft.Checkpoints.iter(counts
+      .select(col("cnt"), split(col("word"), "").as("sym")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var foldsSinceCheckpoint = 0
     var done = false
@@ -159,7 +158,10 @@ object Bpe {
         words = words.select(col("cnt"), folded.as("sym"))
         foldsSinceCheckpoint += accepted.size
         if (foldsSinceCheckpoint >= checkpointEvery) {
-          words = words.localCheckpoint()
+          // reliable when the context has a checkpoint dir (a lost
+          // executor re-reads instead of killing the training run),
+          // local otherwise
+          words = graft.Checkpoints.iter(words)
           foldsSinceCheckpoint = 0
         }
       }

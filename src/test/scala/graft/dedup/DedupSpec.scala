@@ -168,6 +168,33 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents over a RELIABLE checkpoint dir (the cluster " +
+      "fault-tolerance mode) runs end-to-end and yields labels identical " +
+      "to the local-checkpoint path") {
+    // a path forces several star rounds, so the reliable path is
+    // exercised per-round, not just on the initial edge snapshot
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sc = spark.sparkContext
+    val f = sc.getClass.getDeclaredField("checkpointDir")
+    f.setAccessible(true)
+    val prev = f.get(sc)
+    val dir = java.nio.file.Files.createTempDirectory("cc_reliable")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // prove the reliable path actually engaged: round state landed
+      // in the configured directory
+      import scala.jdk.CollectionConverters._
+      val landed = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(landed > 1, "expected per-round rdd checkpoints on disk")
+    } finally f.set(sc, prev) // suites share one context — restore
+  }
+
   test("connectedComponents star contraction: a 400-node path (diameter " +
       "399, deeper than any per-hop budget) converges in O(log d) rounds " +
       "with one min-labeled cluster, and an under-budgeted run refuses " +

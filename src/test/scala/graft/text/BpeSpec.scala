@@ -93,6 +93,28 @@ class BpeSpec extends SparkSpec {
     assert(gotVocab == refVocab)
   }
 
+  test("training over a RELIABLE checkpoint dir (cluster fault-" +
+      "tolerance mode) reproduces the local-checkpoint merges exactly") {
+    val local = Bpe.train(docs, "text", numMerges = 10,
+      minPairCount = 2, checkpointEvery = 1).merges
+    val sc = spark.sparkContext
+    val f = sc.getClass.getDeclaredField("checkpointDir")
+    f.setAccessible(true)
+    val prev = f.get(sc)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_reliable")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      // checkpointEvery = 1 forces the reliable path on every round
+      val reliable = Bpe.train(docs, "text", numMerges = 10,
+        minPairCount = 2, checkpointEvery = 1).merges
+      assert(reliable == local)
+      import scala.jdk.CollectionConverters._
+      val landed = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(landed > 1, "expected per-round rdd checkpoints on disk")
+    } finally f.set(sc, prev) // suites share one context — restore
+  }
+
   test("merge sequence is partitioning-invariant (deterministic " +
       "tie-break, not an artifact of task order)") {
     val base = Bpe.train(docs, "text", numMerges = 8).merges
