@@ -454,7 +454,8 @@ object EventStream {
       textCol: String = "text",
       tsCol: String = "ts",
       winLen: Int = 10,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      windowLen: Option[String] = None): DataFrame = {
     import graft.dedup.Dedup
     // static side materialized ONCE (each micro-batch re-plans it
     // otherwise); at real scale this IS the persisted window index,
@@ -480,7 +481,13 @@ object EventStream {
           .as("__txt"))
     exploded
       .join(index, col("w.wh") === col("wh"), "left")
-      .groupBy(window(col(tsCol), watermark), col(idCol))
+      // the verdict fold's tumbling-window width is its own knob
+      // (`windowLen`): it trades emission latency (a doc emits once
+      // its window closes past the watermark) against state-key
+      // count, and has nothing to do with how much lateness the
+      // stream tolerates — it merely DEFAULTS to the watermark
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
       // collect_list skips the nulls of un-hit (and null-window) rows
       .agg(sort_array(collect_list(when(col("__hit"),
           col("w.win_idx")))).as("__drop"),

@@ -332,6 +332,36 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming strip: the verdict-fold window width is its own knob " +
+      "— a 2-minute window under a 10-minute watermark folds per-doc " +
+      "verdicts correctly with watermark != window") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val f = (1 to 10).map(i => s"f$i").mkString(" ")
+    val idx = graft.dedup.Dedup.windowDigestSet(
+      Seq((1L, p)).toDF("doc_id", "text"), "doc_id", "text")
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingStripPassages(in.toDF(), idx,
+        watermark = "10 minutes", windowLen = Some("2 minutes"))
+      .writeStream.format("memory").queryName("strip_winlen_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(10L, ts("2024-01-01 00:00:30"), s"$p $f"), // window 0 cut
+      Doc(11L, ts("2024-01-01 00:03:00"), f)) // different 2-min bucket
+    q.processAllAvailable()
+    in.addData(Doc(99L, ts("2024-01-01 02:00:00"), "watermark pusher"))
+    q.processAllAvailable()
+    val rows = spark.table("strip_winlen_out").collect()
+    q.stop()
+    val m = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Int]("n_stripped")))).toMap
+    assert(m(10L) == ((f, 1)), s"got $m")
+    assert(m(11L) == ((f, 0)))
+    }
+  }
+
   test("streaming admission survives stop/restart from its checkpoint: " +
       "committed batches are not replayed and dedupe state is restored " +
       "across the boundary (exactly-once admission)") {
