@@ -33,6 +33,36 @@ object LlmPack extends QueryPack {
     ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
     ("s", "t"), ("e", "r"), ("a", "st"), ("r", "o"))
 
+  /** Shared oracle for q_bm25_topk and q_bm25_from_postings: the
+    * persisted-index probe is CONTRACTUALLY identical to the direct
+    * scorer, so both gate against this one SQL. */
+  private val bm25TopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS len,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
+      |  FROM documents),
+      |post AS (
+      |  SELECT term, doc_id, len, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'window', 'merge')
+      |  GROUP BY 1, 2, 3),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))) AS sum_len
+      |  FROM documents),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(
+      |    ln(1.0 + ((n_docs - df + 0.5) / (df + 0.5))) *
+      |    ((tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS score,
+      |  COUNT(*) AS hits
+      |FROM post JOIN dfreq USING (term) CROSS JOIN corpus
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** The bounded all-pairs Jaccard graph over doc_id < 60 — ONE
     * definition shared by q_neardup_clusters and
     * q_incremental_clusters: the incremental contract is equality
@@ -138,6 +168,26 @@ object LlmPack extends QueryPack {
     "q_bm25_topk" -> ((s, d) =>
       Search.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 20)),
+
+    // The PERSISTED retrieval path inside the driver gate: build the
+    // term-bucketed postings index + additive corpus-stats table,
+    // then score the q_bm25_topk query from the TABLES alone (text
+    // never re-read at probe time). Same oracle as q_bm25_topk —
+    // SearchSpec pins probe==direct in-process; this row pins it
+    // against DuckDB every round.
+    "q_bm25_from_postings" -> ((s, d) => {
+      import graft.jobs.AdmissionIndexes
+      val docs = Tables.documents(s, d)
+      AdmissionIndexes.savePostingsIndex(
+        Search.postings(docs, "doc_id", "text"),
+        "q_gate_postings", buckets = 16)
+      AdmissionIndexes.saveCorpusStats(
+        Search.corpusStats(docs, "text"), "q_gate_postings_stats")
+      Search.bm25FromPostings(
+        AdmissionIndexes.load(s, "q_gate_postings"),
+        AdmissionIndexes.loadCorpusStats(s, "q_gate_postings_stats"),
+        "doc_id", Seq("spark", "window", "merge"), k = 20)
+    }),
 
     // Batch-query BM25: three queries scored against the postings in
     // ONE pass (broadcast query vocabulary semi-joins the postings;
@@ -1033,32 +1083,10 @@ object LlmPack extends QueryPack {
     // literal 2.2 is a different double), per-term scores through
     // DECIMAL(18,6) so the sum is order-independent and the ln's
     // last-ulp wobble is absorbed.
-    "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS len,
-        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
-        |  FROM documents),
-        |post AS (
-        |  SELECT term, doc_id, len, COUNT(*) AS tf FROM toks
-        |  WHERE term IN ('spark', 'window', 'merge')
-        |  GROUP BY 1, 2, 3),
-        |corpus AS (
-        |  SELECT COUNT(*) AS n_docs,
-        |    SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))) AS sum_len
-        |  FROM documents),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)
-        |SELECT doc_id,
-        |  CAST(SUM(CAST(
-        |    ln(1.0 + ((n_docs - df + 0.5) / (df + 0.5))) *
-        |    ((tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
-        |    AS DECIMAL(18,6))) AS DOUBLE) AS score,
-        |  COUNT(*) AS hits
-        |FROM post JOIN dfreq USING (term) CROSS JOIN corpus
-        |GROUP BY doc_id
-        |ORDER BY score DESC, doc_id
-        |LIMIT 20""".stripMargin,
+    "q_bm25_topk" -> bm25TopkSql,
+    // the persisted-index probe must produce EXACTLY the direct
+    // scorer's rows — same oracle, checked independently per round
+    "q_bm25_from_postings" -> bm25TopkSql,
     "q_bm25_multi" ->
       """WITH queries AS (
         |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES

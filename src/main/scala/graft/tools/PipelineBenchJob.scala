@@ -33,13 +33,21 @@ import graft.text.TextStats
   * With the literal flag `strip`, the optional passage-strip stage
   * runs over the survivors (winLen 10); its cost lands in
   * `finalize_s`, so the with/without delta at the same sfDir is the
-  * stage's end-to-end price. */
+  * stage's end-to-end price. With `tokenize[:nMerges]` (default
+  * 256), a BPE vocab is trained on the corpus first (`bpe_train_s`,
+  * one-time — at real scale the vocab is an artifact, not retrained
+  * per run) and the pipeline encodes with it — combined with
+  * `strip` this is the PRODUCTION order: dedup -> strip -> redact ->
+  * encode -> pack, priced as one composed run. */
 object PipelineBenchJob {
   def main(args: Array[String]): Unit = {
     val strip = args.contains("strip")
-    val pos = args.filterNot(_ == "strip")
+    val tokArg = args.find(a => a == "tokenize" || a.startsWith("tokenize:"))
+    val nMerges = tokArg.filter(_.contains(":"))
+      .map(_.split(":")(1).toInt).getOrElse(256)
+    val pos = args.filterNot(a => a == "strip" || a == tokArg.orNull)
     require(pos.length >= 1 && pos.length <= 2,
-      "usage: PipelineBenchJob <sfDir> [embDir] [strip]")
+      "usage: PipelineBenchJob <sfDir> [embDir] [strip] [tokenize[:n]]")
     val sfDir = pos(0)
     val spark = Sessions.local("graft-pipebench")
     val docs = Tables.documents(spark, sfDir)
@@ -53,6 +61,15 @@ object PipelineBenchJob {
           embIdCol = "vec_id", vecCol = "embedding"))
       } else ("token_lsh", CorpusPipeline.PairSource.TokenLsh)
 
+    // vocab trained BEFORE the timed pipeline run: at real scale the
+    // tokenizer is a versioned artifact the pipeline loads
+    val tTrain = System.nanoTime()
+    val merges = tokArg.map { _ =>
+      graft.text.Bpe.train(corpus, "text", numMerges = nMerges,
+        minPairCount = 2, checkpointEvery = 4, batch = 16).merges
+    }
+    val tBpe = (System.nanoTime() - tTrain) / 1e9
+
     val stageWalls =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val t0 = System.nanoTime()
@@ -61,6 +78,7 @@ object PipelineBenchJob {
       pairSource = pairSource,
       quality = t => TextStats.tokenCount(t) >= 10,
       onStage = (s, w) => stageWalls(s) = w,
+      tokenizerMerges = merges,
       stripPassages = if (strip) Some(10) else None)
     val s = CorpusPipeline.stats(res.annotated).collect().head
     val cleanedRows = res.cleaned.count()
@@ -80,6 +98,10 @@ object PipelineBenchJob {
       s""""contaminated":${s.getAs[Long]("contaminated")},""" +
       s""""kept":${s.getAs[Long]("kept")},"cleaned":$cleanedRows,""" +
       s""""pair_source":"$srcName","strip":$strip,""" +
+      s""""tokenize":${tokArg.isDefined},""" +
+      (if (tokArg.isDefined)
+        s""""merges":${merges.get.size},"bpe_train_s":${f"$tBpe%.2f"},"""
+      else "") +
       s""""decisions":$dec,"stage_walls":$stagesJson,""" +
       s""""wall_s":${f"$wall%.2f"},"sf":"$sfDir"}""")
     spark.stop()
