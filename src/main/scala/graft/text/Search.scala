@@ -124,10 +124,22 @@ object Search {
     * Output: (query_id, idCol, score, hits, rank), rank 1..k per
     * query in (score desc, id) order — per-(query, doc) scores are
     * bit-identical to the single-query faces (same expression tree,
-    * same DECIMAL(18,6) routing; SearchSpec pins the parity). */
+    * same DECIMAL(18,6) routing; SearchSpec pins the parity).
+    *
+    * `vocabulary`: when the query set is DRIVER-resident (an eval
+    * set usually is), pass its distinct terms as literals and the
+    * term filter compiles to `isin` instead of the semi join —
+    * against a term-BUCKETED postings table
+    * ([[graft.jobs.AdmissionIndexes.savePostingsIndex]]) Spark then
+    * prunes buckets at planning time, so the scan reads only the
+    * buckets that can contain a queried term rather than the whole
+    * index (the semi join, whose keys are unknown at planning time,
+    * cannot prune). Results are identical either way (SearchSpec
+    * pins it); terms outside `vocabulary` simply score nothing. */
   def bm25Batch(post: DataFrame, stats: DataFrame, queries: DataFrame,
       idCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
     require(k > 0, "bm25Batch needs k > 0")
     Seq("query_id", "term").foreach(c =>
       require(queries.columns.contains(c),
@@ -135,9 +147,14 @@ object Search {
           s"(has ${queries.columns.mkString(", ")})"))
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     val wanted = qterms.select(col("term")).distinct()
-    val scored = termScores(
-      post.join(broadcast(wanted), Seq("term"), "left_semi"),
-      stats, k1, b)
+    val filtered = vocabulary match {
+      case Some(v) =>
+        require(v.nonEmpty, "vocabulary must be non-empty when given")
+        post.filter(col("term").isin(v: _*))
+      case None =>
+        post.join(broadcast(wanted), Seq("term"), "left_semi")
+    }
+    val scored = termScores(filtered, stats, k1, b)
     val perQuery = scored
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("id"))

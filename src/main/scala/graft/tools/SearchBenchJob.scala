@@ -80,6 +80,17 @@ object SearchBenchJob {
     val batch = Search.bm25Batch(post, stats, queryTable, "doc_id", k)
       .collect()
     val tBatch = (System.nanoTime() - t4) / 1e9
+
+    // driver-resident query vocabulary as literals: the term filter
+    // bucket-prunes the persisted index scan at planning time
+    val t5 = System.nanoTime()
+    val prunedRows = Search.bm25Batch(post, stats, queryTable,
+      "doc_id", k,
+      vocabulary = Some(qs.flatMap(_._2).distinct)).collect()
+    val tPruned = (System.nanoTime() - t5) / 1e9
+    require(prunedRows.toList == batch.toList,
+      "vocabulary-pruned batch diverged from the semi-join batch")
+
     val batchByQ = batch.groupBy(_.getLong(0)).map { case (qid, rows) =>
       qid -> rows.sortBy(_.getInt(4))
         .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
@@ -95,6 +106,7 @@ object SearchBenchJob {
       s""""probe_s":${f"$tProbe%.2f"},"n_queries":$nQueries,""" +
       s""""multi_singles_s":${f"$tSingles%.2f"},""" +
       s""""multi_batch_s":${f"$tBatch%.2f"},""" +
+      s""""multi_pruned_s":${f"$tPruned%.2f"},""" +
       s""""multi_speedup":${f"${tSingles / tBatch}%.1f"},""" +
       s""""match":true,"sf":"$sfDir"}""")
     spark.stop()

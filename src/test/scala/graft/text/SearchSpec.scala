@@ -136,6 +136,28 @@ class SearchSpec extends SparkSpec {
     assert(probed == direct)
   }
 
+  test("bm25Batch with a literal vocabulary PRUNES postings buckets at " +
+      "planning time and matches the semi-join path row-for-row") {
+    AdmissionIndexes.savePostingsIndex(
+      Search.postings(docs, "doc_id", "text"), "postings_pruned",
+      buckets = 8)
+    val post = AdmissionIndexes.load(spark, "postings_pruned")
+    val stats = Search.corpusStats(docs, "text").localCheckpoint()
+    val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "window"))
+      .toDF("query_id", "term")
+    val semi = Search.bm25Batch(post, stats, queries, "doc_id", k = 5)
+      .collect().toList
+    val pruned = Search.bm25Batch(post, stats, queries, "doc_id", k = 5,
+      vocabulary = Some(Seq("spark", "merge", "window")))
+    assert(pruned.collect().toList == semi)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.nonEmpty, s"expected a bucket-pruned scan in:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"expected fewer than all ${m.get.group(2)} buckets read")
+  }
+
   test("k bounds the result and ties break deterministically by id") {
     val tied = Seq(
       (5L, "alpha beta"), (4L, "alpha beta"), (6L, "alpha beta"))
