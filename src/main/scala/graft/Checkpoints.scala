@@ -25,9 +25,27 @@ object Checkpoints {
 
   /** Eager checkpoint of one round's iteration state: reliable when
     * the context has a checkpoint dir, local otherwise. Both forms
-    * truncate lineage and preserve the frame's partitioning. */
+    * truncate lineage and preserve the frame's partitioning.
+    *
+    * The reliable path persists the frame BEFORE checkpointing:
+    * `Dataset.checkpoint(eager)` runs one job to materialize and
+    * then the checkpoint write re-computes the RDD (Spark's own
+    * scaladoc warns of this) — against an un-cached plan that would
+    * double every round's compute, exactly on the hours-long runs
+    * the reliable path exists for. With the persist, the second
+    * pass re-reads cached blocks; the cache is dropped once the
+    * checkpoint holds the data. Old rounds' checkpoint FILES are
+    * reclaimed by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set by
+    * [[Sessions.local]]; set it on your cluster session too, or an
+    * hours-long iterative run accumulates O(rounds x frame) in the
+    * checkpoint dir). */
   def iter(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val persisted = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = persisted.checkpoint(eager = true)
+      persisted.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager = true)
 }

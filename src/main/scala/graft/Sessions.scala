@@ -33,6 +33,10 @@ object Sessions {
       // TIMESTAMP_NTZ — Tables.events normalizes that too.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // reclaim reliable-checkpoint files once their RDD is GC'd —
+      // without this an iterative kernel run against a checkpoint
+      // dir (Checkpoints.iter) accumulates every round's frame
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // InferFiltersFromGenerate synthesizes `size(e) > 0 AND e IS
       // NOT NULL` from explode(e) — and predicate pushdown then
       // substitutes e's FULL defining expression into that filter and

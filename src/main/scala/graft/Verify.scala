@@ -58,7 +58,7 @@ object Verify {
       pool.shutdownNow()
       spark.sparkContext.cancelAllJobs()
       pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
-      SparkEntry.queries.keys.foreach { name =>
+      selected.map(_._1).foreach { name =>
         val dir = Paths.get(s"$outDir/$name")
         if (!Files.exists(dir.resolve("_SUCCESS"))) {
           failed.add(name)

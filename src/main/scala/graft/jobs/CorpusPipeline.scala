@@ -578,8 +578,9 @@ object CorpusPipeline {
     * ([[graft.similarity.Similarity.signCodeIndex]] probe, only the
     * batch coded) — and `newCodes` carries the admitted rows' code
     * delta for the stored embedding index, same append contract as
-    * newDigests/newBands. */
-  /** With `stripWindows` set, the strip/retrieval state rides the
+    * newDigests/newBands.
+    *
+    * With `stripWindows` set, the strip/retrieval state rides the
     * SAME admission pass instead of separate jobs re-reading the
     * batch: `admittedClean` is the admitted rows with already-known
     * (corpus) and batch-repeated passages cut (batch schema, textCol
@@ -767,7 +768,7 @@ object CorpusPipeline {
 
     Admission(
       annotated,
-      admitted,
+      admittedCk,
       Dedup.contentDigests(indexable, idCol, textCol),
       Dedup.minhashBandRows(indexable, idCol, textCol,
         shingleN, bands, rowsPerBand),

@@ -43,8 +43,12 @@ object PipelineBenchJob {
   def main(args: Array[String]): Unit = {
     val strip = args.contains("strip")
     val tokArg = args.find(a => a == "tokenize" || a.startsWith("tokenize:"))
-    val nMerges = tokArg.filter(_.contains(":"))
-      .map(_.split(":")(1).toInt).getOrElse(256)
+    val nMerges = tokArg.filter(_.startsWith("tokenize:")).map { s =>
+      val n = s.stripPrefix("tokenize:")
+      require(n.nonEmpty && n.forall(_.isDigit),
+        s"bad flag '$s' — usage: tokenize[:nMerges]")
+      n.toInt
+    }.getOrElse(256)
     val pos = args.filterNot(a => a == "strip" || a == tokArg.orNull)
     require(pos.length >= 1 && pos.length <= 2,
       "usage: PipelineBenchJob <sfDir> [embDir] [strip] [tokenize[:n]]")

@@ -21,7 +21,8 @@ import graft.dedup.Dedup
   * concat grows). */
 object StripBenchJob {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: StripBenchJob <sfDir> [batchMod]")
+    require(args.nonEmpty,
+      "usage: StripBenchJob <sfDir> [batchMod] [winLen]")
     val sfDir = args(0)
     val batchMod = if (args.length >= 2) args(1).toInt else 101
     val winLen = if (args.length >= 3) args(2).toInt else 10
