@@ -11,12 +11,21 @@ import graft.dedup.Dedup
   * needs exactly `diameter` rounds on it), runs
   * [[Dedup.connectedComponentsStats]], and reports rounds + wall +
   * the cluster check (a path is ONE component; anything else is a
-  * correctness failure, not a perf number). Args: [diameter=100000].
-  * Prints ONE JSON line. */
+  * correctness failure, not a perf number). Args: [diameter=100000]
+  * [reliable] — the literal flag sets a SparkContext checkpoint dir
+  * first, so every round goes through the RELIABLE
+  * [[graft.Checkpoints.iter]] path (persist -> checkpoint ->
+  * unpersist) and the run prices the fault-tolerance premium vs the
+  * default executor-local blocks. Prints ONE JSON line per kernel. */
 object CcBenchJob {
   def main(args: Array[String]): Unit = {
-    val d = if (args.nonEmpty) args(0).toInt else 100000
+    val reliable = args.contains("reliable")
+    val pos = args.filterNot(_ == "reliable")
+    val d = if (pos.nonEmpty) pos(0).toInt else 100000
     val spark = Sessions.local("graft-ccbench")
+    if (reliable)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("ccbench_ckpt").toString)
     import spark.implicits._
     // path 0-1-...-d: d edges, diameter d, generated distributed
     val pairs = spark.range(0, d.toLong)
@@ -32,6 +41,7 @@ object CcBenchJob {
     println(s"""{"kernel":"large_star_small_star","diameter":$d,""" +
       s""""rounds":$rounds,"bound_2log2d":${f"$bound%.1f"},""" +
       s""""one_hop_rounds_would_be":$d,"clusters":$clusters,""" +
+      s""""checkpoint":"${if (reliable) "reliable" else "local"}",""" +
       s""""wall_s":${f"$wallS%.1f"}}""")
 
     // incremental fold: a 1%-of-V batch of fresh pairs (half pair
