@@ -63,6 +63,59 @@ object LlmPack extends QueryPack {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** The q_bm25_multi query set — shared by the semi-join and
+    * vocabulary-pruned entries so both score the SAME queries.
+    * Query 1 repeats q_bm25_topk's terms (cross-checks the
+    * single-query face); query 2 mixes common terms with the rare
+    * 'dup'. */
+  private[queries] val bm25MultiQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "window"), (1L, "merge"),
+    (2L, "data"), (2L, "dup"), (2L, "vector"),
+    (3L, "the"))
+
+  /** Shared oracle for q_bm25_multi and q_bm25_multi_pruned: the
+    * vocabulary/isin path is contractually row-identical to the
+    * semi-join path, so both gate against this one SQL. */
+  private val bm25MultiSql: String =
+    """WITH queries AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+      |    (1, 'spark'), (1, 'window'), (1, 'merge'),
+      |    (2, 'data'), (2, 'dup'), (2, 'vector'),
+      |    (3, 'the')) q(query_id, term)),
+      |toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS len,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
+      |  FROM documents),
+      |post AS (
+      |  SELECT term, doc_id, len, COUNT(*) AS tf FROM toks
+      |  WHERE term IN (SELECT term FROM queries)
+      |  GROUP BY 1, 2, 3),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))) AS sum_len
+      |  FROM documents),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, doc_id,
+      |    CAST(SUM(CAST(
+      |      ln(1.0 + ((n_docs - df + 0.5) / (df + 0.5))) *
+      |      ((tf * (1.2 + 1.0)) /
+      |        (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS score,
+      |    COUNT(*) AS hits
+      |  FROM post JOIN dfreq USING (term) JOIN queries q USING (term)
+      |  CROSS JOIN corpus
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score, hits,
+      |  CAST(rank AS INTEGER) AS rank
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** The bounded all-pairs Jaccard graph over doc_id < 60 — ONE
     * definition shared by q_neardup_clusters and
     * q_incremental_clusters: the incremental contract is equality
@@ -197,13 +250,23 @@ object LlmPack extends QueryPack {
     // face; query 2 mixes common terms with the rare 'dup'.
     "q_bm25_multi" -> ((s, d) => {
       import s.implicits._
-      val queries = Seq(
-        (1L, "spark"), (1L, "window"), (1L, "merge"),
-        (2L, "data"), (2L, "dup"), (2L, "vector"),
-        (3L, "the")).toDF("query_id", "term")
+      val queries = bm25MultiQueries.toDF("query_id", "term")
       val docs = Tables.documents(s, d)
       Search.bm25Batch(Search.postings(docs, "doc_id", "text"),
         Search.corpusStats(docs, "text"), queries, "doc_id", k = 10)
+    }),
+
+    // The same batch through the VOCABULARY-literal path (the term
+    // filter compiles to isin, which bucket-prunes a persisted index
+    // scan) — must be row-identical to the semi-join form, so it
+    // shares q_bm25_multi's oracle.
+    "q_bm25_multi_pruned" -> ((s, d) => {
+      import s.implicits._
+      val queries = bm25MultiQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      Search.bm25Batch(Search.postings(docs, "doc_id", "text"),
+        Search.corpusStats(docs, "text"), queries, "doc_id", k = 10,
+        vocabulary = Some(bm25MultiQueries.map(_._2).distinct))
     }),
 
     // The inverted index itself: per-term document frequency,
@@ -1087,45 +1150,9 @@ object LlmPack extends QueryPack {
     // the persisted-index probe must produce EXACTLY the direct
     // scorer's rows — same oracle, checked independently per round
     "q_bm25_from_postings" -> bm25TopkSql,
-    "q_bm25_multi" ->
-      """WITH queries AS (
-        |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
-        |    (1, 'spark'), (1, 'window'), (1, 'merge'),
-        |    (2, 'data'), (2, 'dup'), (2, 'vector'),
-        |    (3, 'the')) q(query_id, term)),
-        |toks AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS len,
-        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS term
-        |  FROM documents),
-        |post AS (
-        |  SELECT term, doc_id, len, COUNT(*) AS tf FROM toks
-        |  WHERE term IN (SELECT term FROM queries)
-        |  GROUP BY 1, 2, 3),
-        |corpus AS (
-        |  SELECT COUNT(*) AS n_docs,
-        |    SUM(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))) AS sum_len
-        |  FROM documents),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
-        |scored AS (
-        |  SELECT q.query_id, doc_id,
-        |    CAST(SUM(CAST(
-        |      ln(1.0 + ((n_docs - df + 0.5) / (df + 0.5))) *
-        |      ((tf * (1.2 + 1.0)) /
-        |        (tf + 1.2 * (0.25 + (0.75 * len) / (CAST(sum_len AS DOUBLE) / n_docs))))
-        |      AS DECIMAL(18,6))) AS DOUBLE) AS score,
-        |    COUNT(*) AS hits
-        |  FROM post JOIN dfreq USING (term) JOIN queries q USING (term)
-        |  CROSS JOIN corpus
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id, score, hits,
-        |  CAST(rank AS INTEGER) AS rank
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_bm25_multi" -> bm25MultiSql,
+    // vocabulary/isin path == semi-join path is the contract
+    "q_bm25_multi_pruned" -> bm25MultiSql,
     "q_postings_stats" ->
       """WITH toks AS (
         |  SELECT doc_id,
