@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   *     is persisted once via
   *     [[graft.jobs.AdmissionIndexes.savePostingsIndex]] (bucketed
   *     by term), and every query probes it without re-reading text.
-  *   - [[bm25]] / [[bm25FromPostings]] score a query: the term list
-  *     is a handful of literals compiled into an `isin` filter, so
-  *     only the queried terms' postings ever leave the scan; the
-  *     per-term document frequencies and the corpus constants
-  *     (N, total length) are tiny aggregates joined back broadcast.
-  *     No shuffle touches anything proportional to corpus size
-  *     except the initial postings build.
+  *   - [[bm25]] / [[bm25FromPostings]] score ONE query: the term
+  *     list is a handful of literals compiled into an `isin` filter,
+  *     so only the queried terms' postings ever leave the scan (and
+  *     a term-bucketed index scan bucket-prunes); the per-term
+  *     document frequencies and the corpus constants (N, total
+  *     length — persisted additively via
+  *     [[graft.jobs.AdmissionIndexes.saveCorpusStats]]) are tiny
+  *     aggregates joined back broadcast. No shuffle touches anything
+  *     proportional to corpus size except the initial postings
+  *     build.
+  *   - [[bm25Batch]] scores a whole query TABLE in one pass — the
+  *     eval-set / hard-negative-mining shape where per-query jobs
+  *     would hit the driver-cadence wall.
   *
   * Scoring is standard BM25 with the Lucene/ATIRE idf
   * `ln(1 + (N - df + 0.5) / (df + 0.5))` — the `+1` keeps idf
