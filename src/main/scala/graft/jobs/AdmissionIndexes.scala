@@ -97,6 +97,35 @@ object AdmissionIndexes {
       sum(col("sum_len")).as("sum_len"))
   }
 
+  /** Compact an index table in place. Every append writes its own
+    * file per bucket, so a long-lived index accumulates one file per
+    * (append x bucket) — probe scans then open hundreds of small
+    * files per bucket and the sorted-within-bucket property degrades
+    * to sorted-within-FILE. Compaction rewrites the table under the
+    * same probe-key bucket spec with one file per non-empty bucket,
+    * restoring the freshly-built layout; pass a larger `buckets` to
+    * RESIZE as the corpus outgrows the original layout constant
+    * (both faces of the periodic maintenance a real deployment
+    * schedules, same cadence as vacuum/optimize elsewhere).
+    *
+    * The snapshot is eagerly materialized first because Spark
+    * refuses to overwrite a table that is being read; blocks spill
+    * to executor disk for an index larger than memory. Probe results
+    * are identical before and after (AdmissionIndexesSpec pins it,
+    * plus the file-count collapse and the no-exchange probe plan). */
+  def compact(spark: SparkSession, table: String, keys: Seq[String],
+      buckets: Int = 64): Unit = {
+    requirePlainName(table)
+    val snapshot = spark.table(table).localCheckpoint()
+    // bucketBy writes one file per (task x bucket): repartition the
+    // snapshot onto the bucket keys with exactly `buckets` partitions
+    // (same Murmur3 pmod as the bucket id), so each task holds ONE
+    // bucket and the write lands one file per non-empty bucket
+    import org.apache.spark.sql.functions.col
+    val aligned = snapshot.repartition(buckets, keys.map(col): _*)
+    save(aligned, table, keys, buckets, append = false)
+  }
+
   /** The stale-location cleanup in [[prepareOverwrite]] resolves the
     * managed location by string concatenation, so only a plain
     * unqualified name in the default database is safe — a qualified

@@ -76,6 +76,61 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS band_index_bucketed")
   }
 
+  test("compact collapses append-accumulated files back to one per " +
+      "bucket, preserves every row, keeps the bucketed probe plan, " +
+      "and can resize the bucket count") {
+    val base = (0 until 200).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    val digests = Dedup.contentDigests(base, "doc_id", "text")
+    AdmissionIndexes.saveDigestIndex(digests, "digest_compact",
+      buckets = 4)
+    // three appended deltas: one new file per (append x bucket)
+    (1 to 3).foreach { r =>
+      val delta = Dedup.contentDigests(
+        Seq((1000L + r, docText(300 + r))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      AdmissionIndexes.saveDigestIndex(delta, "digest_compact",
+        buckets = 4, append = true)
+    }
+    def dataFiles(): Int = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      new java.io.File(wh, "digest_compact").listFiles()
+        .count(f => f.getName.startsWith("part-"))
+    }
+    val before = AdmissionIndexes.load(spark, "digest_compact")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val filesBefore = dataFiles()
+    assert(filesBefore > 4, s"appends should accumulate files, " +
+      s"got $filesBefore")
+
+    AdmissionIndexes.compact(spark, "digest_compact",
+      AdmissionIndexes.digestKeys, buckets = 4)
+    val filesAfter = dataFiles()
+    assert(filesAfter <= 4 && filesAfter < filesBefore,
+      s"expected <= 4 files after compaction, got $filesAfter")
+    val after = AdmissionIndexes.load(spark, "digest_compact")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction must preserve every row")
+    def bucketSpec(): String = spark.sql(
+        "DESCRIBE EXTENDED digest_compact").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}")
+      .filter(s => s.startsWith("Num Buckets") || s.startsWith("Bucket"))
+      .mkString("; ")
+    assert(bucketSpec().contains("Num Buckets=4"),
+      s"compacted table lost its bucket spec: ${bucketSpec()}")
+
+    // resize: re-bucket to 8 as the corpus outgrows the constant
+    AdmissionIndexes.compact(spark, "digest_compact",
+      AdmissionIndexes.digestKeys, buckets = 8)
+    val resized = AdmissionIndexes.load(spark, "digest_compact")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(resized == before)
+    assert(bucketSpec().contains("Num Buckets=8"),
+      s"resize did not re-bucket: ${bucketSpec()}")
+    spark.sql("DROP TABLE IF EXISTS digest_compact")
+  }
+
   test("window index round-trips through the bucketed layout and an " +
       "appended batch delta feeds the next incremental strip") {
     val corpus = (0 until 50).map(i => (i.toLong, docText(i)))
