@@ -126,6 +126,66 @@ object AdmissionIndexes {
     save(aligned, table, keys, buckets, append = false)
   }
 
+  /** Build EVERY text-derived admission/retrieval index of a curated
+    * corpus in ONE job — the day-0 face of the incremental family
+    * (admitBatch maintains them per-batch afterwards). The corpus
+    * (id, text) snapshot is checkpointed once, so the text scan runs
+    * a single time and each index derivation reads the same blocks
+    * instead of five separate jobs each re-reading (and re-decoding)
+    * the source parquet. Tables land bucketed on their probe keys as
+    * `{prefix}_digests/_bands/_windows/_postings` plus the 1-row
+    * `{prefix}_stats`; probe them via [[load]]/[[loadCorpusStats]]
+    * and append [[CorpusPipeline.admitBatch]]'s deltas with
+    * [[appendDeltas]]. (The embedding code index is vector-derived,
+    * not text-derived — build it from the vector table with
+    * [[saveCodeIndex]] when embeddings exist.) */
+  def bootstrap(corpus: DataFrame, idCol: String, textCol: String,
+      prefix: String, buckets: Int = 64, shingleN: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2, winLen: Int = 10): Unit = {
+    requirePlainName(prefix)
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.Dedup
+    import graft.text.Search
+    val snap = corpus.select(col(idCol), col(textCol)).localCheckpoint()
+    saveDigestIndex(Dedup.contentDigests(snap, idCol, textCol),
+      s"${prefix}_digests", buckets)
+    saveBandIndex(
+      Dedup.minhashBandRows(snap, idCol, textCol, shingleN, bands,
+        rowsPerBand),
+      s"${prefix}_bands", buckets)
+    saveWindowIndex(Dedup.windowDigestSet(snap, idCol, textCol, winLen),
+      s"${prefix}_windows", buckets)
+    savePostingsIndex(Search.postings(snap, idCol, textCol),
+      s"${prefix}_postings", buckets)
+    saveCorpusStats(Search.corpusStats(snap, textCol),
+      s"${prefix}_stats")
+  }
+
+  /** Append one admitted batch's index deltas under a [[bootstrap]]
+    * prefix — the write half of the admission loop: bootstrap once,
+    * then per batch `admitBatch(...)` -> `appendDeltas(...)` and the
+    * next batch's probes cover this one. Only the deltas the
+    * admission actually produced are written (windows/postings/stats
+    * require the strip/postings options; codes the embedding
+    * option — the code index appends to `{prefix}_codes`, which a
+    * vector-carrying deployment creates via [[saveCodeIndex]]). */
+  def appendDeltas(adm: CorpusPipeline.Admission, prefix: String,
+      buckets: Int = 64): Unit = {
+    requirePlainName(prefix)
+    saveDigestIndex(adm.newDigests, s"${prefix}_digests", buckets,
+      append = true)
+    saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
+      append = true)
+    adm.newWindows.foreach(w =>
+      saveWindowIndex(w, s"${prefix}_windows", buckets, append = true))
+    adm.newPostings.foreach(p =>
+      savePostingsIndex(p, s"${prefix}_postings", buckets, append = true))
+    adm.newStats.foreach(s =>
+      saveCorpusStats(s, s"${prefix}_stats", append = true))
+    adm.newCodes.foreach(c =>
+      saveCodeIndex(c, s"${prefix}_codes", buckets, append = true))
+  }
+
   /** The stale-location cleanup in [[prepareOverwrite]] resolves the
     * managed location by string concatenation, so only a plain
     * unqualified name in the default database is safe — a qualified

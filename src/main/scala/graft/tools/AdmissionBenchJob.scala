@@ -15,11 +15,15 @@ import graft.jobs.{AdmissionIndexes, CorpusPipeline}
   * steady state actually pays — the number that must stay small as
   * the corpus grows). Args: <sfDir> [batchMod=101] [layout] (docs
   * with doc_id % batchMod == 0 form the batch, the rest the corpus;
-  * `layout` = `checkpoint` (default — in-memory index blocks) or
+  * `layout` = `checkpoint` (default — in-memory index blocks),
   * `bucketed` — indexes written and re-read through
   * [[graft.jobs.AdmissionIndexes]]' probe-key-bucketed tables, the
   * persisted layout a real deployment loads, where the index side of
-  * the probe joins needs no exchange). */
+  * the probe joins needs no exchange — or `bootstrap`, which builds
+  * ALL five text-derived tables in one job off one checkpointed
+  * corpus scan ([[graft.jobs.AdmissionIndexes.bootstrap]]) so the
+  * day-0 cost can be compared against the separate per-index
+  * builds). */
 object AdmissionBenchJob {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -27,8 +31,8 @@ object AdmissionBenchJob {
     val sfDir = args(0)
     val batchMod = if (args.length >= 2) args(1).toInt else 101
     val layout = if (args.length >= 3) args(2) else "checkpoint"
-    require(layout == "checkpoint" || layout == "bucketed",
-      s"layout must be checkpoint or bucketed, got '$layout'")
+    require(Set("checkpoint", "bucketed", "bootstrap")(layout),
+      s"layout must be checkpoint, bucketed, or bootstrap, got '$layout'")
     val spark = Sessions.local("graft-admitbench")
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % batchMod =!= 0)
@@ -40,6 +44,15 @@ object AdmissionBenchJob {
 
     val t0 = System.nanoTime()
     val (corpusDigests, corpusBands) = layout match {
+      case "bootstrap" =>
+        // ALL five text-derived tables in one job off one checkpointed
+        // corpus scan — the day-0 build the incremental family
+        // assumes; compare index_build_s + window_index_build_s here
+        // against the bucketed mode's separate builds
+        AdmissionIndexes.bootstrap(corpus, "doc_id", "text",
+          "admitbench_boot")
+        (AdmissionIndexes.load(spark, "admitbench_boot_digests"),
+          AdmissionIndexes.load(spark, "admitbench_boot_bands"))
       case "bucketed" =>
         // The deployment shape: indexes land in probe-key-bucketed
         // tables once, and every subsequent batch's probe joins read
@@ -79,6 +92,8 @@ object AdmissionBenchJob {
     // extra standalone jobs that would each re-read the batch).
     val tw = System.nanoTime()
     val corpusWindows = layout match {
+      case "bootstrap" => // already built by the one-pass bootstrap
+        AdmissionIndexes.load(spark, "admitbench_boot_windows")
       case "bucketed" =>
         AdmissionIndexes.saveWindowIndex(
           graft.dedup.Dedup.windowDigestSet(corpus, "doc_id", "text"),

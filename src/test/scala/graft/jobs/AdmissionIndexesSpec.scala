@@ -164,6 +164,62 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS window_index_bucketed")
   }
 
+  test("bootstrap -> admitBatch -> appendDeltas closes the admission " +
+      "loop through NAMED tables: round 2 dedupes and strips against " +
+      "round 1's appended deltas, stats fold additively") {
+    def w10(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val a = w10("a"); val b = w10("b"); val p = w10("p")
+    val f = w10("f"); val h = w10("h")
+    val corpus = Seq((1L, s"$a $b"), (2L, s"${w10("c")} ${w10("d")}"))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "loop_idx",
+      buckets = 4)
+
+    def digests = AdmissionIndexes.load(spark, "loop_idx_digests")
+    def bandsT = AdmissionIndexes.load(spark, "loop_idx_bands")
+    def windows = AdmissionIndexes.load(spark, "loop_idx_windows")
+
+    // round 1: an exact corpus dup and a fresh doc with passage p
+    val batch1 = Seq((10L, s"$a $b"), (11L, s"$p $f"))
+      .toDF("doc_id", "text")
+    val adm1 = CorpusPipeline.admitBatch(corpus, digests, bandsT,
+      batch1, "doc_id", "text", shingleN = 3, bands = 8,
+      rowsPerBand = 2, threshold = 0.5,
+      stripWindows = Some(windows), withPostings = true)
+    assert(adm1.admitted.select("doc_id").as[Long].collect().toSeq
+      == Seq(11L))
+    AdmissionIndexes.appendDeltas(adm1, "loop_idx", buckets = 4)
+
+    // round 2, all state from the TABLES: 20 repeats round-1-admitted
+    // text (exact dup via the appended digest), 21 carries round-1's
+    // p-passage (cut via the appended window digest)
+    val corpus2 = corpus.union(adm1.admittedClean.get)
+    val batch2 = Seq((20L, s"$p $f"), (21L, s"$p $h"))
+      .toDF("doc_id", "text")
+    val adm2 = CorpusPipeline.admitBatch(corpus2, digests, bandsT,
+      batch2, "doc_id", "text", shingleN = 3, bands = 8,
+      rowsPerBand = 2, threshold = 0.5,
+      stripWindows = Some(windows), withPostings = true)
+    val flags = adm2.annotated.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_corpus_exact_dup"))
+      .toMap
+    assert(flags(20L), "round-1 admission must be in the digest table")
+    val clean2 = adm2.admittedClean.get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(clean2 == Map(21L -> h),
+      s"round-1's passage must be cut via the window table, got $clean2")
+    AdmissionIndexes.appendDeltas(adm2, "loop_idx", buckets = 4)
+
+    // stats: bootstrap corpus (2 docs, 40 tokens) + round-1 delta
+    // (doc 11, 20) + round-2 delta (doc 21 stripped to 10)
+    val st = AdmissionIndexes.loadCorpusStats(spark, "loop_idx_stats")
+      .collect()(0)
+    assert(st.getLong(0) == 4L && st.getLong(1) == 70L,
+      s"stats must fold additively, got (${st.getLong(0)}, ${st.getLong(1)})")
+    Seq("digests", "bands", "windows", "postings", "stats").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS loop_idx_$s"))
+  }
+
   test("digest and code indexes refuse a frame missing their probe key") {
     val e = intercept[IllegalArgumentException] {
       AdmissionIndexes.saveDigestIndex(
