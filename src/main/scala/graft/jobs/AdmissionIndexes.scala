@@ -97,8 +97,8 @@ object AdmissionIndexes {
       sum(col("sum_len")).as("sum_len"))
   }
 
-  /** Compact an index table in place. Every append writes its own
-    * file per bucket, so a long-lived index accumulates one file per
+  /** Compact an index table. Every append writes its own file per
+    * bucket, so a long-lived index accumulates one file per
     * (append x bucket) — probe scans then open hundreds of small
     * files per bucket and the sorted-within-bucket property degrades
     * to sorted-within-FILE. Compaction rewrites the table under the
@@ -108,22 +108,78 @@ object AdmissionIndexes {
     * (both faces of the periodic maintenance a real deployment
     * schedules, same cadence as vacuum/optimize elsewhere).
     *
-    * The snapshot is eagerly materialized first because Spark
-    * refuses to overwrite a table that is being read; blocks spill
-    * to executor disk for an index larger than memory. Probe results
-    * are identical before and after (AdmissionIndexesSpec pins it,
-    * plus the file-count collapse and the no-exchange probe plan). */
+    * CRASH-SAFE by write-then-swap: the rewrite lands in a side
+    * table `{table}__compacting` while the live table keeps serving
+    * (never dropped, never held only in executor memory — the r9
+    * in-place form dropped the live table first, so a mid-compaction
+    * failure lost the index). After a row-count verification the
+    * swap is two catalog renames (directory moves, no data copy):
+    * live -> `{table}__retired`, side -> live, drop retired. A crash
+    * at ANY point leaves at least one complete on-disk copy:
+    *   - during the rewrite / verify: live untouched, partial side
+    *     table cleaned up (and any leftover is swept by the next
+    *     compaction run);
+    *   - between the renames (the only window where the live NAME
+    *     dangles): both `__retired` and `__compacting` are complete
+    *     copies — recover by renaming either back.
+    * Probe results are identical before and after
+    * (AdmissionIndexesSpec pins it, plus the file-count collapse,
+    * the no-exchange probe plan, and the failure paths). */
   def compact(spark: SparkSession, table: String, keys: Seq[String],
       buckets: Int = 64): Unit = {
     requirePlainName(table)
-    val snapshot = spark.table(table).localCheckpoint()
-    // bucketBy writes one file per (task x bucket): repartition the
-    // snapshot onto the bucket keys with exactly `buckets` partitions
-    // (same Murmur3 pmod as the bucket id), so each task holds ONE
-    // bucket and the write lands one file per non-empty bucket
+    val side = s"${table}__compacting"
+    val retired = s"${table}__retired"
+    // sweep leftovers of a previously crashed run — the live table is
+    // authoritative whenever it exists, so stale side/retired copies
+    // are safe to drop (a dangling-name crash is recovered by hand
+    // BEFORE re-running: rename __retired or __compacting back)
+    require(spark.catalog.tableExists(table),
+      s"compact: table '$table' does not exist — if a previous " +
+        s"compaction crashed mid-swap, rename '$retired' or '$side' " +
+        s"back to '$table' first")
+    prepareOverwrite(spark, side)
+    prepareOverwrite(spark, retired)
+    // bucketBy writes one file per (task x bucket): repartition onto
+    // the bucket keys with exactly `buckets` partitions (same Murmur3
+    // pmod as the bucket id), so each task holds ONE bucket and the
+    // write lands one file per non-empty bucket. The live table is
+    // the scan source of the side-table write — no checkpoint, no
+    // executor-memory-resident copy. When the bucket count is
+    // UNCHANGED the repartition is satisfied by the table's own
+    // bucketing and the planner elides the exchange — same-size
+    // compaction is a fully shuffle-free per-bucket local rewrite —
+    // but only if the planner keeps the bucketed scan alive: with
+    // autoBucketedScan it disables the (elision-load-bearing)
+    // bucketed read and the write degrades to one-file-per-input-
+    // file, i.e. no compaction. Pin the scan bucketed for the
+    // rewrite's duration.
     import org.apache.spark.sql.functions.col
-    val aligned = snapshot.repartition(buckets, keys.map(col): _*)
-    save(aligned, table, keys, buckets, append = false)
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoScanPrev = spark.conf.getOption(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try {
+      val aligned =
+        spark.table(table).repartition(buckets, keys.map(col): _*)
+      save(aligned, side, keys, buckets, append = false)
+      val (liveN, sideN) =
+        (spark.table(table).count(), spark.table(side).count())
+      require(sideN == liveN,
+        s"compact: rewrite of '$table' produced $sideN rows, live has " +
+          s"$liveN — aborting swap, live table untouched")
+    } catch { case e: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS `$side`")
+      throw e
+    } finally {
+      autoScanPrev match {
+        case Some(v) => spark.conf.set(autoScanKey, v)
+        case None => spark.conf.unset(autoScanKey)
+      }
+    }
+    // the swap: two directory-move renames, then drop the old data
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
+    spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$retired`")
   }
 
   /** Build EVERY text-derived admission/retrieval index of a curated

@@ -131,6 +131,54 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS digest_compact")
   }
 
+  test("compact is crash-safe: a failed rewrite leaves the live table " +
+      "fully intact (and sweeps its side table); a leftover side table " +
+      "from a crashed run does not block the next compaction") {
+    val base = (0 until 100).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(base, "doc_id", "text"), "digest_crash",
+      buckets = 4)
+    val before = AdmissionIndexes.load(spark, "digest_crash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // failure DURING the rewrite (bad probe key): the write-then-swap
+    // order means the live table was never dropped — it still probes,
+    // and no half-written side table lingers in the catalog
+    intercept[Throwable] {
+      AdmissionIndexes.compact(spark, "digest_crash", Seq("no_such_key"))
+    }
+    assert(AdmissionIndexes.load(spark, "digest_crash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "live table must survive a failed rewrite untouched")
+    assert(!spark.catalog.tableExists("digest_crash__compacting"),
+      "failed rewrite must not leave a catalog side table")
+
+    // crash-BEFORE-swap leftover: a stale __compacting table (here a
+    // stand-in with the wrong schema — exactly what a torn run leaves)
+    // is swept, and the compaction completes against the live copy
+    spark.sql("CREATE TABLE digest_crash__compacting (x INT) USING parquet")
+    AdmissionIndexes.compact(spark, "digest_crash",
+      AdmissionIndexes.digestKeys, buckets = 4)
+    val after = AdmissionIndexes.load(spark, "digest_crash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction after sweep must preserve rows")
+    assert(!spark.catalog.tableExists("digest_crash__compacting") &&
+      !spark.catalog.tableExists("digest_crash__retired"),
+      "swap must leave no side/retired tables behind")
+
+    // a missing live table (the mid-swap dangling-name crash) is
+    // refused with recovery instructions, never silently recreated
+    spark.sql("DROP TABLE digest_crash")
+    val e = intercept[IllegalArgumentException] {
+      AdmissionIndexes.compact(spark, "digest_crash",
+        AdmissionIndexes.digestKeys, buckets = 4)
+    }
+    assert(e.getMessage.contains("__retired") ||
+      e.getMessage.contains("rename"),
+      s"refusal must carry recovery instructions: ${e.getMessage}")
+  }
+
   test("window index round-trips through the bucketed layout and an " +
       "appended batch delta feeds the next incremental strip") {
     val corpus = (0 until 50).map(i => (i.toLong, docText(i)))
