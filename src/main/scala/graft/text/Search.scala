@@ -141,7 +141,13 @@ object Search {
     * buckets that can contain a queried term rather than the whole
     * index (the semi join, whose keys are unknown at planning time,
     * cannot prune). Results are identical either way (SearchSpec
-    * pins it); terms outside `vocabulary` simply score nothing. */
+    * pins it) — GUARDED: the vocabulary must cover every query term.
+    * A stale vocabulary (computed from last week's eval set) would
+    * otherwise silently drop the uncovered terms' postings and
+    * mis-score without any signal; instead the scorer row-checks each
+    * query term against the vocabulary literals and raises a named
+    * error at execution time (lazy — no extra driver-side job; the
+    * check rides the tiny query table, never the postings). */
   def bm25Batch(post: DataFrame, stats: DataFrame, queries: DataFrame,
       idCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -151,14 +157,24 @@ object Search {
       require(queries.columns.contains(c),
         s"queries frame needs a '$c' column " +
           s"(has ${queries.columns.mkString(", ")})"))
-    val qterms = queries.select(col("query_id"), col("term")).distinct()
-    val wanted = qterms.select(col("term")).distinct()
-    val filtered = vocabulary match {
+    val qterms0 = queries.select(col("query_id"), col("term")).distinct()
+    val (qterms, filtered) = vocabulary match {
       case Some(v) =>
         require(v.nonEmpty, "vocabulary must be non-empty when given")
-        post.filter(col("term").isin(v: _*))
+        // coverage guard: a query term outside the vocabulary would be
+        // silently unscored (its postings are pruned away) — raise a
+        // named error from the row that violates the contract instead
+        val guarded = qterms0.withColumn("term",
+          when(col("term").isin(v: _*), col("term"))
+            .otherwise(raise_error(concat(
+              lit("bm25Batch: query term '"), col("term"),
+              lit("' is not covered by the supplied vocabulary — a " +
+                "stale vocabulary would silently drop its postings; " +
+                "rebuild the vocabulary from the current query set")))))
+        (guarded, post.filter(col("term").isin(v: _*)))
       case None =>
-        post.join(broadcast(wanted), Seq("term"), "left_semi")
+        val wanted = qterms0.select(col("term")).distinct()
+        (qterms0, post.join(broadcast(wanted), Seq("term"), "left_semi"))
     }
     val scored = termScores(filtered, stats, k1, b)
     val perQuery = scored

@@ -158,6 +158,32 @@ class SearchSpec extends SparkSpec {
       s"expected fewer than all ${m.get.group(2)} buckets read")
   }
 
+  test("bm25Batch refuses a vocabulary that does not cover the query " +
+      "terms — a stale vocabulary must fail loudly, not silently drop " +
+      "the uncovered terms' postings") {
+    val post = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(docs, "text").localCheckpoint()
+    val queries = Seq((1L, "spark"), (1L, "window"), (2L, "fox"))
+      .toDF("query_id", "term")
+    // 'fox' missing from the (stale) vocabulary: executing the plan
+    // must raise the named guard, from any action
+    val ex = intercept[Exception] {
+      Search.bm25Batch(post, stats, queries, "doc_id", k = 5,
+        vocabulary = Some(Seq("spark", "window"))).collect()
+    }
+    def rootChain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: rootChain(t.getCause)
+    val msgs = rootChain(ex).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("not covered by the supplied vocabulary") &&
+      msgs.contains("fox"),
+      s"expected the vocabulary guard naming 'fox', got: $msgs")
+    // a covering vocabulary still scores normally
+    val ok = Search.bm25Batch(post, stats, queries, "doc_id", k = 5,
+      vocabulary = Some(Seq("spark", "window", "fox")))
+      .collect()
+    assert(ok.nonEmpty)
+  }
+
   test("k bounds the result and ties break deterministically by id") {
     val tied = Seq(
       (5L, "alpha beta"), (4L, "alpha beta"), (6L, "alpha beta"))
