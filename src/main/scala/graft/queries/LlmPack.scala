@@ -748,6 +748,19 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Document-SPLITTING packing: a document straddling a shard
+    // boundary is split at the token budget (every shard filled to
+    // exactly 2048 tokens, remainder carried over) — one row per
+    // (document, shard) with the document-local [tok_start, tok_end)
+    // slice. Same distributed prefix sum as q_pack_shards plus a
+    // row-local bounded sequence explode; the oracle recomputes the
+    // slices from the one-window prefix sum.
+    "q_pack_split" -> ((s, d) => {
+      graft.text.Packing.packShardsSplit(Tables.documents(s, d),
+          "doc_id", TextStats.tokenCount(col("text")), budget = 2048)
+        .orderBy(col("doc_id"), col("shard"))
+    }),
+
     // Shard MATERIALIZATION: concatenate each shard's documents in id
     // order into one packed text (the write-the-shard-files step).
     // Per-shard state is bounded by the token budget by construction,
@@ -1664,6 +1677,21 @@ object LlmPack extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2048) AS INTEGER) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_split" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(len(string_split(text, ' ')))
+        |      OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT doc_id, CAST(s AS INTEGER) AS shard,
+        |  CAST(greatest(0, s * 2048 - p) AS BIGINT) AS tok_start,
+        |  CAST(least(n, (s + 1) * 2048 - p) AS BIGINT) AS tok_end
+        |FROM t, unnest(range(p // 2048,
+        |  greatest(p + n - 1, p) // 2048 + 1)) u(s)
+        |ORDER BY doc_id, shard""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,

@@ -36,6 +36,60 @@ object Packing {
       budget: Long,
       partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
+    withPrefix(df, idCol, tokens, partitions)
+      .withColumn("shard",
+        floor(col("__pref") / lit(budget)).cast("int"))
+      .select(col(idCol), col("shard"))
+  }
+
+  /** Document-SPLITTING packing: like [[packShards]] but a document
+    * that straddles a shard boundary is split at the token budget,
+    * the way real shard writers fill every file to exactly `budget`
+    * tokens with the remainder carried into the next shard (no
+    * per-shard slack, no over-budget shard). One output row per
+    * (document, shard it occupies): `(idCol, shard, tok_start,
+    * tok_end)`, where [tok_start, tok_end) is the document-local
+    * token slice landing in that shard; slices of one document are
+    * contiguous, start at 0, and sum to its token count. Zero-token
+    * documents emit one empty [0, 0) row in the shard the prefix sum
+    * places them (same shard [[packShards]] assigns).
+    *
+    * Same distributed prefix-sum shape as [[packShards]] — never a
+    * global single-partition window; the only addition is a row-local
+    * `sequence` explode spanning floor(p/budget)..floor((p+n-1)/
+    * budget), which is at most n/budget + 1 rows per document —
+    * bounded by the document's own size, so the explode cannot skew.
+    * Token arithmetic stays exact while total corpus tokens stay
+    * under 2^53 (the shared floor-division discipline; ~9e15 tokens,
+    * two orders above a 100 TB corpus). */
+  def packShardsSplit(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      budget: Long,
+      partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val b = lit(budget)
+    withPrefix(df, idCol, tokens, partitions)
+      .withColumn("shard", explode(sequence(
+        floor(col("__pref") / b).cast("long"),
+        floor(greatest(col("__pref") + col("__tok") - 1, col("__pref")) / b)
+          .cast("long"))))
+      .select(col(idCol), col("shard").cast("int").as("shard"),
+        greatest(lit(0L), col("shard") * b - col("__pref"))
+          .as("tok_start"),
+        least(col("__tok"), (col("shard") + lit(1L)) * b - col("__pref"))
+          .as("tok_end"))
+  }
+
+  /** The shared distributed exclusive prefix sum: returns
+    * `(idCol, __tok, __pref)` where __pref is the sum of __tok over
+    * all ids strictly before this one in id order. */
+  private def withPrefix(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val nPart =
       if (partitions > 0) partitions
@@ -69,8 +123,7 @@ object Packing {
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = coalesce(sum(col("__tok")).over(w), lit(0L)) + offsetCol
-    ranged
-      .withColumn("shard", floor(prefix / lit(budget)).cast("int"))
-      .select(col(idCol), col("shard"))
+    ranged.withColumn("__pref", prefix)
+      .select(col(idCol), col("__tok"), col("__pref"))
   }
 }
