@@ -37,6 +37,7 @@ object AdmissionIndexes {
   val codeKeys: Seq[String] = Seq("tbl", "code")
   val windowKeys: Seq[String] = Seq("wh")
   val postingsKeys: Seq[String] = Seq("term")
+  val ivfKeys: Seq[String] = Seq("cell")
 
   def saveDigestIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
@@ -65,6 +66,34 @@ object AdmissionIndexes {
   def savePostingsIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
     save(df, table, postingsKeys, buckets, append)
+
+  /** IVF inverted lists: (cell, id, vec) from
+    * [[graft.similarity.Similarity.ivfIndex]]/[[graft.similarity
+    * .Similarity.ivfAssign]], probed by cell —
+    * [[graft.similarity.Similarity.ivfTopKFromIndex]]'s stored side.
+    * A probe's cells compile to an `isin` filter, so the cell-bucketed
+    * scan reads only the probed buckets; `append = true` adds a
+    * batch assigned with [[graft.similarity.Similarity.ivfAssign]]
+    * against the SAME stored centroids. */
+  def saveIvfIndex(assignments: DataFrame, table: String,
+      buckets: Int = 64, append: Boolean = false): Unit =
+    save(assignments, table, ivfKeys, buckets, append)
+
+  /** The IVF quantizer itself: the nLists-row (cell, centroid) table
+    * persisted alongside the assignments so a COLD session can code
+    * queries and batches identically to the build. Overwrite-only by
+    * design — centroids are FIXED at build time (appending rows here
+    * would shift the cell space under the stored assignments; a
+    * refit is a rebuild: new centroids + new assignments + swap). */
+  def saveIvfCentroids(df: DataFrame, table: String): Unit = {
+    requirePlainName(table)
+    Seq("cell", "centroid").foreach(c =>
+      require(df.columns.contains(c),
+        s"centroid frame needs column '$c' " +
+          s"(has ${df.columns.mkString(", ")})"))
+    prepareOverwrite(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

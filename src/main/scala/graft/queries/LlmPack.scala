@@ -921,6 +921,31 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The PERSISTED IVF path inside the driver gate — the ANN analog
+    // of q_bm25_from_postings: build the cell-bucketed assignments
+    // table + centroid table, then probe them COLD (no refit, no
+    // base-side re-assignment) with nProbe = nLists. Probing every
+    // cell makes the result equal brute force by construction, so a
+    // recall miss in the scale path can only come from cell pruning,
+    // never the persistence plumbing.
+    "q_ann_ivf_index_exact" -> ((s, d) => {
+      import graft.jobs.AdmissionIndexes
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (cents, assigned) = Similarity.ivfIndex(base, nLists = 16)
+      AdmissionIndexes.saveIvfIndex(assigned, "q_gate_ivf", buckets = 16)
+      AdmissionIndexes.saveIvfCentroids(cents, "q_gate_ivf_cents")
+      Similarity.ivfTopKFromIndex(queries,
+          AdmissionIndexes.load(s, "q_gate_ivf"),
+          AdmissionIndexes.load(s, "q_gate_ivf_cents"),
+          k = 3, nProbe = 16)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Quality scoring: the composite heuristic as an oracle-checked
     // query (identical IEEE op order mirrored in the SQL).
     "q_quality_score" -> ((s, d) => {
@@ -1749,6 +1774,17 @@ object LlmPack extends QueryPack {
         |FROM b, c
         |WHERE list_cosine_similarity(b.v, c.v) >= 0.35
         |ORDER BY id_new, id_corpus""".stripMargin,
+    // exhaustive probe of the persisted index == brute force by
+    // construction, same oracle as the inline exhaustive IVF
+    "q_ann_ivf_index_exact" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf_exact" ->
       """SELECT qid, rank, id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,

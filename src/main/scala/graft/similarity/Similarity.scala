@@ -350,6 +350,103 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Build half of a PERSISTED IVF index — the vector analog of
+    * [[graft.text.Search.postings]]: fit the coarse quantizer once
+    * over the curated corpus and materialize BOTH sides a cold
+    * session needs to probe without refitting:
+    *
+    *   - centroids `(cell, centroid array<float>)`: nLists rows, the
+    *     quantizer itself — persist via
+    *     [[graft.jobs.AdmissionIndexes.saveIvfCentroids]];
+    *   - assignments `(cell, id, vec)`: each base vector spilled into
+    *     its nAssign nearest cells (redundant inverted lists — the
+    *     recall lever [[ivfTopK]] documents) — persist CELL-BUCKETED
+    *     via [[graft.jobs.AdmissionIndexes.saveIvfIndex]], so a probe
+    *     scan reads only the probed cells' buckets and the
+    *     corpus-sized list never re-shuffles.
+    *
+    * [[ivfTopK]] refits and re-assigns on EVERY call — right for
+    * one-shot exploration, wrong for a standing index at corpus
+    * scale (the assignment pass re-reads and re-codes every base
+    * vector per query batch). Build once here, probe with
+    * [[ivfTopKFromIndex]], grow with [[ivfAssign]] + append. */
+  def ivfIndex(
+      base: DataFrame, // (id, vec)
+      nLists: Int = 16,
+      seed: Long = 42L,
+      nAssign: Int = 2): (DataFrame, DataFrame) = {
+    val cents = coarseCells(base, nLists, seed)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (i, c) => (i, c) }
+      .toDF("cell", "centroid")
+    (centDf, ivfAssign(base, cents, nAssign))
+  }
+
+  /** Assign vectors to their nAssign nearest stored cells — the
+    * append face of the persisted index: code an arriving batch with
+    * the centroids the index was BUILT with (never refit — a refit
+    * would silently shift the cell space under the stored
+    * assignments) and append the result under the same bucket spec.
+    * `cents` comes from [[loadedCentroids]] on the persisted table. */
+  def ivfAssign(
+      batch: DataFrame, // (id, vec)
+      cents: Seq[(Int, Array[Float])],
+      nAssign: Int = 2): DataFrame =
+    batch.select(
+      explode(nearestCells(cents, col("vec"), nAssign)).as("cell"),
+      col("id"), col("vec"))
+
+  /** Driver-side centroids of a persisted `(cell, centroid)` table —
+    * nLists rows, the same tiny-dim class as the packing offset
+    * table. Sorted by cell so the probe's literal array is stable. */
+  def loadedCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Probe half of the persisted IVF index: top-k over a prebuilt
+    * assignments table + centroid table, NO refit, NO base-side
+    * re-assignment — the only per-query work is coding the (small)
+    * query side against the stored centroid literals and one
+    * candidate join.
+    *
+    * Plan shape: the probed cells are resolved FIRST (one tiny job
+    * over the query table — queries are broadcast-small by the same
+    * contract every ANN face here has) and compiled into an `isin`
+    * filter on the assignments scan, so a CELL-BUCKETED table
+    * ([[graft.jobs.AdmissionIndexes.saveIvfIndex]]) bucket-prunes at
+    * planning time: the scan reads only the probed cells' buckets —
+    * the same SelectedBucketsCount upgrade the vocabulary-literal
+    * BM25 path gets. The query side then joins broadcast; exact
+    * cosine re-rank inside the candidates, per-query window top-k.
+    * Results are identical to [[ivfTopK]] run with the same
+    * centroids (IvfIndexSpec pins it; q_ann_ivf_index_exact gates
+    * the exhaustive-probe case against the brute-force oracle). */
+  def ivfTopKFromIndex(
+      queries: DataFrame, // (qid, qvec)
+      assignments: DataFrame, // (cell, id, vec) from ivfIndex/ivfAssign
+      centroids: DataFrame, // (cell, centroid) from ivfIndex
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = loadedCentroids(centroids)
+    val qCells = queries.select(col("qid"), col("qvec"),
+      explode(nearestCells(cents, col("qvec"), nProbe)).as("cell"))
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = assignments
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(qCells), Seq("cell"))
+      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    cand.withColumn("score", cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** The IVF coarse quantizer, extracted so IVF and IVF-PQ share one
     * fit: deterministic bounded sample -> driver-local Lloyd's ->
     * (cell index, float centroid) pairs.
