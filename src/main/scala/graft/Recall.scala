@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Measured recall of every APPROXIMATE (no-oracle) query against its
+  * exact twin recomputed on the SAME data and domain — the per-round
+  * number that turns "the ScalaTest spec says the scale path is
+  * sound" into an artifact the driver emits every round
+  * (`recall.json` next to the Verify dumps, `RECALL.json` in cwd).
+  *
+  * recall = |approx ∩ exact| / |exact| over the twin's key columns;
+  * the exact side is brute force (cosine/Jaccard/hamming with no
+  * banding, no bucket caps, no cell pruning), so the number prices
+  * exactly what the approximation sacrifices — LSH table count, IVF
+  * cell pruning, PQ quantization, simhash banding's bucket cap.
+  *
+  * q_compression is the one no-oracle query with NO twin: the zlib
+  * ratio is deterministic, not approximate (TextStatsSpec pins its
+  * bounds and ordering), so there is nothing to measure recall
+  * against — recorded as skipped, not silently omitted. */
+object Recall {
+
+  /** |approx ∩ exact| / |exact| over `keys` (1.0 when exact is
+    * empty), plus both sides' distinct row counts. */
+  private def pairRecall(approx: DataFrame, exact: DataFrame,
+      keys: Seq[String]): (Double, Long, Long) = {
+    val a = approx.select(keys.map(col): _*).distinct().localCheckpoint()
+    val e = exact.select(keys.map(col): _*).distinct().localCheckpoint()
+    val hit = e.join(a, keys, "left_semi").count()
+    val total = e.count()
+    (if (total == 0) 1.0 else hit.toDouble / total, a.count(), total)
+  }
+
+  /** The exact ANN answer every q_ann_* approximation is measured
+    * against: brute-force cosine top-3, same queries/base split. */
+  private def annExact(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(queries, base, 3)
+  }
+
+  private def ann(name: String)(s: SparkSession, d: String)
+      : (Double, Long, Long) =
+    pairRecall(SparkEntry.queries(name)(s, d), annExact(s, d),
+      Seq("qid", "id"))
+
+  /** One entry per approximate no-oracle query; each recomputes its
+    * exact twin from scratch (never from a dump — the twin must be
+    * beyond doubt). Ordered cheapest-first. */
+  val measures: Seq[(String, (SparkSession, String) => (Double, Long, Long))] = Seq(
+    "q_ann_lsh" -> ann("q_ann_lsh") _,
+    "q_ann_ivf" -> ann("q_ann_ivf") _,
+    "q_ann_pq" -> ann("q_ann_pq") _,
+    "q_ann_ivfpq" -> ann("q_ann_ivfpq") _,
+
+    // LSH-bucketed cosine pairs vs ALL pairs >= 0.35 (the bucket cap
+    // and table count are what recall prices here)
+    "q_embed_neardup" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val l = e.select(col("id").as("id_a"), col("vec").as("va"))
+      val r = e.select(col("id").as("id_b"), col("vec").as("vb"))
+      val exact = l.join(r, col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.35)
+      pairRecall(SparkEntry.queries("q_embed_neardup")(s, d), exact,
+        Seq("id_a", "id_b"))
+    }),
+
+    // incremental batch-vs-index pairs vs the exact batch x corpus
+    // cosine join on the same split
+    "q_incremental_embed" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val b = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id_new"), col("embedding").as("vb"))
+      val c = emb.filter(col("vec_id") >= 200)
+        .select(col("vec_id").as("id_corpus"), col("embedding").as("vc"))
+      val exact = b.crossJoin(c)
+        .filter(Similarity.cosine(col("vb"), col("vc")) >= 0.35)
+      pairRecall(SparkEntry.queries("q_incremental_embed")(s, d), exact,
+        Seq("id_new", "id_corpus"))
+    }),
+
+    // banded minhash pairs vs the exact full-table Jaccard >= 0.3
+    // self-join (8x2 banding + bucket caps are what recall prices)
+    "q_minhash_pairs" -> ((s: SparkSession, d: String) => {
+      val sh = Dedup.shingled(Tables.documents(s, d), "doc_id", "text", 3)
+        .localCheckpoint()
+      val l = sh.select(col("id").as("id_a"), col("sh").as("sa"))
+      val r = sh.select(col("id").as("id_b"), col("sh").as("sb"))
+      val exact = l.join(r, col("id_a") < col("id_b"))
+        .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.3)
+      pairRecall(SparkEntry.queries("q_minhash_pairs")(s, d), exact,
+        Seq("id_a", "id_b"))
+    }),
+
+    // pigeonhole-banded simhash pairs vs the exact full-table
+    // hamming <= 3 self-join over the same 32-bit codes (banding is
+    // recall-lossless; the maxBucket=500 hot-bucket cut is priced)
+    "q_simhash_pairs" -> ((s: SparkSession, d: String) => {
+      val codes = Dedup.simhashCodes(Tables.documents(s, d),
+        "doc_id", "text", bits = 32).localCheckpoint()
+      val l = codes.select(col("id").as("id_a"), col("code").as("ca"))
+      val r = codes.select(col("id").as("id_b"), col("code").as("cb"))
+      val exact = l.join(r, col("id_a") < col("id_b"))
+        .filter(Dedup.hamming(col("ca"), col("cb")) <= 3)
+      pairRecall(SparkEntry.queries("q_simhash_pairs")(s, d), exact,
+        Seq("id_a", "id_b"))
+    }))
+
+  val skipped: Map[String, String] = Map(
+    "q_compression" -> ("deterministic zlib ratio - no approximate/" +
+      "exact twin; bounds and ordering pinned by TextStatsSpec"))
+
+  /** Run every measure and render the artifact JSON. */
+  def measureAll(spark: SparkSession, sfDir: String): String = {
+    val rows = measures.map { case (name, fn) =>
+      val (rec, a, e) =
+        try fn(spark, sfDir)
+        catch { case ex: Throwable =>
+          System.err.println(s"[recall] $name failed: ${ex.getMessage}")
+          (-1.0, -1L, -1L)
+        }
+      System.err.println(
+        f"[recall] $name recall=$rec%.4f approx=$a exact=$e")
+      s""""$name":{"recall":${f"$rec%.4f"},"approx_rows":$a,"exact_rows":$e}"""
+    }
+    val skippedS = skipped.map { case (k, v) =>
+      s""""$k":{"recall":null,"note":"$v"}""" }
+    (rows ++ skippedS).mkString(s"""{"sf":"$sfDir",""", ",", "}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length >= 2) args(1) else "RECALL.json"
+    val spark = Sessions.local("graft-recall")
+    val json = measureAll(spark, sfDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -88,6 +88,20 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Approximate-path recall artifact (full runs only — the driver
+    // never sets SPARK_GRAFT_VERIFY_ONLY): every no-oracle query
+    // measured against its exact twin recomputed on the same data.
+    // Failures are recorded inside the JSON (-1 recall), never allowed
+    // to fail the dump run itself.
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_RECALL", "1") != "0")
+      try {
+        val json = Recall.measureAll(spark, sfDir)
+        Files.writeString(Paths.get(s"$outDir/recall.json"), json + "\n")
+        Files.writeString(Paths.get("RECALL.json"), json + "\n")
+        System.err.println(s"[verify] recall artifact written: $json")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
+      }
     val failedNames = {
       import scala.jdk.CollectionConverters._
       failed.asScala.toList
