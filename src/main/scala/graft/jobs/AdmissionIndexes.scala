@@ -67,6 +67,18 @@ object AdmissionIndexes {
       append: Boolean = false): Unit =
     save(df, table, postingsKeys, buckets, append)
 
+  /** Per-term MaxScore upper bounds: (term, ub, n_docs, sum_len,
+    * k1, b) from [[graft.text.Search.termBounds]], probed by term —
+    * the pruning side of [[graft.text.Search.bm25BatchMaxScore]].
+    * Overwrite-only BY DESIGN: a bound is a global max stamped with
+    * the stats it was computed at; postings appends move every
+    * term's bound in either direction, so the maintenance cadence is
+    * recompute-and-overwrite (one aggregate pass over the postings —
+    * the scorer refuses a stale stamp rather than mis-pruning). */
+  def saveTermBounds(df: DataFrame, table: String,
+      buckets: Int = 64): Unit =
+    save(df, table, postingsKeys, buckets, append = false)
+
   /** IVF inverted lists: (cell, id, vec) from
     * [[graft.similarity.Similarity.ivfIndex]]/[[graft.similarity
     * .Similarity.ivfAssign]], probed by cell —

@@ -269,6 +269,22 @@ object LlmPack extends QueryPack {
         vocabulary = Some(bm25MultiQueries.map(_._2).distinct))
     }),
 
+    // The same batch through MaxScore/WAND top-k pruning: per-term
+    // score upper bounds resolve a θ lower bound per query, documents
+    // matching only non-essential terms are bound-filtered BEFORE the
+    // score aggregate — contractually row-identical to bm25Batch, so
+    // it shares q_bm25_multi's oracle.
+    "q_bm25_maxscore" -> ((s, d) => {
+      import s.implicits._
+      val queries = bm25MultiQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val post = Search.postings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val stats = Search.corpusStats(docs, "text").localCheckpoint()
+      Search.bm25BatchMaxScore(post, stats,
+        Search.termBounds(post, stats), queries, "doc_id", k = 10)
+    }),
+
     // The inverted index itself: per-term document frequency,
     // collection frequency, and max tf — integer-exact over the
     // full vocabulary.
@@ -1189,6 +1205,8 @@ object LlmPack extends QueryPack {
     // scorer's rows — same oracle, checked independently per round
     "q_bm25_from_postings" -> bm25TopkSql,
     "q_bm25_multi" -> bm25MultiSql,
+    // MaxScore pruning is contractually row-identical to bm25Batch
+    "q_bm25_maxscore" -> bm25MultiSql,
     // vocabulary/isin path == semi-join path is the contract
     "q_bm25_multi_pruned" -> bm25MultiSql,
     "q_postings_stats" ->

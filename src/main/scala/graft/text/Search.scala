@@ -189,6 +189,196 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-term score UPPER BOUNDS for MaxScore/WAND-style top-k
+    * pruning: one row per index term with `ub` = the maximum
+    * per-document `tscore` that term can contribute (the exact
+    * DECIMAL(18,6) the scorer sums), plus the (n_docs, sum_len,
+    * k1, b) stamp the bounds were computed at. One aggregate pass
+    * over the postings at BUILD time — persist alongside the index
+    * via [[graft.jobs.AdmissionIndexes.saveTermBounds]] and rebuild
+    * whenever the postings change (appends shift df/avg_len, which
+    * moves every term's bound in either direction — the stamp lets
+    * [[bm25BatchMaxScore]] refuse a stale table instead of silently
+    * mis-pruning). */
+  def termBounds(post: DataFrame, stats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    termScores(post, stats, k1, b)
+      .groupBy(col("term"))
+      .agg(max(col("tscore")).as("ub"),
+        first(col("n_docs")).as("n_docs"),
+        first(col("sum_len")).as("sum_len"))
+      .withColumn("k1", lit(k1))
+      .withColumn("b", lit(b))
+
+  /** Batch-query BM25 with MaxScore top-k pruning (Turtle & Flood
+    * 1995's document-at-a-time bound, re-expressed as a bound-filter
+    * before the score aggregate): results are IDENTICAL to
+    * [[bm25Batch]] — same expression tree, same DECIMAL routing,
+    * same tie-break — but documents that provably cannot enter a
+    * query's top-k never reach the corpus-proportional aggregate.
+    *
+    * Three passes over the term-bucketed postings, each with a
+    * LITERAL term filter (so each scan bucket-prunes):
+    *
+    *   1. θ pass — tiny: each query's single rarest term (highest
+    *      `ub`) is scored alone; since per-term scores are
+    *      non-negative, the kth-best single-term score is a valid
+    *      LOWER bound θ on the query's true kth-best full score
+    *      (fewer than k matches -> θ = 0 -> that query prunes
+    *      nothing and degrades to exactly [[bm25Batch]]).
+    *   2. candidate pass — per query, terms sort by `ub` descending
+    *      and the maximal suffix whose `ub` sum is < θ is
+    *      NON-essential (the classic MaxScore split): a document
+    *      matching only non-essential terms has full score ≤ that
+    *      suffix sum < θ ≤ the kth-best score, so it can never
+    *      enter the top-k, strictly (no tie-break hazard).
+    *      Candidates = documents with ≥ 1 essential-term posting —
+    *      and essential terms are the RARE ones, so this pass reads
+    *      the short posting lists.
+    *   3. scoring pass — [[bm25Batch]]'s plan with one insertion:
+    *      the per-(query, doc) rows semi-join the candidate pairs
+    *      BEFORE the score aggregate, on the aggregate's own keys
+    *      (one co-partitioned shuffle, no extra exchange). Common
+    *      terms' postings for non-candidate documents — the bulk of
+    *      a real workload's posting volume — are dropped before any
+    *      corpus-proportional work.
+    *
+    * The query set is collected driver-side (the eval-set contract
+    * the vocabulary-literal path already has); per-query θ /
+    * essential-set logic runs on those few rows. `bounds` must come
+    * from [[termBounds]] over the SAME index snapshot and (k1, b) —
+    * the stamp is checked and a mismatch refuses loudly. */
+  def bm25BatchMaxScore(post: DataFrame, stats: DataFrame,
+      bounds: DataFrame, queries: DataFrame, idCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (qtermsDf, cand) =
+      maxScorePlan(post, stats, bounds, queries, k, k1, b)
+    val allTerms = qtermsDf.collect().map(_.getString(1)).distinct.toSeq
+    val scored = termScores(post.filter(col("term").isin(allTerms: _*)),
+      stats, k1, b)
+    val perQuery = scored
+      .join(broadcast(qtermsDf), Seq("term"))
+      .join(cand, Seq("query_id", "id"), "left_semi")
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("tscore")).cast("double").as("score"),
+        count(lit(1)).as("hits"))
+    graft.mix.Quota.topNPerGroup(perQuery, "query_id",
+        struct((-col("score")).as("s"), col("id").as("i")), k)
+      .select(col("query_id"), col("id").as(idCol), col("score"),
+        col("hits"), col("rnk").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The MaxScore machinery shared by the scorer and its
+    * measurement/spec hooks: validates the bound stamp, resolves θ
+    * and the essential split per query, and returns (the distinct
+    * (query_id, term) frame as a broadcastable literal table, the
+    * (query_id, id) candidate pairs that survive the bound filter).
+    * Package-private so WandBenchJob/SearchSpec can count the
+    * candidate reduction without duplicating the derivation. */
+  private[graft] def maxScorePlan(post: DataFrame, stats: DataFrame,
+      bounds: DataFrame, queries: DataFrame, k: Int,
+      k1: Double, b: Double): (DataFrame, DataFrame) = {
+    require(k > 0, "bm25BatchMaxScore needs k > 0")
+    Seq("query_id", "term").foreach(c =>
+      require(queries.columns.contains(c),
+        s"queries frame needs a '$c' column " +
+          s"(has ${queries.columns.mkString(", ")})"))
+    Seq("term", "ub", "n_docs", "sum_len", "k1", "b").foreach(c =>
+      require(bounds.columns.contains(c),
+        s"bounds frame needs column '$c' from Search.termBounds " +
+          s"(has ${bounds.columns.mkString(", ")})"))
+    val spark = post.sparkSession
+
+    // driver-resident query set: (query_id, term) distinct
+    val qrows = queries.select(col("query_id"), col("term")).distinct()
+      .collect()
+    val byQuery: Map[Any, Seq[String]] = qrows.groupBy(_.get(0)).view
+      .mapValues(_.map(_.getString(1)).toSeq).toMap
+    val allTerms = qrows.map(_.getString(1)).distinct.toSeq
+
+    // bounds of the queried terms + the snapshot stamp check
+    val brows = bounds.filter(col("term").isin(allTerms: _*))
+      .select(col("term"), col("ub"), col("n_docs").cast("long"),
+        col("sum_len").cast("long"), col("k1").cast("double"),
+        col("b").cast("double"))
+      .collect()
+    val srow = stats.select(col("n_docs").cast("long"),
+      col("sum_len").cast("long")).collect()(0)
+    brows.headOption.foreach { r =>
+      require(r.getLong(2) == srow.getLong(0) &&
+          r.getLong(3) == srow.getLong(1),
+        s"termBounds are STALE: computed at (n_docs=${r.getLong(2)}, " +
+          s"sum_len=${r.getLong(3)}) but the index stats are " +
+          s"(${srow.getLong(0)}, ${srow.getLong(1)}) — rebuild with " +
+          s"termBounds() after postings appends")
+      require(r.getDouble(4) == k1 && r.getDouble(5) == b,
+        s"termBounds were computed at (k1=${r.getDouble(4)}, " +
+          s"b=${r.getDouble(5)}), scoring requested (k1=$k1, b=$b)")
+    }
+    val ubMap: Map[String, BigDecimal] =
+      brows.map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+
+    // literal (query_id, term) tables preserve the caller's query_id
+    // type exactly
+    val qidField = queries.schema("query_id").copy(name = "query_id")
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(qidField,
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    def pairDf(pairs: Seq[(Any, String)]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        pairs.map { case (q, t) =>
+          org.apache.spark.sql.Row(q, t) }.asJava, pairSchema)
+    }
+
+    // θ pass: each query's rarest known term, scored alone
+    val p1Pairs: Seq[(Any, String)] = byQuery.toSeq.flatMap {
+      case (qid, ts) =>
+        val known = ts.filter(ubMap.contains)
+        if (known.isEmpty) None
+        else Some((qid, known.maxBy(t => (ubMap(t), t))))
+    }
+    val theta: Map[Any, BigDecimal] =
+      if (p1Pairs.isEmpty) Map.empty
+      else {
+        val p1Scored = termScores(
+          post.filter(col("term").isin(p1Pairs.map(_._2).distinct: _*)),
+          stats, k1, b)
+          .join(broadcast(pairDf(p1Pairs)), Seq("term"))
+        graft.mix.Quota.topNPerGroup(p1Scored, "query_id",
+            struct((-col("tscore")).as("s"), col("id").as("i")), k)
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n"), min(col("tscore")).as("kth"))
+          .collect()
+          .map(r => r.get(0) -> (if (r.getLong(1) >= k)
+            BigDecimal(r.getDecimal(2)) else BigDecimal(0))).toMap
+      }
+
+    // essential split: ub-descending walk, the maximal suffix whose
+    // ub sum stays under θ is non-essential
+    val essPairs: Seq[(Any, String)] = byQuery.toSeq.flatMap {
+      case (qid, ts) =>
+        val known = ts.filter(ubMap.contains)
+        val th = theta.getOrElse(qid, BigDecimal(0))
+        if (known.isEmpty) Nil
+        else if (th <= 0) known.map((qid, _))
+        else {
+          val sorted = known.sortBy(t => (ubMap(t), t)).reverse
+          val suffix = sorted.map(ubMap)
+            .scanRight(BigDecimal(0))(_ + _).init
+          val mIdx = suffix.indexWhere(_ < th)
+          val m = if (mIdx < 0) sorted.length else math.max(mIdx, 1)
+          sorted.take(m).map((qid, _))
+        }
+    }
+    val cand = post
+      .filter(col("term").isin(essPairs.map(_._2).distinct: _*))
+      .join(broadcast(pairDf(essPairs)), Seq("term"))
+      .select(col("query_id"), col("id")).distinct()
+    (pairDf(qrows.map(r => (r.get(0), r.getString(1))).toSeq), cand)
+  }
+
   /** Shared scorer: postings of the queried terms -> broadcast df
     * per term + 1-row corpus constants -> per-term saturated score
     * through DECIMAL(18,6) -> order-independent sum -> top-k with a

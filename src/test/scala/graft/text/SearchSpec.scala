@@ -184,6 +184,83 @@ class SearchSpec extends SparkSpec {
     assert(ok.nonEmpty)
   }
 
+  test("bm25BatchMaxScore equals bm25Batch row-for-row while its " +
+      "bound filter PRUNES documents matching only non-essential " +
+      "terms before the score aggregate") {
+    // corpus shaped for pruning: a rare term with > k strong matches
+    // (so θ is high) and a flood of documents matching ONLY the
+    // common term (bounded contribution < θ -> prunable)
+    val corpus = (
+      (1 to 8).map(i => (i.toLong, "rare common filler" + i)) ++
+      (100 to 400).map(i => (i.toLong, s"common pad$i x$i y$i"))
+    ).toDF("doc_id", "text")
+    val post = Search.postings(corpus, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(corpus, "text").localCheckpoint()
+    val bounds = Search.termBounds(post, stats).localCheckpoint()
+    val queries = Seq((1L, "rare"), (1L, "common"), (2L, "common"))
+      .toDF("query_id", "term")
+    val k = 3
+    def shaped(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val plain = shaped(Search.bm25Batch(post, stats, queries,
+      "doc_id", k))
+    val pruned = shaped(Search.bm25BatchMaxScore(post, stats, bounds,
+      queries, "doc_id", k))
+    assert(pruned == plain && pruned.nonEmpty)
+    // the candidate set for query 1 must exclude the common-only
+    // flood: every candidate matches the essential 'rare' term
+    val (_, cand) = Search.maxScorePlan(post, stats, bounds, queries,
+      k, 1.2, 0.75)
+    val c1 = cand.filter(col("query_id") === 1L)
+      .collect().map(_.getLong(1)).toSet
+    assert(c1.nonEmpty && c1.forall(_ <= 8L),
+      s"query 1 candidates must be the rare-term docs only, got $c1")
+    // query 2 is single-term: everything matching it stays a
+    // candidate (no non-essential suffix to cut)
+    val c2 = cand.filter(col("query_id") === 2L).count()
+    assert(c2 == 8 + 301)
+  }
+
+  test("bm25BatchMaxScore equals bm25Batch on the oracle fixture " +
+      "(small corpus, θ mostly 0 — the no-pruning degradation path)") {
+    val post = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(docs, "text").localCheckpoint()
+    val bounds = Search.termBounds(post, stats).localCheckpoint()
+    val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "window"),
+      (2L, "nosuchterm"), (3L, "the"))
+      .toDF("query_id", "term")
+    val plain = Search.bm25Batch(post, stats, queries, "doc_id", k = 2)
+      .collect().toList
+    val pruned = Search.bm25BatchMaxScore(post, stats, bounds, queries,
+      "doc_id", k = 2).collect().toList
+    assert(pruned == plain)
+  }
+
+  test("bm25BatchMaxScore refuses STALE bounds: a postings append " +
+      "moves the stats stamp and the scorer must not mis-prune") {
+    val post = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(docs, "text").localCheckpoint()
+    val bounds = Search.termBounds(post, stats).localCheckpoint()
+    // the corpus grows by one document; bounds are now stale
+    val grown = docs.union(Seq((99L, "spark spark spark"))
+      .toDF("doc_id", "text"))
+    val post2 = Search.postings(grown, "doc_id", "text").localCheckpoint()
+    val stats2 = Search.corpusStats(grown, "text").localCheckpoint()
+    val queries = Seq((1L, "spark")).toDF("query_id", "term")
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25BatchMaxScore(post2, stats2, bounds, queries,
+        "doc_id", k = 2).collect()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // mismatched scoring constants refuse too
+    val e2 = intercept[IllegalArgumentException] {
+      Search.bm25BatchMaxScore(post, stats, bounds, queries,
+        "doc_id", k = 2, k1 = 0.9).collect()
+    }
+    assert(e2.getMessage.contains("k1"), e2.getMessage)
+  }
+
   test("k bounds the result and ties break deterministically by id") {
     val tied = Seq(
       (5L, "alpha beta"), (4L, "alpha beta"), (6L, "alpha beta"))
