@@ -480,7 +480,17 @@ object CorpusPipeline {
     * through the codegen'd production encoder — and shard packing
     * budgets on the REAL token counts (`size(tokens)`) instead of the
     * whitespace estimate, so shard sizes mean model tokens. Encoding
-    * runs once per kept doc, row-local, after every drop stage. */
+    * runs once per kept doc, row-local, after every drop stage.
+    *
+    * `splitShards = true` packs with [[graft.text.Packing
+    * .packShardsSplit]] instead: a train document straddling a shard
+    * boundary is SPLIT at the token budget (every shard filled to
+    * exactly `shardBudget` tokens, remainder carried over), so the
+    * cleaned output carries one row per (document, shard) occupancy
+    * with `tok_start`/`tok_end` document-local slice columns — the
+    * shape a shard writer consumes directly. Non-train rows stay one
+    * row with null shard/slice, and whole-document packing (the
+    * default) is byte-identical to before. */
   def run(
       docs: DataFrame,
       idCol: String,
@@ -499,7 +509,8 @@ object CorpusPipeline {
       quality: Column => Column = defaultQuality,
       onStage: (String, Double) => Unit = (_, _) => (),
       tokenizerMerges: Option[Seq[(String, String)]] = None,
-      stripPassages: Option[Int] = None): Result = {
+      stripPassages: Option[Int] = None,
+      splitShards: Boolean = false): Result = {
     val id = col(idCol)
     val (annotated, decisions) = annotateWithDecisions(docs, idCol,
       textCol, benchmark, shingleN, bands, rowsPerBand, threshold,
@@ -545,7 +556,10 @@ object CorpusPipeline {
       case Some(_) => size(col("tokens")).cast("long")
       case None => TextStats.tokenCount(col(textCol))
     }
-    val shards = Packing.packShards(train, idCol, tokCount, shardBudget)
+    val shards =
+      if (splitShards)
+        Packing.packShardsSplit(train, idCol, tokCount, shardBudget)
+      else Packing.packShards(train, idCol, tokCount, shardBudget)
     Result(annotated, cleaned.join(shards, Seq(idCol), "left"), decisions)
   }
 

@@ -562,6 +562,59 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("splitShards packs train docs into budget-EXACT slices: one row " +
+      "per (doc, shard) with contiguous tok ranges, every shard but the " +
+      "last filled to the budget, whole-doc mode unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val docs = graft.Tables.documents(spark, dir)
+    val budget = 64L
+    val res = CorpusPipeline.run(
+      docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      benchmark = docs.filter(col("doc_id") < 10),
+      shardBudget = budget,
+      quality = t => graft.text.TextStats.tokenCount(t) >= 10,
+      splitShards = true)
+    val train = res.cleaned.filter(col("split") === "train")
+      .select(col("doc_id"), col("shard"),
+        col("tok_start"), col("tok_end"),
+        graft.text.TextStats.tokenCount(col("text")).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4).toLong))
+    assert(train.nonEmpty)
+    // per doc: slices contiguous from 0 to its token count
+    train.groupBy(_._1).foreach { case (id, slices) =>
+      val s = slices.sortBy(_._2)
+      assert(s.head._3 == 0L && s.last._4 == s.head._5, s"doc $id: $s")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"doc $id gap")
+        case _ => ()
+      }
+    }
+    // per shard: exactly the budget except the last
+    val perShard = train.groupBy(_._2).view
+      .mapValues(_.map(x => x._4 - x._3).sum).toMap
+    val last = perShard.keys.max
+    perShard.foreach { case (sh, tot) =>
+      if (sh != last) assert(tot == budget, s"shard $sh: $tot")
+    }
+    // non-train rows stay single with null shard/slice
+    res.cleaned.filter(col("split") =!= "train").collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("shard")) &&
+        r.isNullAt(r.fieldIndex("tok_start")))
+    }
+    // and whole-doc mode emits exactly one row per kept doc (the
+    // pre-r10 contract, unchanged)
+    val whole = CorpusPipeline.run(
+      docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      benchmark = docs.filter(col("doc_id") < 10),
+      shardBudget = budget,
+      quality = t => graft.text.TextStats.tokenCount(t) >= 10)
+    assert(whole.cleaned.count() ==
+      whole.cleaned.select("doc_id").distinct().count())
+  }
+
   test("writeCleaned lays the corpus out in training-read order: split " +
       "partitions prune at the scan and a shard slice skips row groups") {
     // 300 distinct quality-passing docs; tiny shard budget -> many
