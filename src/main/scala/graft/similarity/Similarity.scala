@@ -515,6 +515,17 @@ object Similarity {
     (dim, pts)
   }
 
+  /** Public face of [[nearestCells]] for the streaming lookup
+    * ([[graft.streaming.EventStream.streamingIvfTopK]]): the probe
+    * cells of a vector column over stored centroids, ROW-LOCAL (the
+    * centroids are plan literals), so a streaming micro-batch probes
+    * with the exact cell space the index was built with — the same
+    * no-streaming-aggregation property [[signCodes]] gives the
+    * sign-LSH family. */
+  def probeCells(cents: Seq[(Int, Array[Float])], vecCol: Column,
+      n: Int): Column =
+    nearestCells(cents, vecCol, n)
+
   /** The n nearest cells of a vector column — centroids inline as
     * literals (tiny, they ship with the plan), one row-local
     * sorted-array scan, same metric both sides, no shuffle. */

@@ -418,6 +418,83 @@ object EventStream {
       .select(col(idCol), col(tsCol), col(vecCol), col("best_cos"))
   }
 
+  /** Streaming ANN lookup against a persisted IVF index — the
+    * RETRIEVAL face of the streaming embedding family (where
+    * [[streamingEmbedAdmission]] answers "is this a near-dup of the
+    * corpus", this answers "what are its k nearest corpus
+    * neighbors"): query vectors arriving on a stream are scored
+    * against a batch-built [[graft.similarity.Similarity.ivfIndex]]
+    * with NO refit and no base-side work per micro-batch.
+    *
+    * Probe cells are computed ROW-LOCALLY
+    * ([[graft.similarity.Similarity.probeCells]] over the stored
+    * centroids as plan literals — the same
+    * deterministic-code-space property signCodes gives the sign-LSH
+    * family, so the batch-built index serves the stream with no
+    * special build). Candidates come from the STATELESS
+    * stream-static equi-join on cell; exact cosine scores inside the
+    * join. The one stateful step is folding a query's per-candidate
+    * scores into its top-k ("k best over ALL candidates" needs every
+    * candidate row): a watermarked tumbling-window aggregation,
+    * append-mode, whose per-query state is the candidate set of its
+    * nProbe cells — bounded by nProbe x the largest cell, the same
+    * bound the batch probe's shuffle carries (keep cells sized via
+    * the compaction/monitor cadence). A neighbor reached through two
+    * probed cells (nAssign > 1 spill) dedupes in the aggregate
+    * (collect_set of (score, id) — identical score both times).
+    *
+    * Growing the index ON the stream is the write half:
+    * `foreachBatch` admitted vectors through
+    * [[graft.similarity.Similarity.ivfAssign]] (stored centroids) +
+    * [[graft.jobs.AdmissionIndexes.saveIvfIndex]](append) between
+    * restarts, exactly as with [[streamingAdmission]]'s digests.
+    *
+    * Output: one row per (query, rank): (idCol, tsCol, rank,
+    * neighbor_id, score), rank 1..k by (score desc, neighbor_id) —
+    * the batch faces' tie-break (neighbor ids must be numeric, which
+    * every index this engine builds satisfies). */
+  def streamingIvfTopK(
+      queries: DataFrame, // idCol, tsCol, vecCol
+      assignments: DataFrame, // (cell, id, vec) from ivfIndex/ivfAssign
+      centroids: Seq[(Int, Array[Float])], // Similarity.loadedCentroids
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "query_id",
+      vecCol: String = "vec",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.similarity.Similarity
+    require(k > 0, "streamingIvfTopK needs k > 0")
+    val probed = queries
+      .filter(col(vecCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(vecCol),
+        explode(Similarity.probeCells(centroids, col(vecCol), nProbe))
+          .as("cell"))
+    // static side materialized once (each micro-batch re-plans it
+    // otherwise); at real scale this IS the persisted cell-bucketed
+    // index, loaded rather than built
+    val idx = assignments
+      .select(col("cell"), col("id").as("__nid"), col("vec").as("__nv"))
+      .localCheckpoint()
+    probed
+      .join(idx, Seq("cell"))
+      .withColumn("__score", Similarity.cosine(col(vecCol), col("__nv")))
+      .groupBy(window(col(tsCol), watermark), col(idCol))
+      .agg(first(col(tsCol)).as(tsCol),
+        slice(sort_array(collect_set(struct(
+            col("__score").as("s"),
+            (-col("__nid")).as("negid"),
+            col("__nid").as("id"))), asc = false),
+          1, k).as("__top"))
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(idCol), col(tsCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.id").as("neighbor_id"),
+        col("__t.s").as("score"))
+  }
+
   /** Streaming passage strip against a persisted window-digest index
     * — the streaming face of
     * [[graft.dedup.Dedup.incrementalStripPassages]]: documents

@@ -575,6 +575,60 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF top-k: query vectors arriving on the stream get " +
+      "their k nearest corpus neighbors from a batch-built IVF index, " +
+      "equal to the batch probe at the same centroids, after the " +
+      "watermark") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.VecDoc
+    import graft.similarity.Similarity
+    // loosely clustered base so the coarse cells carry structure
+    def bv(i: Int): Array[Float] = {
+      val c = i % 4
+      Array.tabulate(8)(j => (math.sin(c * 31 + j) * 2 +
+        math.cos(i * 7 + j * 3) * 0.3).toFloat)
+    }
+    val base = (100 until 300).map(i => (i.toLong, bv(i))).toDF("id", "vec")
+    val (centDf, assigned) = Similarity.ivfIndex(base, nLists = 4)
+    val assignments = assigned.localCheckpoint()
+    val cents = Similarity.loadedCentroids(centDf)
+
+    val qVecs = Seq(7, 8, 9).map(i => i.toLong -> bv(i))
+    val in = MemoryStream[VecDoc]
+    val q = EventStream.streamingIvfTopK(
+        in.toDF(), assignments, cents, k = 3, nProbe = 2,
+        idCol = "doc_id", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ivf_topk_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      VecDoc(7L, ts("2024-01-01 00:00:00"), qVecs(0)._2.toSeq),
+      VecDoc(8L, ts("2024-01-01 00:01:00"), qVecs(1)._2.toSeq),
+      VecDoc(9L, ts("2024-01-01 00:02:00"), qVecs(2)._2.toSeq),
+      VecDoc(13L, ts("2024-01-01 00:02:30"), null)) // null vec dropped
+    q.processAllAvailable()
+    // results are watermark-gated: advance event time past the window
+    in.addData(VecDoc(99L, ts("2024-01-01 02:00:00"),
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivf_topk_out")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 90)
+      .select("doc_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // the batch probe over the SAME assignments + centroids is the
+    // contract: identical candidates, identical tie-break
+    val queriesDf = qVecs.toDF("qid", "qvec")
+    val want = Similarity.ivfTopKFromIndex(queriesDf, assignments,
+        centDf, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got == want && got.nonEmpty,
+      s"streaming IVF diverged from the batch probe: $got vs $want")
+    }
+  }
+
   test("streaming EMBEDDING admission: a batch-built sign-code index " +
       "drops vector near-dups of the corpus on the stream, admits " +
       "novel vectors after the watermark with their best cosine") {
