@@ -495,6 +495,82 @@ object EventStream {
         col("__t.s").as("score"))
   }
 
+  /** Streaming BM25 top-k against a persisted postings index — the
+    * KEYWORD retrieval face beside [[streamingIvfTopK]], completing
+    * the batch/streaming x keyword/embedding retrieval square:
+    * free-text queries arriving on a stream get their k best corpus
+    * documents, scored exactly like the batch faces (same Lucene-idf
+    * expression tree, same DECIMAL(18,6) routing, same tie-break).
+    *
+    * The per-(term, doc) saturated score depends ONLY on the index
+    * (df, tf, len, corpus constants), so the static side is
+    * PRE-SCORED once ([[graft.text.Search.termScores]] over the full
+    * postings — df is the true corpus df) and each micro-batch pays
+    * one stream-static equi-join on term. Query text tokenizes
+    * row-locally with the index's own tokenizer; duplicate terms in
+    * a query dedupe row-locally (array_distinct — a query is one
+    * row), matching the batch faces' (query_id, term) collapse.
+    *
+    * Stateful shape: TWO chained watermarked tumbling-window
+    * aggregations (Spark's multiple-stateful-operator support) — the
+    * per-(query, doc) score sum, then the per-query top-k fold of
+    * [[streamingIvfTopK]]. Per-query state is its terms' matched
+    * postings — bounded by the query terms' df sum, the same bound
+    * the batch aggregate's shuffle carries (a stopword-only query is
+    * as expensive here as everywhere).
+    *
+    * Output: one row per (query, rank): (idCol, tsCol, rank, docCol,
+    * score, hits), rank 1..k by (score desc, doc id). */
+  def streamingBm25TopK(
+      queries: DataFrame, // idCol, tsCol, textCol
+      post: DataFrame, // (term, id, len, tf) — Search.postings
+      stats: DataFrame, // 1-row corpusStats
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "query_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      docCol: String = "doc_id",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.text.Search
+    require(k > 0, "streamingBm25TopK needs k > 0")
+    require(idCol != docCol,
+      s"idCol and docCol must differ (both '$idCol') — the output " +
+        "carries the query id AND the matched doc id")
+    // static side pre-scored ONCE: (term, doc id, tscore) — at real
+    // scale this derivation is itself persisted next to the index
+    val scored = Search.termScores(post, stats, k1, b)
+      .select(col("term"), col("id").as("__did"), col("tscore"))
+      .localCheckpoint()
+    val qterms = queries
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(array_distinct(Search.terms(col(textCol)))).as("term"))
+    val perDoc = qterms
+      .join(scored, Seq("term"))
+      .groupBy(window(col(tsCol), watermark), col(idCol), col("__did"))
+      .agg(sum(col("tscore")).cast("double").as("__score"),
+        count(lit(1)).as("__hits"), first(col(tsCol)).as(tsCol))
+    perDoc
+      .groupBy(window(col("window"), watermark), col(idCol))
+      .agg(first(col(tsCol)).as(tsCol),
+        slice(sort_array(collect_list(struct(
+            col("__score").as("s"),
+            (-col("__did")).as("negid"),
+            col("__did").as("id"),
+            col("__hits").as("hits"))), asc = false),
+          1, k).as("__top"))
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(idCol), col(tsCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.id").as(docCol),
+        col("__t.s").as("score"),
+        col("__t.hits").as("hits"))
+  }
+
   /** Streaming passage strip against a persisted window-digest index
     * — the streaming face of
     * [[graft.dedup.Dedup.incrementalStripPassages]]: documents

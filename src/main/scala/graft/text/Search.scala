@@ -53,8 +53,9 @@ object Search {
 
   /** Whitespace tokens with edge-empties dropped — unlike
     * [[graft.dedup.Dedup]]'s oracle-pinned tokenization, retrieval
-    * wants no phantom empty term. */
-  private def terms(text: Column): Column =
+    * wants no phantom empty term. Package-visible so the streaming
+    * face tokenizes queries identically. */
+  private[graft] def terms(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Inverted-index postings: one row per (term, id) with the term
@@ -398,8 +399,10 @@ object Search {
     * faces, so their per-doc scores can never drift. Input postings
     * must already be filtered to the queried vocabulary (df is
     * computed per term over what arrives, which equals the corpus df
-    * for every term that survives a term-level filter). */
-  private def termScores(post: DataFrame, stats: DataFrame,
+    * for every term that survives a term-level filter) — or cover
+    * the WHOLE index (df is then the true corpus df for every term),
+    * which is how the streaming face pre-scores the static side. */
+  private[graft] def termScores(post: DataFrame, stats: DataFrame,
       k1: Double, b: Double): DataFrame = {
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     post

@@ -629,6 +629,55 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 top-k: free-text queries on the stream score " +
+      "against the pre-scored postings index, equal to the batch " +
+      "probe per query, after the watermark") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    import graft.text.Search
+    val corpus = Seq(
+      (1L, "spark spark merge"), (2L, "window merge fast"),
+      (3L, "the quick fox"), (4L, "spark window fox"))
+      .toDF("doc_id", "text")
+    val post = Search.postings(corpus, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(corpus, "text").localCheckpoint()
+
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingBm25TopK(
+        in.toDF(), post, stats, k = 2,
+        idCol = "doc_id", docCol = "hit_id", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("bm25_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    // queries ride the Doc shape: doc_id is the QUERY id here, text
+    // the query text ('spark spark' dedupes row-locally)
+    in.addData(
+      Doc(100L, ts("2024-01-01 00:00:00"), "spark spark merge"),
+      Doc(101L, ts("2024-01-01 00:01:00"), "the fox"),
+      Doc(102L, ts("2024-01-01 00:02:00"), "nosuchterm"))
+    q.processAllAvailable()
+    in.addData(Doc(999L, ts("2024-01-01 02:00:00"), "window"))
+    q.processAllAvailable()
+    q.stop()
+    val fcol = org.apache.spark.sql.functions.col _
+    val got = spark.table("bm25_stream_out")
+      .filter(fcol("doc_id") < 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toSet
+    val want = Seq(
+      100L -> Seq("spark", "merge"), 101L -> Seq("the", "fox"))
+      .flatMap { case (qid, terms) =>
+        Search.bm25FromPostings(post, stats, "doc_id", terms, k = 2)
+          .collect().zipWithIndex.map { case (r, i) =>
+            (qid, i + 1, r.getLong(0), r.getDouble(1), r.getLong(2)) }
+      }.toSet
+    assert(got == want && got.nonEmpty,
+      s"streaming BM25 diverged from the batch probe: $got vs $want")
+    }
+  }
+
   test("streaming EMBEDDING admission: a batch-built sign-code index " +
       "drops vector near-dups of the corpus on the stream, admits " +
       "novel vectors after the watermark with their best cosine") {
