@@ -269,20 +269,32 @@ object LlmPack extends QueryPack {
         vocabulary = Some(bm25MultiQueries.map(_._2).distinct))
     }),
 
-    // The same batch through MaxScore/WAND top-k pruning: per-term
-    // score upper bounds resolve a θ lower bound per query, documents
-    // matching only non-essential terms are bound-filtered BEFORE the
-    // score aggregate — contractually row-identical to bm25Batch, so
-    // it shares q_bm25_multi's oracle.
+    // The same batch through MaxScore/WAND top-k pruning over the
+    // FULLY PERSISTED standing index — postings, additive stats, AND
+    // the stamped per-term bound table all round-trip through named
+    // bucketed tables before the probe (the steady-state shape: the
+    // bounds are maintained with the index, not rebuilt per query).
+    // Documents matching only non-essential terms are bound-filtered
+    // BEFORE the score aggregate; contractually row-identical to
+    // bm25Batch, so it shares q_bm25_multi's oracle.
     "q_bm25_maxscore" -> ((s, d) => {
       import s.implicits._
+      import graft.jobs.AdmissionIndexes
       val queries = bm25MultiQueries.toDF("query_id", "term")
       val docs = Tables.documents(s, d)
       val post = Search.postings(docs, "doc_id", "text")
         .localCheckpoint()
       val stats = Search.corpusStats(docs, "text").localCheckpoint()
-      Search.bm25BatchMaxScore(post, stats,
-        Search.termBounds(post, stats), queries, "doc_id", k = 10)
+      AdmissionIndexes.savePostingsIndex(post, "q_gate_ms_postings",
+        buckets = 16)
+      AdmissionIndexes.saveCorpusStats(stats, "q_gate_ms_stats")
+      AdmissionIndexes.saveTermBounds(Search.termBounds(post, stats),
+        "q_gate_ms_bounds", buckets = 16)
+      Search.bm25BatchMaxScore(
+        AdmissionIndexes.load(s, "q_gate_ms_postings"),
+        AdmissionIndexes.loadCorpusStats(s, "q_gate_ms_stats"),
+        AdmissionIndexes.load(s, "q_gate_ms_bounds"),
+        queries, "doc_id", k = 10)
     }),
 
     // The inverted index itself: per-term document frequency,
