@@ -30,9 +30,12 @@ import graft.streaming.EventStream.Event
   * windowed per-doc verdict fold + row-local rebuild), `embed_admission`
   * ([[EventStream.streamingEmbedAdmission]] — sign-code index probe
   * + cosine verify + windowed verdict), `interval_join`
-  * ([[EventStream.streamingIntervalJoinOn]], inner, ±within), and
-  * `windowed` ([[EventStream.windowedCounts]]) as the aggregation
-  * baseline. Args:
+  * ([[EventStream.streamingIntervalJoinOn]], inner, ±within),
+  * `ivf_topk` / `bm25_topk` ([[EventStream.streamingIvfTopK]] /
+  * [[EventStream.streamingBm25TopK]] — the streaming retrieval
+  * faces, whose state is the in-horizon queries' candidate folds),
+  * and `windowed` ([[EventStream.windowedCounts]]) as the
+  * aggregation baseline. Args:
   *   <op> <nEvents> [chunk=20000] [watermarkMin=5] [simRate=100]
   *   [embedBits=3] [statePartitions=1]
   * `embedBits` sizes the embed_admission code space (corpus bucket
@@ -57,7 +60,7 @@ object StreamBenchJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|windowed> <nEvents> " +
+      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|ivf_topk|bm25_topk|windowed> <nEvents> " +
         "[chunk] [watermarkMin] [simRate] [embedBits] [statePartitions]")
     val op = args(0)
     val nEvents = args(1).toLong
@@ -212,6 +215,70 @@ object StreamBenchJob {
             Event(j, eventTs(j * 2, simRate), j % nKeys, "click", 1.0)))
           rIn.addData((i until hi).map(j =>
             Event(j, eventTs(j * 2, simRate), j % nKeys, "view", 1.0)))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "ivf_topk" =>
+        // persisted-IVF streaming retrieval: 2k-vector base, 16
+        // cells, every stream event is a query wanting top-10 — the
+        // state under test is the per-query candidate fold (bounded
+        // by nProbe x cell size x in-horizon queries)
+        val dim = 16
+        def baseVec(k: Long): Seq[Float] =
+          Seq.tabulate(dim)(t =>
+            (((k * 31 + t * 17) % 13) - 6).toFloat / 6f)
+        val base = (0L until 2000L).map(k => (k, baseVec(k)))
+          .toDF("id", "vec")
+        val (centDf, assigned) =
+          graft.similarity.Similarity.ivfIndex(base, nLists = 16)
+        val assignments = assigned.localCheckpoint()
+        val cents = graft.similarity.Similarity.loadedCentroids(centDf)
+        def qVec(i: Long): Seq[Float] =
+          Seq.tabulate(dim)(t =>
+            (((i * 73 + t * 29) % 17) - 8).toFloat / 8f)
+        val in = MemoryStream[VDoc]
+        val q = EventStream.streamingIvfTopK(
+            in.toDF(), assignments, cents, k = 10, nProbe = 4,
+            idCol = "doc_id", watermark = watermark)
+          .writeStream.format("noop").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            VDoc(j, eventTs(j, simRate), qVec(j))))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "bm25_topk" =>
+        // persisted-postings streaming retrieval: 2k-doc corpus over
+        // a 500-term vocabulary, every stream event a 3-term query —
+        // the state under test is the chained per-(query, doc) sum +
+        // per-query fold (bounded by query-term df x in-horizon
+        // queries)
+        import graft.text.Search
+        def dText(k: Long): String =
+          (0 until 20).map(t => s"w${(k * 7 + t * 3) % 500}").mkString(" ")
+        val corpus = (0L until 2000L).map(k => (k, dText(k)))
+          .toDF("doc_id", "text")
+        val post = Search.postings(corpus, "doc_id", "text")
+          .localCheckpoint()
+        val stats = Search.corpusStats(corpus, "text").localCheckpoint()
+        def qText(i: Long): String =
+          s"w${i % 500} w${(i * 13 + 7) % 500} w${(i * 29 + 3) % 500}"
+        val in = MemoryStream[Doc]
+        val q = EventStream.streamingBm25TopK(
+            in.toDF(), post, stats, k = 10,
+            idCol = "doc_id", docCol = "hit_id", watermark = watermark)
+          .writeStream.format("noop").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            Doc(j, eventTs(j, simRate), qText(j))))
           q.processAllAvailable()
           i = hi
         }
