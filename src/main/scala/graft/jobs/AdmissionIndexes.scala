@@ -107,6 +107,20 @@ object AdmissionIndexes {
     df.write.mode("overwrite").saveAsTable(table)
   }
 
+  /** The PQ quantizer: the 1-row (m, k, dsub, flat) codebook table
+    * persisted alongside an IVF-PQ index's assignments so a COLD
+    * session encodes queries identically to the build. Overwrite-only
+    * like the centroids — the code space is fixed at build time. */
+  def savePqCodebooks(df: DataFrame, table: String): Unit = {
+    requirePlainName(table)
+    Seq("m", "k", "dsub", "flat").foreach(c =>
+      require(df.columns.contains(c),
+        s"codebook frame needs column '$c' " +
+          s"(has ${df.columns.mkString(", ")})"))
+    prepareOverwrite(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 

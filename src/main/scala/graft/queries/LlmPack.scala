@@ -931,6 +931,34 @@ object LlmPack extends QueryPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The PERSISTED IVF-PQ path inside the driver gate: centroid +
+    // 1-row codebook + cell-bucketed CODES tables (no vectors in the
+    // index) built once, probed COLD with every cell and full refine —
+    // equal to brute force by construction, so any recall loss in the
+    // scale path can only come from cell pruning or the ADC cut,
+    // never the persistence plumbing.
+    "q_ann_ivfpq_index_exact" -> ((s, d) => {
+      import graft.jobs.AdmissionIndexes
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (cents, cbDf, assigned) = graft.similarity.Pq.ivfPqIndex(
+        base, nLists = 16, m = 16, kCodes = 32)
+      AdmissionIndexes.saveIvfIndex(assigned, "q_gate_ivfpq",
+        buckets = 16)
+      AdmissionIndexes.saveIvfCentroids(cents, "q_gate_ivfpq_cents")
+      AdmissionIndexes.savePqCodebooks(cbDf, "q_gate_ivfpq_cb")
+      graft.similarity.Pq.ivfPqTopKFromIndex(queries,
+          AdmissionIndexes.load(s, "q_gate_ivfpq"),
+          AdmissionIndexes.load(s, "q_gate_ivfpq_cents"),
+          AdmissionIndexes.load(s, "q_gate_ivfpq_cb"),
+          base, k = 3, nProbe = 16, refine = Int.MaxValue)
+        .select(col("qid"), col("rank"), col("id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The IVF ANN machinery under the hard driver gate: nProbe=nLists
     // probes every cell, so the deterministic k-means fit, the
     // nAssign-cell assignment explode, the candidate equi-join, and
@@ -1804,6 +1832,17 @@ object LlmPack extends QueryPack {
         |FROM b, c
         |WHERE list_cosine_similarity(b.v, c.v) >= 0.35
         |ORDER BY id_new, id_corpus""".stripMargin,
+    // exhaustive probe of the persisted IVF-PQ index == brute force
+    // by construction, same oracle as the inline exhaustive form
+    "q_ann_ivfpq_index_exact" ->
+      """SELECT qid, rank, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings q, embeddings b
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // exhaustive probe of the persisted index == brute force by
     // construction, same oracle as the inline exhaustive IVF
     "q_ann_ivf_index_exact" ->

@@ -220,6 +220,104 @@ object Pq {
     * regime: nProbe >= nLists and refine covering the base probes
     * every cell and re-ranks every row — equal to brute force by
     * construction (q_ann_ivfpq_exact's oracle). */
+  /** Build half of a PERSISTED IVF-PQ index — the composed analog of
+    * [[Similarity.ivfIndex]]: ONE deterministic sample fits both
+    * quantizers, and the three frames a cold session needs
+    * materialize together:
+    *
+    *   - centroids `(cell, centroid)`: the coarse quantizer
+    *     ([[graft.jobs.AdmissionIndexes.saveIvfCentroids]]);
+    *   - codebooks: ONE row `(m, k, dsub, flat)` — the PQ quantizer
+    *     ([[graft.jobs.AdmissionIndexes.savePqCodebooks]]);
+    *   - assignments `(cell, id, codes)`: each base vector's nAssign
+    *     cells with its m one-byte PQ codes and NO float vector —
+    *     the memory win of PQ is exactly that the stored index is
+    *     codes, ~d*4/m smaller than the vectors
+    *     ([[graft.jobs.AdmissionIndexes.saveIvfIndex]], cell-bucketed;
+    *     the same key spec — the probe-side plumbing is shared).
+    *
+    * True vectors stay in the corpus table and are re-read for the
+    * exact refine's CANDIDATES only, so they never duplicate into
+    * the index. Probe with [[ivfPqTopKFromIndex]]; grow with
+    * [[ivfPqAssign]] + append. */
+  def ivfPqIndex(
+      base: DataFrame, // (id, vec)
+      nLists: Int = 16,
+      m: Int = 8,
+      kCodes: Int = 16,
+      seed: Long = 42L,
+      nAssign: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    val (dim, pts) = Similarity.unitSample(base,
+      centers = math.max(nLists, kCodes))
+    val cents = Similarity.coarseCellsFromPoints(pts, nLists, seed)
+    val cb = fitFromSample(dim, pts, m, kCodes, seed)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (i, c) => (i, c) }
+      .toDF("cell", "centroid")
+    val cbDf = Seq((cb.m, cb.k, cb.dsub, cb.flat.toSeq))
+      .toDF("m", "k", "dsub", "flat")
+    (centDf, cbDf, ivfPqAssign(base, cents, cb, nAssign))
+  }
+
+  /** Code + assign vectors against the STORED quantizers — the
+    * append face (never refit: a refit would shift both the cell
+    * space and the code space under the stored assignments). */
+  def ivfPqAssign(
+      batch: DataFrame, // (id, vec)
+      cents: Seq[(Int, Array[Float])],
+      cb: Codebooks,
+      nAssign: Int = 2): DataFrame =
+    batch.select(
+      explode(Similarity.probeCells(cents, col("vec"), nAssign))
+        .as("cell"),
+      col("id"), encode(col("vec"), cb).as("codes"))
+
+  /** Driver-side codebooks of a persisted 1-row (m, k, dsub, flat)
+    * table. */
+  def loadedCodebooks(cbDf: DataFrame): Codebooks = {
+    val r = cbDf.select(col("m"), col("k"), col("dsub"), col("flat"))
+      .collect()(0)
+    Codebooks(r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getSeq[Float](3).toArray)
+  }
+
+  /** Probe half of the persisted IVF-PQ index: ADC-score the probed
+    * cells' stored codes, exact-cosine refine against the corpus
+    * vector table — NO refit, no base-side encode, and the
+    * cell-bucketed assignments scan bucket-prunes to the probed
+    * cells (same `isin` upgrade as
+    * [[Similarity.ivfTopKFromIndex]]). `baseVecs` is the corpus
+    * (id, vec) table the refine re-reads candidates from — vectors
+    * live once, in the corpus, never in the index. Results equal
+    * [[ivfPqTopK]] at the same quantizers (PqSpec pins it; the
+    * exhaustive regime equals brute force by construction). */
+  def ivfPqTopKFromIndex(
+      queries: DataFrame, // (qid, qvec)
+      assignments: DataFrame, // (cell, id, codes) from ivfPqIndex
+      centroids: DataFrame, // (cell, centroid)
+      codebooks: DataFrame, // 1-row (m, k, dsub, flat)
+      baseVecs: DataFrame, // (id, vec) — the corpus vector table
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 4): DataFrame = {
+    val cb = loadedCodebooks(codebooks)
+    val cents = Similarity.loadedCentroids(centroids)
+    val qdf = queryTableFrame(queries, cb)
+    val qCells = qdf
+      .select(col("qid"), col("qvec"), col("qtab"),
+        explode(Similarity.probeCells(cents, col("qvec"), nProbe))
+          .as("cell"))
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    adcThenRefine(
+      assignments
+        .filter(col("cell").isin(probed: _*))
+        .join(broadcast(qCells.select(col("qid"), col("qtab"),
+          col("cell"))), Seq("cell")),
+      baseVecs, qdf, cb, k, refine, dedupe = true)
+  }
+
   def ivfPqTopK(
       queries: DataFrame, // (qid, qvec: array<float>)
       base: DataFrame, // (id, vec: array<float>)

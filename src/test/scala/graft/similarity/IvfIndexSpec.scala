@@ -85,6 +85,69 @@ class IvfIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_prune_cents")
   }
 
+  test("persisted IVF-PQ: cold probe of the codes-only index equals " +
+      "the inline fit; exhaustive probe equals brute force; the " +
+      "index carries NO vectors and the scan bucket-prunes") {
+    val base = frame(100 until 400)
+    val queries = frame(0 until 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val (cents, cbDf, assigned) = Pq.ivfPqIndex(base, nLists = 8,
+      m = 8, kCodes = 16)
+    AdmissionIndexes.saveIvfIndex(assigned, "ivfpq_idx", buckets = 8)
+    AdmissionIndexes.saveIvfCentroids(cents, "ivfpq_idx_cents")
+    AdmissionIndexes.savePqCodebooks(cbDf, "ivfpq_idx_cb")
+    val idx = AdmissionIndexes.load(spark, "ivfpq_idx")
+    // the stored index is codes, never vectors — the PQ memory win
+    assert(idx.columns.toSet == Set("cell", "id", "codes"),
+      s"index must be codes-only, got ${idx.columns.mkString(",")}")
+
+    def shaped(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val probe = Pq.ivfPqTopKFromIndex(queries, idx,
+      AdmissionIndexes.load(spark, "ivfpq_idx_cents"),
+      AdmissionIndexes.load(spark, "ivfpq_idx_cb"),
+      base, k = 3, nProbe = 4, refine = 4)
+    val plan = probe.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.nonEmpty && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"expected a bucket-pruned codes scan in:\n${plan.take(3000)}")
+    val inline = shaped(Pq.ivfPqTopK(queries, base, k = 3, nLists = 8,
+      nProbe = 4, m = 8, kCodes = 16, refine = 4).collect())
+    assert(shaped(probe.collect()) == inline && inline.nonEmpty,
+      "cold probe diverged from the inline fit")
+
+    val exhaustive = shaped(Pq.ivfPqTopKFromIndex(queries, idx,
+      AdmissionIndexes.load(spark, "ivfpq_idx_cents"),
+      AdmissionIndexes.load(spark, "ivfpq_idx_cb"),
+      base, k = 3, nProbe = 8, refine = Int.MaxValue).collect())
+    val brute = shaped(Similarity.bruteForceTopK(queries, base, 3)
+      .collect())
+    assert(exhaustive == brute)
+
+    // append face: a batch coded against the STORED quantizers is
+    // visible to the next probe at rank 1 (exact twin of the query)
+    val batch = Seq((9000L, vec(5))).toDF("id", "vec")
+    AdmissionIndexes.saveIvfIndex(
+      Pq.ivfPqAssign(batch,
+        Similarity.loadedCentroids(
+          AdmissionIndexes.load(spark, "ivfpq_idx_cents")),
+        Pq.loadedCodebooks(
+          AdmissionIndexes.load(spark, "ivfpq_idx_cb"))),
+      "ivfpq_idx", buckets = 8, append = true)
+    val q5 = Seq((5L, vec(5))).toDF("qid", "qvec")
+    val after = Pq.ivfPqTopKFromIndex(q5,
+        AdmissionIndexes.load(spark, "ivfpq_idx"),
+        AdmissionIndexes.load(spark, "ivfpq_idx_cents"),
+        AdmissionIndexes.load(spark, "ivfpq_idx_cb"),
+        base.union(batch), k = 3, nProbe = 4, refine = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    assert(after.headOption.map(_._2).contains(9000L),
+      s"appended exact twin must probe at rank 1, got $after")
+    Seq("ivfpq_idx", "ivfpq_idx_cents", "ivfpq_idx_cb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("append face: a batch assigned against the STORED centroids " +
       "appends under the same bucket spec and the next probe finds " +
       "its vectors; compact preserves probe results exactly") {
