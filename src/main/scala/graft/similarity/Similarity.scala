@@ -335,8 +335,7 @@ object Similarity {
       seed: Long = 42L,
       nAssign: Int = 2): DataFrame = {
     val cents = coarseCells(base, nLists, seed)
-    val assigned = base.select(col("id"), col("vec"),
-      explode(nearestCells(cents, col("vec"), nAssign)).as("cell"))
+    val assigned = ivfAssign(base, cents, nAssign)
     val qCells = queries.select(col("qid"), col("qvec"),
       explode(nearestCells(cents, col("qvec"), nProbe)).as("cell"))
 
