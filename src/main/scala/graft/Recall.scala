@@ -118,9 +118,30 @@ object Recall {
     "q_compression" -> ("deterministic zlib ratio - no approximate/" +
       "exact twin; bounds and ordering pinned by TextStatsSpec"))
 
-  /** Run every measure and render the artifact JSON. */
-  def measureAll(spark: SparkSession, sfDir: String): String = {
-    val rows = measures.map { case (name, fn) =>
+  /** Per-query MINIMUM recall — the quality CONTRACT of each
+    * approximate path, set just under its measured steady state at
+    * sf0.01 so normal run-to-run wobble passes but a parameter or
+    * plumbing regression fails VISIBLY: the artifact gains a
+    * `below_floor` list and the Recall main exits nonzero. The exact
+    * twins (q_*_exact, oracle-green) prove the plumbing; the floor
+    * makes the quality operating point itself a per-round gate —
+    * without it, r10 shipped IVF-PQ at 0.70 with nothing failing. */
+  val floors: Map[String, Double] = Map(
+    "q_ann_lsh" -> 0.95,          // measured 1.00
+    "q_ann_ivf" -> 0.85,          // measured 0.93
+    "q_ann_pq" -> 0.95,           // measured 1.00
+    "q_ann_ivfpq" -> 0.90,        // measured 0.93 at nProbe=8/refine=32
+    "q_embed_neardup" -> 0.80,    // measured 0.86
+    "q_incremental_embed" -> 0.78, // measured 0.83
+    "q_minhash_pairs" -> 0.95,    // measured 1.00
+    "q_simhash_pairs" -> 0.95)    // measured 1.00 (banding lossless)
+
+  /** Run every measure and render the artifact JSON; the second
+    * element lists the queries whose recall landed below their
+    * floor (a measurement FAILURE counts as below-floor — a recall
+    * artifact that can't measure is not a pass). */
+  def measureAll(spark: SparkSession, sfDir: String): (String, Seq[String]) = {
+    val measured = measures.map { case (name, fn) =>
       val (rec, a, e) =
         try fn(spark, sfDir)
         catch { case ex: Throwable =>
@@ -128,21 +149,36 @@ object Recall {
           (-1.0, -1L, -1L)
         }
       System.err.println(
-        f"[recall] $name recall=$rec%.4f approx=$a exact=$e")
-      s""""$name":{"recall":${f"$rec%.4f"},"approx_rows":$a,"exact_rows":$e}"""
+        f"[recall] $name recall=$rec%.4f approx=$a exact=$e " +
+          f"floor=${floors.getOrElse(name, 0.0)}%.2f")
+      (name, rec, a, e)
+    }
+    val belowFloor = measured.collect {
+      case (name, rec, _, _) if rec < floors.getOrElse(name, 0.0) => name }
+    val rows = measured.map { case (name, rec, a, e) =>
+      s""""$name":{"recall":${f"$rec%.4f"},"approx_rows":$a,"exact_rows":$e,""" +
+        s""""floor":${f"${floors.getOrElse(name, 0.0)}%.2f"}}"""
     }
     val skippedS = skipped.map { case (k, v) =>
       s""""$k":{"recall":null,"note":"$v"}""" }
-    (rows ++ skippedS).mkString(s"""{"sf":"$sfDir",""", ",", "}")
+    val belowS = belowFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = (rows ++ skippedS ++ Seq(s""""below_floor":$belowS"""))
+      .mkString(s"""{"sf":"$sfDir",""", ",", "}")
+    (json, belowFloor)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length >= 2) args(1) else "RECALL.json"
     val spark = Sessions.local("graft-recall")
-    val json = measureAll(spark, sfDir)
+    val (json, belowFloor) = measureAll(spark, sfDir)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
     spark.stop()
+    if (belowFloor.nonEmpty) {
+      System.err.println(
+        s"[recall] BELOW FLOOR: ${belowFloor.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -185,14 +185,14 @@ object AdmissionIndexes {
     requirePlainName(table)
     val side = s"${table}__compacting"
     val retired = s"${table}__retired"
-    // sweep leftovers of a previously crashed run — the live table is
-    // authoritative whenever it exists, so stale side/retired copies
-    // are safe to drop (a dangling-name crash is recovered by hand
-    // BEFORE re-running: rename __retired or __compacting back)
+    // self-heal a previously crashed run first: a dangling live name
+    // (mid-swap crash) is recovered automatically from whichever
+    // complete copy survived; leftovers of earlier phases are swept
+    // below once the live table is authoritative again
+    recover(spark, table)
     require(spark.catalog.tableExists(table),
-      s"compact: table '$table' does not exist — if a previous " +
-        s"compaction crashed mid-swap, rename '$retired' or '$side' " +
-        s"back to '$table' first")
+      s"compact: table '$table' does not exist and no recoverable " +
+        s"'$retired'/'$side' copy was found — nothing to compact")
     prepareOverwrite(spark, side)
     prepareOverwrite(spark, retired)
     // bucketBy writes one file per (task x bucket): repartition onto
@@ -237,6 +237,45 @@ object AdmissionIndexes {
     spark.sql(s"DROP TABLE `$retired`")
   }
 
+  /** Self-heal [[compact]]'s one dangling-name crash window: between
+    * the two swap renames the live name points at NOTHING while both
+    * `{table}__retired` (the pre-compaction copy) and
+    * `{table}__compacting` (the row-count-verified compacted copy)
+    * are complete on disk. Called automatically at [[compact]] entry
+    * and callable standalone (e.g. a startup sweep over every index
+    * table); no-op when the live table exists.
+    *
+    * Recovery prefers completing the swap FORWARD: a side table can
+    * only coexist with a missing live name after the rewrite's
+    * row-count verification passed (a failed rewrite drops it inside
+    * compact's catch), so it is the newer complete copy — rename it
+    * live and drop the retired one. With only a retired copy (crash
+    * between rename 2 and the final drop cannot happen — the live
+    * name exists again by then — but an operator's manual
+    * half-recovery can leave this state) the swap rolls BACK.
+    * Returns a description of the action taken, None if none was
+    * needed. */
+  def recover(spark: SparkSession, table: String): Option[String] = {
+    requirePlainName(table)
+    val side = s"${table}__compacting"
+    val retired = s"${table}__retired"
+    if (spark.catalog.tableExists(table)) None
+    else if (spark.catalog.tableExists(side)) {
+      spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `$retired`")
+      val msg = s"completed interrupted compaction swap forward: " +
+        s"'$side' -> '$table'"
+      System.err.println(s"[admission-indexes] $msg")
+      Some(msg)
+    } else if (spark.catalog.tableExists(retired)) {
+      spark.sql(s"ALTER TABLE `$retired` RENAME TO `$table`")
+      val msg = s"rolled interrupted compaction swap back: " +
+        s"'$retired' -> '$table'"
+      System.err.println(s"[admission-indexes] $msg")
+      Some(msg)
+    } else None
+  }
+
   /** Build EVERY text-derived admission/retrieval index of a curated
     * corpus in ONE job — the day-0 face of the incremental family
     * (admitBatch maintains them per-batch afterwards). The corpus
@@ -245,11 +284,15 @@ object AdmissionIndexes {
     * instead of five separate jobs each re-reading (and re-decoding)
     * the source parquet. Tables land bucketed on their probe keys as
     * `{prefix}_digests/_bands/_windows/_postings` plus the 1-row
-    * `{prefix}_stats`; probe them via [[load]]/[[loadCorpusStats]]
-    * and append [[CorpusPipeline.admitBatch]]'s deltas with
-    * [[appendDeltas]]. (The embedding code index is vector-derived,
-    * not text-derived — build it from the vector table with
-    * [[saveCodeIndex]] when embeddings exist.) */
+    * `{prefix}_stats` and the MaxScore `{prefix}_bounds` (computed
+    * from the PERSISTED postings + stats so the stamp matches the
+    * table a cold probe reads — bm25BatchMaxScore works day-0 with
+    * no manual saveTermBounds step); probe them via
+    * [[load]]/[[loadCorpusStats]] and append
+    * [[CorpusPipeline.admitBatch]]'s deltas with [[appendDeltas]].
+    * (The embedding code index is vector-derived, not text-derived —
+    * build it from the vector table with [[saveCodeIndex]] when
+    * embeddings exist.) */
   def bootstrap(corpus: DataFrame, idCol: String, textCol: String,
       prefix: String, buckets: Int = 64, shingleN: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2, winLen: Int = 10): Unit = {
@@ -270,6 +313,24 @@ object AdmissionIndexes {
       s"${prefix}_postings", buckets)
     saveCorpusStats(Search.corpusStats(snap, textCol),
       s"${prefix}_stats")
+    rebuildTermBounds(corpus.sparkSession, prefix, buckets)
+  }
+
+  /** Recompute `{prefix}_bounds` from the PERSISTED
+    * `{prefix}_postings`/`{prefix}_stats` pair — the maintenance
+    * cadence of the MaxScore bound table (one aggregate pass over the
+    * postings): run after [[bootstrap]] (it calls this itself) and
+    * after any postings append, because appends shift df/avg_len and
+    * move every term's bound in either direction; the stamp makes
+    * [[graft.text.Search.bm25BatchMaxScore]] REFUSE a stale table
+    * rather than mis-prune, so a missed rebuild is loud, not wrong. */
+  def rebuildTermBounds(spark: SparkSession, prefix: String,
+      buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): Unit = {
+    requirePlainName(prefix)
+    saveTermBounds(
+      graft.text.Search.termBounds(load(spark, s"${prefix}_postings"),
+        loadCorpusStats(spark, s"${prefix}_stats"), k1, b),
+      s"${prefix}_bounds", buckets)
   }
 
   /** Append one admitted batch's index deltas under a [[bootstrap]]
@@ -279,10 +340,23 @@ object AdmissionIndexes {
     * admission actually produced are written (windows/postings/stats
     * require the strip/postings options; codes the embedding
     * option — the code index appends to `{prefix}_codes`, which a
-    * vector-carrying deployment creates via [[saveCodeIndex]]). */
+    * vector-carrying deployment creates via [[saveCodeIndex]]).
+    *
+    * A postings append invalidates the MaxScore `{prefix}_bounds`
+    * table (df/avg_len shift, moving every term's bound either way):
+    * `rebuildBounds = true` recomputes it here, in the same
+    * maintenance step — the right choice on a per-batch or nightly
+    * cadence. With the default `false` the bounds go STALE-BY-STAMP:
+    * the pruned scorer refuses them loudly until
+    * [[rebuildTermBounds]] runs (batch the rebuild across several
+    * appends when postings churn is high), and the staleness is
+    * logged here so the operator sees it at append time, not at the
+    * first refused query. Every append also logs the postings
+    * table's [[fragmentation]], the compaction-cadence signal. */
   def appendDeltas(adm: CorpusPipeline.Admission, prefix: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, rebuildBounds: Boolean = false): Unit = {
     requirePlainName(prefix)
+    val spark = adm.newDigests.sparkSession
     saveDigestIndex(adm.newDigests, s"${prefix}_digests", buckets,
       append = true)
     saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
@@ -295,6 +369,57 @@ object AdmissionIndexes {
       saveCorpusStats(s, s"${prefix}_stats", append = true))
     adm.newCodes.foreach(c =>
       saveCodeIndex(c, s"${prefix}_codes", buckets, append = true))
+    if (adm.newPostings.nonEmpty) {
+      if (rebuildBounds)
+        rebuildTermBounds(spark, prefix, buckets)
+      else if (spark.catalog.tableExists(s"${prefix}_bounds"))
+        System.err.println(s"[admission-indexes] '${prefix}_bounds' is " +
+          "now STALE (postings appended without rebuildBounds) — " +
+          "bm25BatchMaxScore will refuse it until " +
+          s"rebuildTermBounds(spark, \"$prefix\") runs")
+      fragmentation(spark, s"${prefix}_postings").foreach(f =>
+        System.err.println(s"[admission-indexes] ${prefix}_postings " +
+          s"fragmentation: $f"))
+    }
+  }
+
+  /** Fragmentation report of a bucketed index table — the signal
+    * that decides WHEN to [[compact]]: every append writes one file
+    * per (task x bucket), so files-per-bucket grows with appends and
+    * probe scans open that many files per probed bucket while the
+    * sorted-within-bucket property degrades to sorted-within-file.
+    * Catalog metadata + a file listing only — never a data scan.
+    * None when the table doesn't exist or isn't a managed file-based
+    * table this module wrote. Recipe (README operations section):
+    * compact when `maxFilesPerBucket` exceeds ~16, or earlier when
+    * `totalBytes / files` is far below the target file size. */
+  final case class Fragmentation(files: Long, buckets: Int,
+      maxFilesPerBucket: Long, totalBytes: Long) {
+    override def toString: String =
+      s"files=$files buckets=$buckets maxFilesPerBucket=" +
+        s"$maxFilesPerBucket totalBytes=$totalBytes"
+  }
+
+  def fragmentation(spark: SparkSession, table: String)
+      : Option[Fragmentation] = {
+    requirePlainName(table)
+    if (!spark.catalog.tableExists(table)) return None
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
+    val dir = new java.io.File(new java.net.URI(
+      meta.location.toString).getPath)
+    if (!dir.isDirectory) return None
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    // bucketed file names carry the bucket id as the `_NNNNN` suffix
+    // of the split name: part-00000-<uuid>_00003.c000.snappy.parquet
+    val bucketOf = "_(\\d{5})\\.".r
+    val perBucket = parts.groupBy(f =>
+      bucketOf.findFirstMatchIn(f.getName).map(_.group(1)).getOrElse(""))
+    Some(Fragmentation(parts.length, nBuckets,
+      if (perBucket.isEmpty) 0L else perBucket.values.map(_.length).max,
+      parts.map(_.length()).sum))
   }
 
   /** The stale-location cleanup in [[prepareOverwrite]] resolves the

@@ -495,6 +495,103 @@ object EventStream {
         col("__t.s").as("score"))
   }
 
+  /** Streaming ANN lookup against a persisted IVF-PQ index — the
+    * codes-only sibling of [[streamingIvfTopK]], so the CHEAPEST
+    * standing index (inverted lists of m one-byte PQ codes, ~d*4/m
+    * smaller than raw vectors) can serve streams too, not just batch
+    * probes.
+    *
+    * Same scale decisions as the batch probe
+    * ([[graft.similarity.Pq.ivfPqTopKFromIndex]]), re-expressed for
+    * micro-batches: probe cells AND the per-query ADC table are
+    * computed ROW-LOCALLY against the stored quantizers as plan
+    * literals (centroids via
+    * [[graft.similarity.Similarity.probeCells]], codebooks via
+    * [[graft.similarity.Pq.adcTableCol]] — a cold stream codes
+    * queries identically to the build); candidates come from the
+    * STATELESS stream-static equi-join on cell against the
+    * codes-only assignments; ADC scores inside the join (m table
+    * lookups per candidate, never a d-wide dot).
+    *
+    * The PQ-then-refine cascade becomes TWO chained watermarked
+    * aggregations (the multi-stateful shape [[streamingBm25TopK]]
+    * uses): fold each query's candidates to its `refine * k` best by
+    * ADC (collect_set dedupes the nAssign-spill repeats — identical
+    * codes give identical ADC), then re-rank ONLY those survivors by
+    * exact cosine against the true vectors re-read from the CORPUS
+    * table (stateless stream-static join on id — vectors live once,
+    * in the corpus, never in the index) and fold to the final top-k.
+    * Per-query state is bounded by nProbe x the largest cell for the
+    * first fold and refine*k rows for the second.
+    *
+    * Output: one row per (query, rank): (idCol, tsCol, rank,
+    * neighbor_id, score), rank 1..k by (score desc, neighbor_id) —
+    * [[streamingIvfTopK]]'s contract, scores EXACT cosine. */
+  def streamingIvfPqTopK(
+      queries: DataFrame, // idCol, tsCol, vecCol
+      assignments: DataFrame, // (cell, id, codes) from Pq.ivfPqIndex
+      centroids: Seq[(Int, Array[Float])], // Similarity.loadedCentroids
+      codebooks: graft.similarity.Pq.Codebooks, // Pq.loadedCodebooks
+      baseVecs: DataFrame, // (id, vec) — the corpus vector table
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      idCol: String = "query_id",
+      vecCol: String = "vec",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.similarity.{Pq, Similarity}
+    require(k > 0, "streamingIvfPqTopK needs k > 0")
+    require(refine > 0 && refine < Int.MaxValue / math.max(k, 1),
+      "streamingIvfPqTopK needs a bounded refine (the exact regime " +
+        "is a batch shape — use Pq.ivfPqTopKFromIndex)")
+    val probed = queries
+      .filter(col(vecCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(vecCol),
+        Pq.adcTableCol(col(vecCol), codebooks).as("__qtab"),
+        explode(Similarity.probeCells(centroids, col(vecCol), nProbe))
+          .as("cell"))
+      .filter(col("__qtab").isNotNull)
+    // static sides materialized once (each micro-batch re-plans them
+    // otherwise); at real scale these ARE the persisted cell-bucketed
+    // codes table and the corpus vector table, loaded not built
+    val idx = assignments
+      .select(col("cell"), col("id").as("__nid"), col("codes"))
+      .localCheckpoint()
+    val corpus = baseVecs
+      .select(col("id").as("__nid"), col("vec").as("__nv"))
+      .localCheckpoint()
+    val adcFold = probed
+      .join(idx, Seq("cell"))
+      .withColumn("__adc", Pq.adc(col("codes"), col("__qtab"), codebooks))
+      .groupBy(window(col(tsCol), watermark), col(idCol))
+      .agg(first(col(tsCol)).as(tsCol), first(col(vecCol)).as(vecCol),
+        slice(sort_array(collect_set(struct(
+            col("__adc").as("s"),
+            (-col("__nid")).as("negid"),
+            col("__nid").as("id"))), asc = false),
+          1, refine * k).as("__cand"))
+    adcFold
+      .select(col("window"), col(idCol), col(tsCol), col(vecCol),
+        explode(col("__cand")).as("__c"))
+      .join(corpus, col("__c.id") === col("__nid"))
+      .withColumn("__score", Similarity.cosine(col(vecCol), col("__nv")))
+      .groupBy(window(col("window"), watermark), col(idCol))
+      .agg(first(col(tsCol)).as(tsCol),
+        slice(sort_array(collect_set(struct(
+            col("__score").as("s"),
+            (-col("__nid")).as("negid"),
+            col("__nid").as("id"))), asc = false),
+          1, k).as("__top"))
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(idCol), col(tsCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.id").as("neighbor_id"),
+        col("__t.s").as("score"))
+  }
+
   /** Streaming BM25 top-k against a persisted postings index — the
     * KEYWORD retrieval face beside [[streamingIvfTopK]], completing
     * the batch/streaming x keyword/embedding retrieval square:

@@ -108,6 +108,37 @@ object Search {
       stats, idCol, k, k1, b)
   }
 
+  /** [[bm25FromPostings]] with MaxScore top-k pruning — the
+    * single-query face of [[bm25BatchMaxScore]], sharing
+    * [[maxScorePlan]]'s machinery (θ from the rarest term,
+    * essential-suffix split, stamped-bounds refusal) so the pruning
+    * exists on BOTH query shapes: documents matching only
+    * non-essential terms are bound-filtered before the score
+    * aggregate. Row-identical to [[bm25FromPostings]] by
+    * construction — same expression tree, same DECIMAL routing, same
+    * (score desc, id) tie-break; the candidate semi-join lands AFTER
+    * [[termScores]] (df must come from the full term postings, never
+    * the candidate-cut subset) on the aggregate's own key. */
+  def bm25FromPostingsMaxScore(post: DataFrame, stats: DataFrame,
+      bounds: DataFrame, idCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val queries = queryTerms.distinct.map(t => (0, t))
+      .toDF("query_id", "term")
+    val (_, cand) = maxScorePlan(post, stats, bounds, queries, k, k1, b)
+    termScores(post.filter(col("term").isin(queryTerms.distinct: _*)),
+        stats, k1, b)
+      .join(cand.select(col("id")), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sum(col("tscore")).cast("double").as("score"),
+        count(lit(1)).as("hits"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"), col("hits"))
+  }
+
   /** Batch-query BM25: score a whole TABLE of queries against a
     * postings index in ONE pass — the eval-set / hard-negative-mining
     * / corpus-triage shape where issuing one Spark job per query

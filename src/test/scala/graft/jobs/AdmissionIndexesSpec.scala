@@ -167,16 +167,39 @@ class AdmissionIndexesSpec extends SparkSpec {
       !spark.catalog.tableExists("digest_crash__retired"),
       "swap must leave no side/retired tables behind")
 
-    // a missing live table (the mid-swap dangling-name crash) is
-    // refused with recovery instructions, never silently recreated
+    // the mid-swap dangling-name crash SELF-HEALS: live renamed away
+    // (exactly the state after swap-rename 1 dies, with the verified
+    // compacted copy still present as __compacting) — the next
+    // compact recovers it forward and completes normally
+    spark.sql("ALTER TABLE digest_crash RENAME TO digest_crash__compacting")
+    assert(!spark.catalog.tableExists("digest_crash"))
+    AdmissionIndexes.compact(spark, "digest_crash",
+      AdmissionIndexes.digestKeys, buckets = 4)
+    assert(AdmissionIndexes.load(spark, "digest_crash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "forward recovery + compact must preserve every row")
+    assert(!spark.catalog.tableExists("digest_crash__compacting") &&
+      !spark.catalog.tableExists("digest_crash__retired"))
+
+    // ...and the rolled-BACK variant (only a __retired copy left —
+    // an operator's partial manual recovery): standalone recover()
+    // renames it live again
+    spark.sql("ALTER TABLE digest_crash RENAME TO digest_crash__retired")
+    val action = AdmissionIndexes.recover(spark, "digest_crash")
+    assert(action.exists(_.contains("back")), s"got $action")
+    assert(AdmissionIndexes.load(spark, "digest_crash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    assert(AdmissionIndexes.recover(spark, "digest_crash").isEmpty,
+      "recover must be a no-op when the live table exists")
+
+    // with NO copy at all there is nothing to heal: refuse, never
+    // silently recreate an empty index
     spark.sql("DROP TABLE digest_crash")
     val e = intercept[IllegalArgumentException] {
       AdmissionIndexes.compact(spark, "digest_crash",
         AdmissionIndexes.digestKeys, buckets = 4)
     }
-    assert(e.getMessage.contains("__retired") ||
-      e.getMessage.contains("rename"),
-      s"refusal must carry recovery instructions: ${e.getMessage}")
+    assert(e.getMessage.contains("no recoverable"), e.getMessage)
   }
 
   test("window index round-trips through the bucketed layout and an " +
@@ -264,8 +287,105 @@ class AdmissionIndexesSpec extends SparkSpec {
       .collect()(0)
     assert(st.getLong(0) == 4L && st.getLong(1) == 70L,
       s"stats must fold additively, got (${st.getLong(0)}, ${st.getLong(1)})")
-    Seq("digests", "bands", "windows", "postings", "stats").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS loop_idx_$s"))
+    Seq("digests", "bands", "windows", "postings", "stats", "bounds")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS loop_idx_$s"))
+  }
+
+  test("bootstrap builds the MaxScore bounds table: the pruned scorer " +
+      "works COLD with no manual step; a postings append leaves the " +
+      "bounds stale-by-stamp until the rebuild hook runs") {
+    import graft.text.Search
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, s"common doc$i word${i % 5} tail$i" +
+        (if (i <= 3) " rare" else "")))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "ms_idx",
+      buckets = 4)
+    assert(spark.catalog.tableExists("ms_idx_bounds"),
+      "bootstrap must write the bounds table alongside the other five")
+    def post = AdmissionIndexes.load(spark, "ms_idx_postings")
+    def stats = AdmissionIndexes.loadCorpusStats(spark, "ms_idx_stats")
+    def bounds = AdmissionIndexes.load(spark, "ms_idx_bounds")
+    val queries = Seq((1L, "rare"), (1L, "common"))
+      .toDF("query_id", "term")
+
+    // day-0: pruned scorer straight off the bootstrapped tables,
+    // row-identical to the unpruned batch face
+    val plain = Search.bm25Batch(post, stats, queries, "doc_id", k = 2)
+      .collect().toList
+    val cold = Search.bm25BatchMaxScore(post, stats, bounds, queries,
+      "doc_id", k = 2).collect().toList
+    assert(cold == plain && cold.nonEmpty)
+
+    // append a batch WITHOUT the rebuild: stamp goes stale, scorer
+    // refuses loudly instead of mis-pruning
+    val batch = Seq((100L, "common fresh rare content here"))
+      .toDF("doc_id", "text")
+    val adm = CorpusPipeline.admitBatch(corpus,
+      AdmissionIndexes.load(spark, "ms_idx_digests"),
+      AdmissionIndexes.load(spark, "ms_idx_bands"),
+      batch, "doc_id", "text", shingleN = 3, bands = 8,
+      rowsPerBand = 2, threshold = 0.5, withPostings = true)
+    AdmissionIndexes.appendDeltas(adm, "ms_idx", buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25BatchMaxScore(post, stats, bounds, queries,
+        "doc_id", k = 2).collect()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+
+    // the rebuild hook restores the pruned scorer, row-identical to
+    // the unpruned face over the grown index
+    AdmissionIndexes.rebuildTermBounds(spark, "ms_idx", buckets = 4)
+    val plain2 = Search.bm25Batch(post, stats, queries, "doc_id", k = 2)
+      .collect().toList
+    assert(Search.bm25BatchMaxScore(post, stats, bounds, queries,
+      "doc_id", k = 2).collect().toList == plain2)
+
+    // ...and appendDeltas(rebuildBounds = true) folds the rebuild
+    // into the maintenance step itself
+    val batch2 = Seq((200L, "wholly novel second batch text"))
+      .toDF("doc_id", "text")
+    val adm2 = CorpusPipeline.admitBatch(corpus,
+      AdmissionIndexes.load(spark, "ms_idx_digests"),
+      AdmissionIndexes.load(spark, "ms_idx_bands"),
+      batch2, "doc_id", "text", shingleN = 3, bands = 8,
+      rowsPerBand = 2, threshold = 0.5, withPostings = true)
+    AdmissionIndexes.appendDeltas(adm2, "ms_idx", buckets = 4,
+      rebuildBounds = true)
+    val plain3 = Search.bm25Batch(post, stats, queries, "doc_id", k = 2)
+      .collect().toList
+    assert(Search.bm25BatchMaxScore(post, stats, bounds, queries,
+      "doc_id", k = 2).collect().toList == plain3)
+    Seq("digests", "bands", "windows", "postings", "stats", "bounds")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ms_idx_$s"))
+  }
+
+  test("fragmentation reports files-per-bucket growth from appends " +
+      "and compaction resets it — the compaction-cadence signal, " +
+      "no data scan") {
+    val base = (0 until 50).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(base, "doc_id", "text"), "frag_idx",
+      buckets = 4)
+    val f0 = AdmissionIndexes.fragmentation(spark, "frag_idx").get
+    assert(f0.buckets == 4 && f0.files >= 1 && f0.totalBytes > 0)
+    (0 until 5).foreach { r =>
+      val delta = Seq((1000L + r, s"delta text $r")).toDF("doc_id", "text")
+      AdmissionIndexes.saveDigestIndex(
+        Dedup.contentDigests(delta, "doc_id", "text"), "frag_idx",
+        buckets = 4, append = true)
+    }
+    val f1 = AdmissionIndexes.fragmentation(spark, "frag_idx").get
+    assert(f1.files > f0.files && f1.maxFilesPerBucket > f0.maxFilesPerBucket,
+      s"appends must grow the file count: $f0 -> $f1")
+    AdmissionIndexes.compact(spark, "frag_idx",
+      AdmissionIndexes.digestKeys, buckets = 4)
+    val f2 = AdmissionIndexes.fragmentation(spark, "frag_idx").get
+    assert(f2.files <= 4 && f2.maxFilesPerBucket <= 1,
+      s"compaction must restore one file per non-empty bucket: $f2")
+    assert(AdmissionIndexes.fragmentation(spark, "no_such_table").isEmpty)
+    spark.sql("DROP TABLE IF EXISTS frag_idx")
   }
 
   test("digest and code indexes refuse a frame missing their probe key") {

@@ -629,6 +629,66 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF-PQ top-k: query vectors probe the codes-only " +
+      "persisted index (row-local cell + ADC coding against the " +
+      "stored quantizers), refine against the corpus table, equal to " +
+      "the batch probe at the same index") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.VecDoc
+    import graft.similarity.{Pq, Similarity}
+    def bv(i: Int): Array[Float] = {
+      val c = i % 4
+      Array.tabulate(8)(j => (math.sin(c * 31 + j) * 2 +
+        math.cos(i * 7 + j * 3) * 0.3).toFloat)
+    }
+    val base = (100 until 300).map(i => (i.toLong, bv(i))).toDF("id", "vec")
+    val (centDf, cbDf, assigned) = Pq.ivfPqIndex(base, nLists = 4,
+      m = 4, kCodes = 8)
+    val assignments = assigned.localCheckpoint()
+    val cents = Similarity.loadedCentroids(centDf)
+    val cb = Pq.loadedCodebooks(cbDf)
+
+    val qVecs = Seq(7, 8, 9).map(i => i.toLong -> bv(i))
+    val in = MemoryStream[VecDoc]
+    val q = EventStream.streamingIvfPqTopK(
+        in.toDF(), assignments, cents, cb, base, k = 3,
+        nProbe = 2, refine = 8,
+        idCol = "doc_id", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ivfpq_topk_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      VecDoc(7L, ts("2024-01-01 00:00:00"), qVecs(0)._2.toSeq),
+      VecDoc(8L, ts("2024-01-01 00:01:00"), qVecs(1)._2.toSeq),
+      VecDoc(9L, ts("2024-01-01 00:02:00"), qVecs(2)._2.toSeq),
+      VecDoc(13L, ts("2024-01-01 00:02:30"), null)) // null vec dropped
+    q.processAllAvailable()
+    in.addData(VecDoc(99L, ts("2024-01-01 02:00:00"),
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivfpq_topk_out")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 90)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    val queriesDf = qVecs.toDF("qid", "qvec")
+    val want = Pq.ivfPqTopKFromIndex(queriesDf, assignments, centDf,
+        cbDf, base, k = 3, nProbe = 2, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSet
+    assert(got == want && got.nonEmpty,
+      s"streaming IVF-PQ diverged from the batch probe: $got vs $want")
+    // the exact regime is a batch shape: an unbounded refine refuses
+    val e = intercept[IllegalArgumentException] {
+      EventStream.streamingIvfPqTopK(in.toDF(), assignments, cents,
+        cb, base, k = 3, refine = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("bounded refine"), e.getMessage)
+    }
+  }
+
   test("streaming BM25 top-k: free-text queries on the stream score " +
       "against the pre-scored postings index, equal to the batch " +
       "probe per query, after the watermark") {

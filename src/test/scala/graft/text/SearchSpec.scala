@@ -237,6 +237,53 @@ class SearchSpec extends SparkSpec {
     assert(pruned == plain)
   }
 
+  test("bm25FromPostingsMaxScore equals bm25FromPostings row-for-row " +
+      "on both the pruning-shaped corpus and the tiny fixture (θ=0 " +
+      "degradation), duplicate query terms collapse") {
+    // pruning-shaped corpus: rare term with > k strong matches, a
+    // flood matching only the common term
+    val corpus = (
+      (1 to 8).map(i => (i.toLong, "rare common filler" + i)) ++
+      (100 to 400).map(i => (i.toLong, s"common pad$i x$i y$i"))
+    ).toDF("doc_id", "text")
+    val post = Search.postings(corpus, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(corpus, "text").localCheckpoint()
+    val bounds = Search.termBounds(post, stats).localCheckpoint()
+    val terms = Seq("rare", "common")
+    val plain = Search.bm25FromPostings(post, stats, "doc_id",
+      terms, k = 3).collect().toList
+    val pruned = Search.bm25FromPostingsMaxScore(post, stats, bounds,
+      "doc_id", terms, k = 3).collect().toList
+    assert(pruned == plain && pruned.nonEmpty)
+    // duplicate terms score once, matching bm25FromPostings'
+    // isin-collapse
+    val dup = Search.bm25FromPostingsMaxScore(post, stats, bounds,
+      "doc_id", Seq("rare", "rare", "common"), k = 3).collect().toList
+    assert(dup == plain)
+
+    // tiny fixture: θ mostly 0, pure degradation to the plain scorer
+    val post2 = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats2 = Search.corpusStats(docs, "text").localCheckpoint()
+    val bounds2 = Search.termBounds(post2, stats2).localCheckpoint()
+    val t2 = Seq("spark", "window", "merge")
+    assert(Search.bm25FromPostingsMaxScore(post2, stats2, bounds2,
+        "doc_id", t2, k = 10).collect().toList ==
+      Search.bm25FromPostings(post2, stats2, "doc_id", t2, k = 10)
+        .collect().toList)
+
+    // the stale-stamp refusal guards this face too (shared machinery):
+    // grow the corpus, keep the old bounds
+    val grown = docs.union(Seq((99L, "spark spark spark"))
+      .toDF("doc_id", "text"))
+    val post3 = Search.postings(grown, "doc_id", "text").localCheckpoint()
+    val stats3 = Search.corpusStats(grown, "text").localCheckpoint()
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25FromPostingsMaxScore(post3, stats3, bounds2,
+        "doc_id", t2, k = 2).collect()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
   test("bm25BatchMaxScore refuses STALE bounds: a postings append " +
       "moves the stats stamp and the scorer must not mis-prune") {
     val post = Search.postings(docs, "doc_id", "text").localCheckpoint()
