@@ -37,7 +37,7 @@ object PqSweepJob {
     require(exact.nonEmpty, "no exact neighbors - empty fixture?")
 
     val nLists = 16
-    for (nProbe <- Seq(1, 2, 4, 8, 16); refine <- Seq(1, 4, 16)) {
+    for (nProbe <- Seq(1, 2, 4, 8, 16); refine <- Seq(1, 4, 16, 32)) {
       val t0 = System.nanoTime()
       val approx = topSet(Pq.ivfPqTopK(queries, base, k,
         nLists = nLists, nProbe = nProbe, m = 16, kCodes = 32,

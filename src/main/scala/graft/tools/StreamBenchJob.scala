@@ -31,9 +31,12 @@ import graft.streaming.EventStream.Event
   * ([[EventStream.streamingEmbedAdmission]] — sign-code index probe
   * + cosine verify + windowed verdict), `interval_join`
   * ([[EventStream.streamingIntervalJoinOn]], inner, ±within),
-  * `ivf_topk` / `bm25_topk` ([[EventStream.streamingIvfTopK]] /
+  * `ivf_topk` / `ivfpq_topk` / `bm25_topk`
+  * ([[EventStream.streamingIvfTopK]] /
+  * [[EventStream.streamingIvfPqTopK]] /
   * [[EventStream.streamingBm25TopK]] — the streaming retrieval
-  * faces, whose state is the in-horizon queries' candidate folds),
+  * faces, whose state is the in-horizon queries' candidate folds;
+  * the IVF-PQ face adds the bounded refine fold on top),
   * and `windowed` ([[EventStream.windowedCounts]]) as the
   * aggregation baseline. Args:
   *   <op> <nEvents> [chunk=20000] [watermarkMin=5] [simRate=100]
@@ -60,7 +63,7 @@ object StreamBenchJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|ivf_topk|bm25_topk|windowed> <nEvents> " +
+      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|ivf_topk|ivfpq_topk|bm25_topk|windowed> <nEvents> " +
         "[chunk] [watermarkMin] [simRate] [embedBits] [statePartitions]")
     val op = args(0)
     val nEvents = args(1).toLong
@@ -241,6 +244,43 @@ object StreamBenchJob {
         val in = MemoryStream[VDoc]
         val q = EventStream.streamingIvfTopK(
             in.toDF(), assignments, cents, k = 10, nProbe = 4,
+            idCol = "doc_id", watermark = watermark)
+          .writeStream.format("noop").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            VDoc(j, eventTs(j, simRate), qVec(j))))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "ivfpq_topk" =>
+        // codes-only persisted IVF-PQ streaming retrieval: same base
+        // and query shape as ivf_topk, but the stream-static join
+        // carries m one-byte codes per candidate (never vectors) and
+        // the PQ cascade runs as two chained folds — the state under
+        // test is the ADC fold (nProbe x cell size x in-horizon
+        // queries) plus the refine fold (refine*k x in-horizon)
+        val dim = 16
+        def baseVec(k: Long): Seq[Float] =
+          Seq.tabulate(dim)(t =>
+            (((k * 31 + t * 17) % 13) - 6).toFloat / 6f)
+        val base = (0L until 2000L).map(k => (k, baseVec(k)))
+          .toDF("id", "vec")
+        val (centDf, cbDf, assigned) = graft.similarity.Pq.ivfPqIndex(
+          base, nLists = 16, m = 4, kCodes = 16)
+        val assignments = assigned.localCheckpoint()
+        val cents = graft.similarity.Similarity.loadedCentroids(centDf)
+        val cb = graft.similarity.Pq.loadedCodebooks(cbDf)
+        def qVec(i: Long): Seq[Float] =
+          Seq.tabulate(dim)(t =>
+            (((i * 73 + t * 29) % 17) - 8).toFloat / 8f)
+        val in = MemoryStream[VDoc]
+        val q = EventStream.streamingIvfPqTopK(
+            in.toDF(), assignments, cents, cb, base, k = 10,
+            nProbe = 4, refine = 4,
             idCol = "doc_id", watermark = watermark)
           .writeStream.format("noop").start()
         var i = 0L
