@@ -131,8 +131,8 @@ object Recall {
     "q_ann_ivf" -> 0.85,          // measured 0.93
     "q_ann_pq" -> 0.95,           // measured 1.00
     "q_ann_ivfpq" -> 0.90,        // measured 0.93 at nProbe=8/refine=32
-    "q_embed_neardup" -> 0.80,    // measured 0.86
-    "q_incremental_embed" -> 0.78, // measured 0.83
+    "q_embed_neardup" -> 0.90,    // measured 0.98 at nTables=8 (r10: 0.86 at 4)
+    "q_incremental_embed" -> 0.90, // measured 0.97 at nTables=8 (r10: 0.83 at 4)
     "q_minhash_pairs" -> 0.95,    // measured 1.00
     "q_simhash_pairs" -> 0.95)    // measured 1.00 (banding lossless)
 
