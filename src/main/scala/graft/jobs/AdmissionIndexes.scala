@@ -276,6 +276,20 @@ object AdmissionIndexes {
     } else None
   }
 
+  /** The startup sweep: [[recover]] every index table the catalog
+    * shows a dangling `__retired`/`__compacting` copy for — run once
+    * at deployment start (or before a maintenance window) and every
+    * interrupted compaction in the warehouse self-heals in one call.
+    * Returns one action description per recovered table. */
+  def recoverAll(spark: SparkSession): Seq[String] = {
+    val suffixes = Seq("__compacting", "__retired")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => suffixes.exists(n.endsWith))
+      .map(n => suffixes.foldLeft(n)((b, s) => b.stripSuffix(s)))
+      .distinct.toSeq.sorted
+      .flatMap(base => recover(spark, base))
+  }
+
   /** Build EVERY text-derived admission/retrieval index of a curated
     * corpus in ONE job — the day-0 face of the incremental family
     * (admitBatch maintains them per-batch afterwards). The corpus

@@ -192,6 +192,16 @@ class AdmissionIndexesSpec extends SparkSpec {
     assert(AdmissionIndexes.recover(spark, "digest_crash").isEmpty,
       "recover must be a no-op when the live table exists")
 
+    // the startup sweep finds and heals dangling copies catalog-wide
+    spark.sql("ALTER TABLE digest_crash RENAME TO digest_crash__compacting")
+    val healed = AdmissionIndexes.recoverAll(spark)
+    assert(healed.exists(_.contains("digest_crash")), s"got $healed")
+    assert(AdmissionIndexes.load(spark, "digest_crash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    assert(AdmissionIndexes.recoverAll(spark)
+        .forall(!_.contains("digest_crash")),
+      "a healed table must sweep to nothing on the next pass")
+
     // with NO copy at all there is nothing to heal: refuse, never
     // silently recreate an empty index
     spark.sql("DROP TABLE digest_crash")
