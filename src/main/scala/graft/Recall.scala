@@ -87,6 +87,22 @@ object Recall {
         Seq("id_new", "id_corpus"))
     }),
 
+    // SemDeDup survivors vs brute-force closure dedup (nLists=1 over
+    // the FULL table). The recall here is an INVARIANT, not a tuning
+    // number: within-cell merges are a subset of all-pairs merges and
+    // both keep min-id, so every exact survivor must survive the
+    // approx path too — any miss is a plumbing bug. What cell pruning
+    // actually costs is OVER-keeping, visible as approx_rows >
+    // exact_rows in the artifact.
+    "q_semantic_dedup" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = Similarity.semanticDedup(emb, threshold = 0.35,
+        nLists = 1, maxCell = Int.MaxValue)
+      pairRecall(SparkEntry.queries("q_semantic_dedup")(s, d), exact,
+        Seq("id"))
+    }),
+
     // banded minhash pairs vs the exact full-table Jaccard >= 0.3
     // self-join (8x2 banding + bucket caps are what recall prices)
     "q_minhash_pairs" -> ((s: SparkSession, d: String) => {
@@ -134,7 +150,10 @@ object Recall {
     "q_embed_neardup" -> 0.90,    // measured 0.98 at nTables=8 (r10: 0.86 at 4)
     "q_incremental_embed" -> 0.90, // measured 0.97 at nTables=8 (r10: 0.83 at 4)
     "q_minhash_pairs" -> 0.95,    // measured 1.00
-    "q_simhash_pairs" -> 0.95)    // measured 1.00 (banding lossless)
+    "q_simhash_pairs" -> 0.95,    // measured 1.00 (banding lossless)
+    // survivor-subset INVARIANT (see the measure's comment), not a
+    // tuning number — below 0.99 means a plumbing bug, not a knob
+    "q_semantic_dedup" -> 0.99)
 
   /** Run every measure and render the artifact JSON; the second
     * element lists the queries whose recall landed below their

@@ -417,6 +417,34 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space, cosine pairs >= 0.35 WITHIN clusters, CC over
+    // pairs, keep the min-id representative per group. Rows-only
+    // scale path (cell assignment depends on the k-means fit no SQL
+    // oracle can replay); the _exact companion is the driver gate and
+    // Recall measures the survivor agreement per round.
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // auto-sized clusters (ceil(N/256)): cell width stays constant
+      // as the corpus grows, pair volume linear in N
+      Similarity.semanticDedup(emb, threshold = 0.35)
+        .orderBy(col("id"))
+    }),
+
+    // The semantic-dedup machinery under the hard driver gate:
+    // nLists=1 puts the bounded subset in ONE cluster, so the
+    // within-cell pair join is ALL pairs and the result equals
+    // brute-force transitive-closure dedup — survivors AND group
+    // sizes must match DuckDB's recursive-CTE closure exactly.
+    "q_semantic_dedup_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 60)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.semanticDedup(emb, threshold = 0.35, nLists = 1,
+          maxCell = Int.MaxValue)
+        .orderBy(col("id"))
+    }),
+
     // Corpus composition audit: per-(source, lang) document/token/char
     // totals — the mixture table every dataset card publishes, and the
     // input to Mixing weight decisions. One hash aggregate.
@@ -1863,6 +1891,33 @@ object LlmPack extends QueryPack {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force transitive-closure semantic dedup on the bounded
+    // subset: survivors = min-id per component (+ singletons), with
+    // group sizes — the nLists=1 engine path must equal it exactly
+    "q_semantic_dedup_exact" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 60),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |cc AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT cluster AS id, CAST(count(*) AS BIGINT) AS n_members
+        |FROM cc GROUP BY cluster
+        |UNION ALL
+        |SELECT vec_id AS id, CAST(1 AS BIGINT) AS n_members FROM e
+        |WHERE vec_id NOT IN (SELECT id FROM cc)
+        |ORDER BY id""".stripMargin,
     "q_incremental_embed_exact" ->
       """WITH b AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

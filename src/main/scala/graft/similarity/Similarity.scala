@@ -659,4 +659,90 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
+
+  /** Semantic deduplication (public literature: Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space
+    * with the SAME deterministic coarse quantizer the IVF family
+    * fits, form cosine pairs >= `threshold` WITHIN each cluster only
+    * (the paper's own cut — cross-cluster semantic dups are
+    * deliberately out of comparison scope, which is what makes the
+    * pair volume tractable at corpus scale), connect components over
+    * the pairs, and keep ONE representative per group: the minimum
+    * id, matching the component label [[graft.dedup.Dedup
+    * .connectedComponents]] already converges to, so keeper election
+    * is a filter, not another aggregate.
+    *
+    * Output: one row per SURVIVING document — `(id, n_members)`
+    * where n_members counts the semantic group it represents
+    * (1 for documents with no in-cluster dup). Join back to the
+    * corpus on id for the kept rows' payloads.
+    *
+    * Scale shape: every stage is an existing audited kernel —
+    * the bounded driver-local fit ([[coarseCells]]), the row-local
+    * assignment explode ([[ivfAssign]], nAssign=1: SemDeDup
+    * partitions, it does not spill), a within-cell self-join whose
+    * volume is Σ cell² bounded by the `maxCell` guard (cells above
+    * it skip PAIRING and their rows pass through — the maxBucket
+    * posture of the LSH family; size `nLists` ~ N/targetCell at real
+    * scale, or reuse a persisted IVF index's cells), and the
+    * O(log d) star-contraction CC. The exactness regime is
+    * `nLists = 1, maxCell = Int.MaxValue`: one cell makes the
+    * within-cell join ALL pairs, so the result equals brute-force
+    * closure dedup by construction (q_semantic_dedup_exact's
+    * oracle).
+    *
+    * `nLists = -1` (default) AUTO-SIZES the cluster count as
+    * ceil(N / targetCell) — the autoBits discipline: expected cell
+    * width stays ~targetCell as the corpus grows, so within-cell
+    * pair volume is N x targetCell / 2 — LINEAR in N (a fixed
+    * nLists makes cells N/nLists wide and pair volume quadratic,
+    * the exact shape the 100x run caught in the LSH family). The
+    * SemDeDup paper sizes k the same way (clusters ∝ corpus). The
+    * sizing count runs over a lazy checkpoint, so a derived input
+    * executes once. */
+  def semanticDedup(
+      df: DataFrame, // (id, vec)
+      threshold: Double,
+      nLists: Int = -1,
+      seed: Long = 42L,
+      maxCell: Int = 10000,
+      targetCell: Int = 256): DataFrame = {
+    val (src, k) =
+      if (nLists >= 1) (df, nLists)
+      else {
+        val snap = df.localCheckpoint(eager = false)
+        (snap, math.max(1, math.ceil(
+          snap.count().toDouble / targetCell).toInt))
+      }
+    val cents = coarseCells(src, k, seed)
+    val assigned = ivfAssign(src, cents, nAssign = 1)
+      .localCheckpoint(eager = false)
+    // cells above the guard (or trivially of size 1) skip pairing;
+    // their rows survive as singletons
+    val okCells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > 1 && col("csz") <= maxCell)
+      .select(col("cell"))
+    val kept = assigned.join(okCells, Seq("cell"))
+    // vectors ride through the self-join, cosine verifies inside it
+    // (the pipelined shape cosineNearDupPairs measured 9.3x faster
+    // than ids-only + re-join at the 100x corpus)
+    val pairs = kept.alias("l").join(kept.alias("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .filter(cosine(col("l.vec"), col("r.vec")) >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val labels = graft.dedup.Dedup
+      .connectedComponents(pairs, "id_a", "id_b") // (id, cluster=min id)
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumnRenamed("cluster", "id")
+    val reps = labels.filter(col("id") === col("cluster"))
+      .select(col("id"))
+      .join(sizes, Seq("id"))
+    val singletons = src.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("n_members", lit(1L))
+    reps.unionByName(singletons)
+  }
 }

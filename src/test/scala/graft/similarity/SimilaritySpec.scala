@@ -276,4 +276,46 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.hyperplanes(4, 2, 2, seed = 7L)
     assert(a.flatten.flatten == b.flatten.flatten)
   }
+
+  test("semanticDedup: the exact regime (one cell) equals hand-computed " +
+      "closure dedup — min-id reps with group sizes, singletons pass " +
+      "through; the clustered path keeps every exact survivor and " +
+      "accounts for all members") {
+    // two semantic groups linked transitively + two singletons:
+    // {1, 2} direct pair, {10, 11, 12} a chain (10~11, 11~12 but
+    // 10!~12 — closure must still merge all three), 20 and 21 alone
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val docs = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.99, 0.14, 0, 0)),
+      (10L, v(0, 1, 0, 0)), (11L, v(0, 0.95, 0.31, 0)),
+      (12L, v(0, 0.80, 0.60, 0)),
+      (20L, v(0, 0, 0, 1)), (21L, v(-1, 0, 0, 0))).toDF("id", "vec")
+    val exact = Similarity.semanticDedup(docs, threshold = 0.9,
+        nLists = 1, maxCell = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(1L -> 2L, 10L -> 3L, 20L -> 1L, 21L -> 1L),
+      s"got $exact")
+
+    // clustered scale path on real embeddings: survivors must be a
+    // SUPERSET of the exact regime's (within-cell merges are a
+    // subset of all-pairs merges, keeper is min-id in both), and
+    // group sizes must partition the corpus exactly
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = emb.count()
+    val full = Similarity.semanticDedup(emb, threshold = 0.35,
+      nLists = 1, maxCell = Int.MaxValue)
+    val celled = Similarity.semanticDedup(emb, threshold = 0.35,
+      nLists = 8)
+    val fullIds = full.select("id").collect().map(_.getLong(0)).toSet
+    val celledIds = celled.select("id").collect().map(_.getLong(0)).toSet
+    assert(fullIds.subsetOf(celledIds),
+      s"exact survivors missing from the clustered path: " +
+        s"${fullIds -- celledIds}")
+    Seq(full, celled).foreach { s =>
+      val total = s.agg(sum(col("n_members"))).collect()(0).getLong(0)
+      assert(total == n, s"group sizes must partition the corpus: " +
+        s"$total != $n")
+    }
+  }
 }
