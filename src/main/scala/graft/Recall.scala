@@ -155,6 +155,16 @@ object Recall {
     // tuning number — below 0.99 means a plumbing bug, not a knob
     "q_semantic_dedup" -> 0.99)
 
+  /** The floors above are CALIBRATED at this fixture — operating
+    * points are scale-dependent, so enforcing sf0.01 numbers against
+    * some other corpus would fail healthy runs (and quietly under-gate
+    * others). Off-calibration runs still MEASURE and report
+    * `below_floor` in the artifact; only the calibrated fixture makes
+    * it a nonzero exit. */
+  val floorCalibration = "sf0.01"
+  def floorsEnforced(sfDir: String): Boolean =
+    sfDir.contains(floorCalibration)
+
   /** Run every measure and render the artifact JSON; the second
     * element lists the queries whose recall landed below their
     * floor (a measurement FAILURE counts as below-floor — a recall
@@ -197,7 +207,9 @@ object Recall {
     if (belowFloor.nonEmpty) {
       System.err.println(
         s"[recall] BELOW FLOOR: ${belowFloor.mkString(", ")}")
-      sys.exit(1)
+      if (floorsEnforced(sfDir)) sys.exit(1)
+      else System.err.println(s"[recall] floors are calibrated at " +
+        s"$floorCalibration — reported, not enforced, for $sfDir")
     }
   }
 }

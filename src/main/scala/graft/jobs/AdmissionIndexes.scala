@@ -254,7 +254,17 @@ object AdmissionIndexes {
     * name exists again by then — but an operator's manual
     * half-recovery can leave this state) the swap rolls BACK.
     * Returns a description of the action taken, None if none was
-    * needed. */
+    * needed.
+    *
+    * CATALOG-SCOPED by necessity: the swap state lives in the
+    * catalog, and a bucketed table's bucket spec exists ONLY there —
+    * it cannot be reconstructed from the parquet directory. On a
+    * persistent metastore (the production posture) the catalog
+    * survives a JVM crash and recovery is automatic; on this repo's
+    * local in-memory catalog a fresh JVM sees an empty catalog, so
+    * a real mid-swap crash leaves complete copies on DISK that this
+    * sweep cannot re-register — it detects that state and prints a
+    * directed notice instead of the misleading "nothing found". */
   def recover(spark: SparkSession, table: String): Option[String] = {
     requirePlainName(table)
     val side = s"${table}__compacting"
@@ -273,7 +283,27 @@ object AdmissionIndexes {
         s"'$retired' -> '$table'"
       System.err.println(s"[admission-indexes] $msg")
       Some(msg)
-    } else None
+    } else {
+      // the catalog knows nothing — if complete copies sit in a
+      // LOCAL warehouse (post-crash in-memory-catalog state), say so
+      // precisely rather than letting compact refuse with "nothing
+      // to compact" while the data is on disk
+      val whUri = spark.conf.get("spark.sql.warehouse.dir")
+      val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
+      if (isLocal) {
+        val wh = whUri.stripPrefix("file:")
+        val onDisk = Seq(side, retired)
+          .filter(n => new java.io.File(wh, n.toLowerCase).isDirectory)
+        if (onDisk.nonEmpty)
+          System.err.println(s"[admission-indexes] recover('$table'): " +
+            s"the catalog knows none of '$table'/'$side'/'$retired' " +
+            s"but the warehouse holds ${onDisk.mkString(", ")} on " +
+            "disk — an in-memory catalog cannot restore a bucketed " +
+            "table's spec after a JVM crash; use a persistent " +
+            "metastore for automatic recovery, or rebuild the index")
+      }
+      None
+    }
   }
 
   /** The startup sweep: [[recover]] every index table the catalog
@@ -420,17 +450,25 @@ object AdmissionIndexes {
     if (!spark.catalog.tableExists(table)) return None
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // files-per-BUCKET is only meaningful for a bucketed index table;
+    // a non-bucketed table (e.g. a corpus-stats sidecar) has no
+    // bucket to fragment — None, per the contract above
     val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
+    if (nBuckets == 0) return None
     val dir = new java.io.File(new java.net.URI(
       meta.location.toString).getPath)
     if (!dir.isDirectory) return None
     val parts = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
     // bucketed file names carry the bucket id as the `_NNNNN` suffix
-    // of the split name: part-00000-<uuid>_00003.c000.snappy.parquet
+    // of the split name: part-00000-<uuid>_00003.c000.snappy.parquet;
+    // files without the suffix (none in a healthy bucketed table) are
+    // counted in `files` but never grouped into a phantom bucket
     val bucketOf = "_(\\d{5})\\.".r
-    val perBucket = parts.groupBy(f =>
-      bucketOf.findFirstMatchIn(f.getName).map(_.group(1)).getOrElse(""))
+    val perBucket = parts
+      .flatMap(f => bucketOf.findFirstMatchIn(f.getName)
+        .map(m => m.group(1) -> f))
+      .groupBy(_._1)
     Some(Fragmentation(parts.length, nBuckets,
       if (perBucket.isEmpty) 0L else perBucket.values.map(_.length).max,
       parts.map(_.length()).sum))

@@ -43,6 +43,17 @@ object LlmPack extends QueryPack {
     gateBuilds.computeIfAbsent(s"$sfDir|$gate",
       _ => { build; java.lang.Boolean.TRUE })
 
+  /** Per-sfDir suffix for the gate tables' NAMES, so the memoized
+    * build's isolation claim is real: without it, alternating sfDirs
+    * in one JVM would skip the rebuild (the memo key is per-sfDir)
+    * while both dirs share one global table name — the second dir's
+    * probe would silently score the first dir's corpus. 8 hex chars
+    * of md5(sfDir) keeps the name a plain identifier. */
+  private def gateSfx(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
   /** Fixed merge list for q_bpe_encode, trainer-SHAPED by
     * construction: composites (ta+bl, tabl+e, a+st) merge strictly
     * after their constituents and no later merge can create a pair an
@@ -251,17 +262,18 @@ object LlmPack extends QueryPack {
     // against DuckDB every round.
     "q_bm25_from_postings" -> ((s, d) => {
       import graft.jobs.AdmissionIndexes
+      val sfx = gateSfx(d)
       buildGateOnce(d, "postings") {
         val docs = Tables.documents(s, d)
         AdmissionIndexes.savePostingsIndex(
           Search.postings(docs, "doc_id", "text"),
-          "q_gate_postings", buckets = 16)
+          s"q_gate_postings_$sfx", buckets = 16)
         AdmissionIndexes.saveCorpusStats(
-          Search.corpusStats(docs, "text"), "q_gate_postings_stats")
+          Search.corpusStats(docs, "text"), s"q_gate_postings_stats_$sfx")
       }
       Search.bm25FromPostings(
-        AdmissionIndexes.load(s, "q_gate_postings"),
-        AdmissionIndexes.loadCorpusStats(s, "q_gate_postings_stats"),
+        AdmissionIndexes.load(s, s"q_gate_postings_$sfx"),
+        AdmissionIndexes.loadCorpusStats(s, s"q_gate_postings_stats_$sfx"),
         "doc_id", Seq("spark", "window", "merge"), k = 20)
     }),
 
@@ -304,21 +316,22 @@ object LlmPack extends QueryPack {
       import s.implicits._
       import graft.jobs.AdmissionIndexes
       val queries = bm25MultiQueries.toDF("query_id", "term")
+      val sfx = gateSfx(d)
       buildGateOnce(d, "ms") {
         val docs = Tables.documents(s, d)
         val post = Search.postings(docs, "doc_id", "text")
           .localCheckpoint()
         val stats = Search.corpusStats(docs, "text").localCheckpoint()
-        AdmissionIndexes.savePostingsIndex(post, "q_gate_ms_postings",
+        AdmissionIndexes.savePostingsIndex(post, s"q_gate_ms_postings_$sfx",
           buckets = 16)
-        AdmissionIndexes.saveCorpusStats(stats, "q_gate_ms_stats")
+        AdmissionIndexes.saveCorpusStats(stats, s"q_gate_ms_stats_$sfx")
         AdmissionIndexes.saveTermBounds(Search.termBounds(post, stats),
-          "q_gate_ms_bounds", buckets = 16)
+          s"q_gate_ms_bounds_$sfx", buckets = 16)
       }
       Search.bm25BatchMaxScore(
-        AdmissionIndexes.load(s, "q_gate_ms_postings"),
-        AdmissionIndexes.loadCorpusStats(s, "q_gate_ms_stats"),
-        AdmissionIndexes.load(s, "q_gate_ms_bounds"),
+        AdmissionIndexes.load(s, s"q_gate_ms_postings_$sfx"),
+        AdmissionIndexes.loadCorpusStats(s, s"q_gate_ms_stats_$sfx"),
+        AdmissionIndexes.load(s, s"q_gate_ms_bounds_$sfx"),
         queries, "doc_id", k = 10)
     }),
 
@@ -1001,18 +1014,19 @@ object LlmPack extends QueryPack {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val base = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sfx = gateSfx(d)
       buildGateOnce(d, "ivfpq") {
         val (cents, cbDf, assigned) = graft.similarity.Pq.ivfPqIndex(
           base, nLists = 16, m = 16, kCodes = 32)
-        AdmissionIndexes.saveIvfIndex(assigned, "q_gate_ivfpq",
+        AdmissionIndexes.saveIvfIndex(assigned, s"q_gate_ivfpq_$sfx",
           buckets = 16)
-        AdmissionIndexes.saveIvfCentroids(cents, "q_gate_ivfpq_cents")
-        AdmissionIndexes.savePqCodebooks(cbDf, "q_gate_ivfpq_cb")
+        AdmissionIndexes.saveIvfCentroids(cents, s"q_gate_ivfpq_cents_$sfx")
+        AdmissionIndexes.savePqCodebooks(cbDf, s"q_gate_ivfpq_cb_$sfx")
       }
       graft.similarity.Pq.ivfPqTopKFromIndex(queries,
-          AdmissionIndexes.load(s, "q_gate_ivfpq"),
-          AdmissionIndexes.load(s, "q_gate_ivfpq_cents"),
-          AdmissionIndexes.load(s, "q_gate_ivfpq_cb"),
+          AdmissionIndexes.load(s, s"q_gate_ivfpq_$sfx"),
+          AdmissionIndexes.load(s, s"q_gate_ivfpq_cents_$sfx"),
+          AdmissionIndexes.load(s, s"q_gate_ivfpq_cb_$sfx"),
           base, k = 3, nProbe = 16, refine = Int.MaxValue)
         .select(col("qid"), col("rank"), col("id"))
         .orderBy(col("qid"), col("rank"))
@@ -1050,14 +1064,16 @@ object LlmPack extends QueryPack {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val base = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sfx = gateSfx(d)
       buildGateOnce(d, "ivf") {
         val (cents, assigned) = Similarity.ivfIndex(base, nLists = 16)
-        AdmissionIndexes.saveIvfIndex(assigned, "q_gate_ivf", buckets = 16)
-        AdmissionIndexes.saveIvfCentroids(cents, "q_gate_ivf_cents")
+        AdmissionIndexes.saveIvfIndex(assigned, s"q_gate_ivf_$sfx",
+          buckets = 16)
+        AdmissionIndexes.saveIvfCentroids(cents, s"q_gate_ivf_cents_$sfx")
       }
       Similarity.ivfTopKFromIndex(queries,
-          AdmissionIndexes.load(s, "q_gate_ivf"),
-          AdmissionIndexes.load(s, "q_gate_ivf_cents"),
+          AdmissionIndexes.load(s, s"q_gate_ivf_$sfx"),
+          AdmissionIndexes.load(s, s"q_gate_ivf_cents_$sfx"),
           k = 3, nProbe = 16)
         .select(col("qid"), col("rank"), col("id"))
         .orderBy(col("qid"), col("rank"))

@@ -701,6 +701,12 @@ object Similarity {
     * SemDeDup paper sizes k the same way (clusters ∝ corpus). The
     * sizing count runs over a lazy checkpoint, so a derived input
     * executes once. */
+  /** The semanticDedup auto-sizing formula, exposed so measurement
+    * harnesses report the SAME cell count the operator actually uses
+    * rather than re-deriving (and silently diverging from) it. */
+  def autoCells(n: Long, targetCell: Int = 256): Int =
+    math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+
   def semanticDedup(
       df: DataFrame, // (id, vec)
       threshold: Double,
@@ -708,13 +714,11 @@ object Similarity {
       seed: Long = 42L,
       maxCell: Int = 10000,
       targetCell: Int = 256): DataFrame = {
-    val (src, k) =
-      if (nLists >= 1) (df, nLists)
-      else {
-        val snap = df.localCheckpoint(eager = false)
-        (snap, math.max(1, math.ceil(
-          snap.count().toDouble / targetCell).toInt))
-      }
+    // ONE lazy checkpoint for BOTH regimes: the input is referenced
+    // by the fit sample, the assignment pass, and the singletons
+    // anti-join, so an expensive derived lineage must execute once
+    val src = df.localCheckpoint(eager = false)
+    val k = if (nLists >= 1) nLists else autoCells(src.count(), targetCell)
     val cents = coarseCells(src, k, seed)
     val assigned = ivfAssign(src, cents, nAssign = 1)
       .localCheckpoint(eager = false)

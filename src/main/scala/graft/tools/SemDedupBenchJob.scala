@@ -22,7 +22,7 @@ object SemDedupBenchJob {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val n = emb.count()
-    val cells = math.max(1, math.ceil(n.toDouble / 256).toInt)
+    val cells = Similarity.autoCells(n)
     val t0 = System.nanoTime()
     val survivors = Similarity.semanticDedup(emb, threshold).count()
     val wall = (System.nanoTime() - t0) / 1e9
