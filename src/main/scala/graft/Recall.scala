@@ -163,13 +163,15 @@ object Recall {
     * it a nonzero exit. */
   val floorCalibration = "sf0.01"
   def floorsEnforced(sfDir: String): Boolean =
-    sfDir.contains(floorCalibration)
+    new java.io.File(sfDir).getName == floorCalibration
 
   /** Run every measure and render the artifact JSON; the second
     * element lists the queries whose recall landed below their
-    * floor (a measurement FAILURE counts as below-floor — a recall
-    * artifact that can't measure is not a pass). */
-  def measureAll(spark: SparkSession, sfDir: String): (String, Seq[String]) = {
+    * floor, the third the queries whose measurement THREW (recorded
+    * as recall -1 and also below-floor — a recall artifact that
+    * can't measure is not a pass, at any scale). */
+  def measureAll(spark: SparkSession, sfDir: String)
+      : (String, Seq[String], Seq[String]) = {
     val measured = measures.map { case (name, fn) =>
       val (rec, a, e) =
         try fn(spark, sfDir)
@@ -184,6 +186,8 @@ object Recall {
     }
     val belowFloor = measured.collect {
       case (name, rec, _, _) if rec < floors.getOrElse(name, 0.0) => name }
+    val crashed = measured.collect {
+      case (name, rec, _, _) if rec < 0 => name }
     val rows = measured.map { case (name, rec, a, e) =>
       s""""$name":{"recall":${f"$rec%.4f"},"approx_rows":$a,"exact_rows":$e,""" +
         s""""floor":${f"${floors.getOrElse(name, 0.0)}%.2f"}}"""
@@ -193,17 +197,25 @@ object Recall {
     val belowS = belowFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = (rows ++ skippedS ++ Seq(s""""below_floor":$belowS"""))
       .mkString(s"""{"sf":"$sfDir",""", ",", "}")
-    (json, belowFloor)
+    (json, belowFloor, crashed)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length >= 2) args(1) else "RECALL.json"
     val spark = Sessions.local("graft-recall")
-    val (json, belowFloor) = measureAll(spark, sfDir)
+    val (json, belowFloor, crashed) = measureAll(spark, sfDir)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
     spark.stop()
+    // a measure that THREW (recorded recall -1) is a bug at any
+    // scale — always a nonzero exit; a sub-floor recall is only
+    // enforceable at the floors' calibration fixture
+    if (crashed.nonEmpty) {
+      System.err.println(
+        s"[recall] MEASUREMENT FAILED: ${crashed.mkString(", ")}")
+      sys.exit(1)
+    }
     if (belowFloor.nonEmpty) {
       System.err.println(
         s"[recall] BELOW FLOOR: ${belowFloor.mkString(", ")}")

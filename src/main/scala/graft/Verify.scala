@@ -95,7 +95,7 @@ object Verify {
     // to fail the dump run itself.
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_RECALL", "1") != "0")
       try {
-        val (json, belowFloor) = Recall.measureAll(spark, sfDir)
+        val (json, belowFloor, _) = Recall.measureAll(spark, sfDir)
         Files.writeString(Paths.get(s"$outDir/recall.json"), json + "\n")
         Files.writeString(Paths.get("RECALL.json"), json + "\n")
         System.err.println(s"[verify] recall artifact written: $json")

@@ -292,7 +292,10 @@ object AdmissionIndexes {
       val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
       if (isLocal) {
         val wh = whUri.stripPrefix("file:")
-        val onDisk = Seq(side, retired)
+        // include the LIVE dir: a crash anywhere outside the swap
+        // window leaves it on disk with the catalog empty — the most
+        // common post-crash state, equally unrecoverable here
+        val onDisk = Seq(table, side, retired)
           .filter(n => new java.io.File(wh, n.toLowerCase).isDirectory)
         if (onDisk.nonEmpty)
           System.err.println(s"[admission-indexes] recover('$table'): " +

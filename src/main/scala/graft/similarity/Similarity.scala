@@ -660,6 +660,12 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** The semanticDedup auto-sizing formula, exposed so measurement
+    * harnesses report the SAME cell count the operator actually uses
+    * rather than re-deriving (and silently diverging from) it. */
+  def autoCells(n: Long, targetCell: Int = 256): Int =
+    math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+
   /** Semantic deduplication (public literature: Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): cluster the embedding space
@@ -701,12 +707,6 @@ object Similarity {
     * SemDeDup paper sizes k the same way (clusters ∝ corpus). The
     * sizing count runs over a lazy checkpoint, so a derived input
     * executes once. */
-  /** The semanticDedup auto-sizing formula, exposed so measurement
-    * harnesses report the SAME cell count the operator actually uses
-    * rather than re-deriving (and silently diverging from) it. */
-  def autoCells(n: Long, targetCell: Int = 256): Int =
-    math.max(1, math.ceil(n.toDouble / targetCell).toInt)
-
   def semanticDedup(
       df: DataFrame, // (id, vec)
       threshold: Double,
