@@ -649,6 +649,22 @@ object Dedup {
       .select(col("id"), col("bk.band"), col("bk.bh"))
   }
 
+  /** The ONE hot-bucket skew policy of every bucketed candidate
+    * probe: drop `keyCols` groups holding more than `maxBucket` rows
+    * before any self/probe join — a bucket that big is duplicated
+    * boilerplate the exact-digest path owns, and pairing inside it
+    * would be the n² stage the cap exists to prevent. Shared by the
+    * batch incremental probe and both streaming admission faces so
+    * the policy has one definition, not three drifting copies. */
+  def capBuckets(index: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val ok = index.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(keyCols.map(col): _*)
+    index.join(ok, keyCols)
+  }
+
   /** (id, band, bh) LSH bucket keys for a corpus — the PERSISTED side
     * of incremental near-dup: write this once (at scale, bucketed by
     * (band, bh)), then each new batch joins its own band rows against
@@ -772,11 +788,7 @@ object Dedup {
       maxBucket: Int = 5000): DataFrame = {
     val batchDocs = shingled(batch, idCol, textCol, shingleN)
     val batchBands = bandRowsFromShingles(batchDocs, bands, rowsPerBand)
-    val okBuckets = corpusIndex.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bh"))
-    val keptIndex = corpusIndex.join(okBuckets, Seq("band", "bh"))
+    val keptIndex = capBuckets(corpusIndex, Seq("band", "bh"), maxBucket)
     val cand = batchBands.alias("b")
       .join(keptIndex.alias("i"),
         col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))

@@ -58,13 +58,22 @@ object EventStream {
       watermark: String = "1 hour",
       streamKey: String = "user_id",
       tsCol: String = "ts",
-      windowLen: String = "30 minutes"): DataFrame =
+      windowLen: String = "30 minutes"): DataFrame = {
+    // project the dim to RESERVED names before the join: a dim keyed
+    // or attributed with a name the stream also carries (the natural
+    // case — a users dim keyed 'user_id' under streamKey 'user_id')
+    // would otherwise make the bare column references AMBIGUOUS and
+    // fail at plan time
+    val d = dim.select(col(dimKey).as("__dim_key"),
+      col(dimAttr).as("__dim_attr"))
     events
       .withWatermark(tsCol, watermark)
-      .join(broadcast(dim), col(streamKey) === col(dimKey))
-      .groupBy(window(col(tsCol), windowLen), col(dimAttr))
+      .join(broadcast(d), col(streamKey) === col("__dim_key"))
+      .groupBy(window(col(tsCol), windowLen), col("__dim_attr"))
       .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("wstart"), col(dimAttr), col("n"))
+      .select(col("window.start").as("wstart"),
+        col("__dim_attr").as(dimAttr), col("n"))
+  }
 
   /** Stateful exact dedupe on a key column: first occurrence passes,
     * repeats are dropped — flatMapGroupsWithState with a per-key seen
@@ -272,10 +281,17 @@ object EventStream {
       tsCol: String = "ts",
       shingleN: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.3,
       watermark: String = "10 minutes",
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000,
+      windowLen: Option[String] = None): DataFrame = {
+    // rowsPerBand DEFAULT matches Dedup.minhashBandRows (4): the two
+    // faces share one index, so defaults that disagree would make a
+    // default-built index and a default stream hash band keys from
+    // different-width signature slices — structurally disjoint keys,
+    // every near-dup silently admitted. Parity is per-parameter, and
+    // the defaults must embody it.
     import graft.dedup.Dedup
     val nH = bands * rowsPerBand
     // row-local minhash signature + THE shared band-hash composition
@@ -288,44 +304,62 @@ object EventStream {
     // re-evaluation discipline (Dedup.shingled).
     val sh = array_distinct(
       Dedup.shingles(split(trim(col(textCol)), "\\s+"), shingleN))
+    // null-text docs are FILTERED like every sibling face: the batch
+    // index build (minhashSignatures' explode) drops them, so
+    // admitting them here would break batch/stream parity — and their
+    // band keys would all be the hash of an empty signature slice
+    // (one degenerate shared bucket).
+    //
+    // The document text rides ONE carrier row per document (a
+    // synthetic band = -1 whose null bh can never match the index),
+    // not the bands x candidates fan-out — carrying it on every
+    // candidate row would shuffle the full text once per candidate
+    // (the strip face's one-carrier-row discipline). The shingle set
+    // must ride every band row (each candidate's jaccard needs it);
+    // that cost is intrinsic to the verify.
+    val carrier = struct(lit(-1).as("band"), lit(null).cast("long").as("bh"))
     val keyed = docs
+      .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), col(textCol), sh.as("__sh"))
       .select(col(idCol), col(tsCol), col(textCol), col("__sh"),
-        explode(Dedup.bandKeys(
-          Dedup.minhashSignature(col("__sh"), nH), bands, rowsPerBand))
-          .as("bk"))
-      .select(col(idCol), col(tsCol), col(textCol), col("__sh"),
+        explode(concat(
+          Dedup.bandKeys(Dedup.minhashSignature(col("__sh"), nH),
+            bands, rowsPerBand),
+          array(carrier))).as("bk"))
+      .select(col(idCol), col(tsCol),
+        when(col("bk.band") === -1, col(textCol)).as("__txt"),
+        when(col("bk.band") =!= -1, col("__sh")).as("__sh"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
 
     // Static sides are re-planned by every micro-batch; materialize
-    // them ONCE (localCheckpoint) so each batch probes precomputed
-    // blocks instead of re-aggregating the full corpus index and
-    // re-shingling the corpus per trigger. At real scale, persist
-    // these to storage between runs (they are the admission index).
-    val index = {
-      val okBuckets = corpusBands.groupBy(col("band"), col("bh"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket)
-        .select(col("band"), col("bh"))
-      corpusBands.join(okBuckets, Seq("band", "bh"))
-        .select(col("band"), col("bh"), col("id").as("__cid"))
-        .localCheckpoint()
-    }
+    // them ONCE. persist (not localCheckpoint): cached blocks are
+    // rebuilt from lineage if an executor dies mid-run, where a
+    // lost local-checkpoint block would kill the long-running query.
+    // At real scale, persist these to storage between runs (they are
+    // the admission index).
+    val index = Dedup.capBuckets(corpusBands, Seq("band", "bh"), maxBucket)
+      .select(col("band"), col("bh"), col("id").as("__cid"))
+      .persist()
     val corpusSh = corpus.select(col(idCol).as("__cid"),
         array_distinct(Dedup.shingles(
           split(trim(col(textCol)), "\\s+"), shingleN)).as("__csh"))
-      .localCheckpoint()
+      .persist()
 
     keyed
       .join(index, Seq("band", "bh"), "left")
       .join(corpusSh, Seq("__cid"), "left")
       .withColumn("__j",
-        when(col("__csh").isNull, lit(0.0))
+        when(col("__csh").isNull || col("__sh").isNull, lit(0.0))
           .otherwise(Dedup.jaccard(col("__sh"), col("__csh"))))
-      .groupBy(window(col(tsCol), watermark), col(idCol))
+      // the verdict fold's tumbling-window width is its own knob
+      // (`windowLen`, defaulting to the watermark): emission latency
+      // vs state-key count, unrelated to lateness tolerance
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
       .agg(max(col("__j")).as("best_jaccard"),
-        first(col(tsCol)).as(tsCol), first(col(textCol)).as(textCol))
+        first(col(tsCol)).as(tsCol),
+        first(col("__txt"), ignoreNulls = true).as(textCol))
       .filter(col("best_jaccard") < threshold)
       .select(col(idCol), col(tsCol), col(textCol), col("best_jaccard"))
   }
@@ -373,7 +407,8 @@ object EventStream {
       tsCol: String = "ts",
       simThreshold: Double = 0.9,
       watermark: String = "10 minutes",
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000,
+      windowLen: Option[String] = None): DataFrame = {
     import graft.similarity.Similarity
     // null-vector docs are DROPPED up front, mirroring the batch
     // kernels: a null vec would otherwise code to bucket 0 and then
@@ -390,28 +425,32 @@ object EventStream {
         col("bk.tbl").as("tbl"), col("bk.code").as("code"))
 
     // static sides materialized ONCE (each micro-batch re-plans them
-    // otherwise); at real scale these ARE the persisted admission
-    // index, loaded rather than built
-    val index = {
-      val okBuckets = corpusCodes.groupBy(col("tbl"), col("code"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket)
-        .select(col("tbl"), col("code"))
-      corpusCodes.join(okBuckets, Seq("tbl", "code"))
-        .select(col("tbl"), col("code"), col("id").as("__cid"))
-        .localCheckpoint()
-    }
+    // otherwise); persist, not localCheckpoint — cached blocks
+    // rebuild from lineage on executor loss instead of killing the
+    // query. At real scale these ARE the persisted admission index,
+    // loaded rather than built
+    val index = graft.dedup.Dedup
+      .capBuckets(corpusCodes, Seq("tbl", "code"), maxBucket)
+      .select(col("tbl"), col("code"), col("id").as("__cid"))
+      .persist()
     val cVecs = corpusVecs
       .select(col("id").as("__cid"), col("vec").as("__cv"))
-      .localCheckpoint()
+      .persist()
 
     keyed
       .join(index, Seq("tbl", "code"), "left")
       .join(cVecs, Seq("__cid"), "left")
+      // nanvl: a zero-norm corpus vector yields cosine 0/0 = NaN,
+      // which Spark sorts ABOVE every real score — an unguarded NaN
+      // would flip the verdict to "near-dup" on garbage; 0.0
+      // (orthogonal) is the honest score for a vector with no
+      // direction
       .withColumn("__cos",
         when(col("__cv").isNull, lit(0.0))
-          .otherwise(graft.similarity.Similarity.cosine(col(vecCol), col("__cv"))))
-      .groupBy(window(col(tsCol), watermark), col(idCol))
+          .otherwise(nanvl(graft.similarity.Similarity.cosine(
+            col(vecCol), col("__cv")), lit(0.0))))
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
       .agg(max(col("__cos")).as("best_cos"),
         first(col(tsCol)).as(tsCol), first(col(vecCol)).as(vecCol))
       .filter(col("best_cos") < simThreshold)
@@ -462,7 +501,8 @@ object EventStream {
       idCol: String = "query_id",
       vecCol: String = "vec",
       tsCol: String = "ts",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      windowLen: Option[String] = None): DataFrame = {
     import graft.similarity.Similarity
     require(k > 0, "streamingIvfTopK needs k > 0")
     val probed = queries
@@ -472,15 +512,21 @@ object EventStream {
         explode(Similarity.probeCells(centroids, col(vecCol), nProbe))
           .as("cell"))
     // static side materialized once (each micro-batch re-plans it
-    // otherwise); at real scale this IS the persisted cell-bucketed
+    // otherwise); persist, not localCheckpoint — cached blocks
+    // rebuild from lineage on executor loss instead of killing the
+    // query. At real scale this IS the persisted cell-bucketed
     // index, loaded rather than built
     val idx = assignments
       .select(col("cell"), col("id").as("__nid"), col("vec").as("__nv"))
-      .localCheckpoint()
+      .persist()
     probed
       .join(idx, Seq("cell"))
-      .withColumn("__score", Similarity.cosine(col(vecCol), col("__nv")))
-      .groupBy(window(col(tsCol), watermark), col(idCol))
+      // nanvl: a zero-norm vector's cosine is NaN, which would sort
+      // ABOVE every real score in the top-k fold; 0.0 ranks it last
+      .withColumn("__score",
+        nanvl(Similarity.cosine(col(vecCol), col("__nv")), lit(0.0)))
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
       .agg(first(col(tsCol)).as(tsCol),
         slice(sort_array(collect_set(struct(
             col("__score").as("s"),
@@ -539,7 +585,8 @@ object EventStream {
       idCol: String = "query_id",
       vecCol: String = "vec",
       tsCol: String = "ts",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      windowLen: Option[String] = None): DataFrame = {
     import graft.similarity.{Pq, Similarity}
     require(k > 0, "streamingIvfPqTopK needs k > 0")
     require(refine > 0 && refine < Int.MaxValue / math.max(k, 1),
@@ -554,18 +601,21 @@ object EventStream {
           .as("cell"))
       .filter(col("__qtab").isNotNull)
     // static sides materialized once (each micro-batch re-plans them
-    // otherwise); at real scale these ARE the persisted cell-bucketed
+    // otherwise); persist, not localCheckpoint — cached blocks
+    // rebuild from lineage on executor loss instead of killing the
+    // query. At real scale these ARE the persisted cell-bucketed
     // codes table and the corpus vector table, loaded not built
     val idx = assignments
       .select(col("cell"), col("id").as("__nid"), col("codes"))
-      .localCheckpoint()
+      .persist()
     val corpus = baseVecs
       .select(col("id").as("__nid"), col("vec").as("__nv"))
-      .localCheckpoint()
+      .persist()
+    val fold = windowLen.getOrElse(watermark)
     val adcFold = probed
       .join(idx, Seq("cell"))
       .withColumn("__adc", Pq.adc(col("codes"), col("__qtab"), codebooks))
-      .groupBy(window(col(tsCol), watermark), col(idCol))
+      .groupBy(window(col(tsCol), fold), col(idCol))
       .agg(first(col(tsCol)).as(tsCol), first(col(vecCol)).as(vecCol),
         slice(sort_array(collect_set(struct(
             col("__adc").as("s"),
@@ -576,8 +626,10 @@ object EventStream {
       .select(col("window"), col(idCol), col(tsCol), col(vecCol),
         explode(col("__cand")).as("__c"))
       .join(corpus, col("__c.id") === col("__nid"))
-      .withColumn("__score", Similarity.cosine(col(vecCol), col("__nv")))
-      .groupBy(window(col("window"), watermark), col(idCol))
+      // nanvl: NaN (zero-norm vector) must rank last, never first
+      .withColumn("__score",
+        nanvl(Similarity.cosine(col(vecCol), col("__nv")), lit(0.0)))
+      .groupBy(window(col("window"), fold), col(idCol))
       .agg(first(col(tsCol)).as(tsCol),
         slice(sort_array(collect_set(struct(
             col("__score").as("s"),
@@ -629,7 +681,8 @@ object EventStream {
       textCol: String = "text",
       tsCol: String = "ts",
       docCol: String = "doc_id",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      windowLen: Option[String] = None): DataFrame = {
     import graft.text.Search
     require(k > 0, "streamingBm25TopK needs k > 0")
     require(idCol != docCol,
@@ -639,7 +692,8 @@ object EventStream {
     // scale this derivation is itself persisted next to the index
     val scored = Search.termScores(post, stats, k1, b)
       .select(col("term"), col("id").as("__did"), col("tscore"))
-      .localCheckpoint()
+      .persist()
+    val fold = windowLen.getOrElse(watermark)
     val qterms = queries
       .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
@@ -647,11 +701,11 @@ object EventStream {
         explode(array_distinct(Search.terms(col(textCol)))).as("term"))
     val perDoc = qterms
       .join(scored, Seq("term"))
-      .groupBy(window(col(tsCol), watermark), col(idCol), col("__did"))
+      .groupBy(window(col(tsCol), fold), col(idCol), col("__did"))
       .agg(sum(col("tscore")).cast("double").as("__score"),
         count(lit(1)).as("__hits"), first(col(tsCol)).as(tsCol))
     perDoc
-      .groupBy(window(col("window"), watermark), col(idCol))
+      .groupBy(window(col("window"), fold), col(idCol))
       .agg(first(col(tsCol)).as(tsCol),
         slice(sort_array(collect_list(struct(
             col("__score").as("s"),
@@ -712,7 +766,7 @@ object EventStream {
     // loaded rather than built
     val index = indexWindows
       .select(col("wh"), lit(true).as("__hit"))
-      .localCheckpoint()
+      .persist()
     // explode_outer: sub-winLen docs contribute one null window row,
     // so they still reach the verdict aggregate and emit whole. The
     // document text rides ONE row per document (window 0, or the

@@ -187,11 +187,17 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(reliable == local)
       // prove the reliable path actually engaged: round state landed
-      // in the configured directory
+      // in the configured directory. >= 1, not a per-round count —
+      // Sessions sets cleanCheckpoints=true, so the ContextCleaner
+      // deletes a round's rdd-* dir as soon as GC collects that
+      // round's RDD reference; how many survive to this walk is a
+      // GC race (observed both 1 and several on identical code).
+      // One rdd-* dir is already proof the reliable mode ran: the
+      // local-checkpoint path never writes here at all.
       import scala.jdk.CollectionConverters._
       val landed = java.nio.file.Files.walk(dir).iterator().asScala
         .count(p => p.getFileName.toString.startsWith("rdd-"))
-      assert(landed > 1, "expected per-round rdd checkpoints on disk")
+      assert(landed >= 1, "expected reliable rdd checkpoints on disk")
     } finally f.set(sc, prev) // suites share one context — restore
   }
 

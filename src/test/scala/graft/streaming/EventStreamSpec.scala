@@ -277,7 +277,8 @@ class EventStreamSpec extends SparkSpec {
     in.addData(
       Doc(10L, ts("2024-01-01 00:00:00"), near(tA)), // corpus near-dup
       Doc(11L, ts("2024-01-01 00:01:00"), tC),       // novel -> admitted
-      Doc(12L, ts("2024-01-01 00:02:00"), tB))       // corpus exact dup
+      Doc(12L, ts("2024-01-01 00:02:00"), tB),       // corpus exact dup
+      Doc(13L, ts("2024-01-01 00:02:30"), null))     // null text dropped
     q.processAllAvailable()
     // verdicts are watermark-gated: advance event time past the
     // window end + watermark so the first window's verdicts emit
