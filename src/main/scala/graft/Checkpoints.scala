@@ -16,11 +16,13 @@ import org.apache.spark.sql.DataFrame
   * them. Opting in is one session-level call, not a code edit — the
   * kernels detect the dir and switch.
   *
-  * Only the EAGER per-round checkpoints route through here. The lazy
-  * (`eager = false`) localCheckpoints the kernels also use are
-  * single-job plan-dedup artifacts (two consumers of one derived
-  * frame inside one action); they don't carry state ACROSS rounds,
-  * so executor loss merely recomputes them. */
+  * EAGER per-round checkpoints route through [[iter]]; lazy
+  * plan-dedup frames that outlive one action (the kernels' input
+  * snapshots and returned label frames) route through
+  * [[lazyCheckpoint]] so the reliable mode covers them too — a
+  * materialized lazy localCheckpoint has truncated lineage and is
+  * NOT recomputable after executor loss. Only genuinely
+  * single-action plan-dedup frames keep plain localCheckpoint. */
 object Checkpoints {
 
   /** Eager checkpoint of one round's iteration state: reliable when
@@ -48,4 +50,20 @@ object Checkpoints {
       persisted.unpersist(blocking = false)
       out
     } else df.localCheckpoint(eager = true)
+
+  /** Lazy plan-dedup checkpoint for frames REFERENCED ACROSS rounds
+    * or returned to the caller (connectedComponents' input snapshot
+    * and result labels): reliable when a checkpoint dir is set,
+    * local otherwise. The distinction matters because a lazy
+    * localCheckpoint is only recompute-safe UNTIL materialized —
+    * once round 0 materializes it, its lineage is truncated and the
+    * blocks live solely in executor storage, so an executor lost at
+    * round 30 of an hours-long reliable run would kill the query
+    * through this one frame even though every round frame went to
+    * the reliable dir. Genuinely single-action plan-dedup frames
+    * (both consumers inside one job) can keep plain localCheckpoint. */
+  def lazyCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

@@ -19,12 +19,20 @@ object Dedup {
 
   /** Exact dedupe by content digest: keeps the row with the smallest
     * `idCol` per normalized-text hash (deterministic, unlike
-    * dropDuplicates). D1/D2-style but content-addressed. */
+    * dropDuplicates). D1/D2-style but content-addressed.
+    *
+    * Null-text rows PASS THROUGH untouched: md5(null) is null, and a
+    * window partition groups all null digests together — without the
+    * guard, every null-text row but one would be silently deleted as
+    * a "duplicate" of rows whose content is not equal to anything.
+    * Null text is an upstream-extraction question for the quality
+    * gate, never this operator's to answer by data loss. */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = contentDigestOf(col(textCol))
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
     df.withColumn("__h", h)
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn",
+        when(col("__h").isNull, lit(1)).otherwise(row_number().over(w)))
       .filter(col("__rn") === 1)
       .drop("__h", "__rn")
   }
@@ -58,8 +66,12 @@ object Dedup {
     val digested = batch.withColumn("__h", contentDigestOf(col(textCol)))
     val fresh = digested.join(
       indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
+    // null digests (null text) pass through like exactByContent —
+    // they survive the anti-join (null never equals) and must not
+    // collapse into one row in the keeper window
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    fresh.withColumn("__rn", row_number().over(w))
+    fresh.withColumn("__rn",
+        when(col("__h").isNull, lit(1)).otherwise(row_number().over(w)))
       .filter(col("__rn") === 1)
       .drop("__h", "__rn")
   }
@@ -157,9 +169,20 @@ object Dedup {
     // checkpoint below, then the singleton anti-join reads the same
     // blocks. It also pins ONE snapshot: a nondeterministic input
     // can't hand `nodes` a different edge set than `edges` froze.
-    val raw = pairs.select(col(idA).cast("long").as("src"),
-      col(idB).cast("long").as("dst"))
-      .localCheckpoint(eager = false)
+    // null id VALUES are refused at execution time (rides the first
+    // pass, no extra job): the type guard above cannot see them, and
+    // a null id would silently vanish in the self-loop filter — the
+    // partner becomes a singleton and clusters split, exactly the
+    // lossy-reload failure the guard exists to prevent
+    def nonNullId(c: Column, name: String) =
+      when(c.isNull, raise_error(lit(
+        s"connectedComponents: null id in '$name' — null ids would " +
+          "silently split clusters; filter or repair the pair input")))
+        .otherwise(c)
+    val raw = graft.Checkpoints.lazyCheckpoint(
+      pairs.select(
+        nonNullId(col(idA).cast("long"), idA).as("src"),
+        nonNullId(col(idB).cast("long"), idB).as("dst")))
     // every input id must appear in the output, including nodes whose
     // only pair is a self-pair (no proper edge survives orientation)
     val nodes = raw.select(col("src").as("id"))
@@ -250,7 +273,7 @@ object Dedup {
     // frame more than once (members + keepers), and without this each
     // reference would re-run the label aggregation and singleton
     // anti-join
-    (labels.union(singletons).localCheckpoint(eager = false), iter)
+    (graft.Checkpoints.lazyCheckpoint(labels.union(singletons)), iter)
   }
 
   /** Incremental connected components — the clustering face of the
@@ -402,12 +425,22 @@ object Dedup {
     * never drift between a stored index and a probe. Window ordinal
     * i covers tokens [i*stride+1, i*stride+winLen] (1-based slice);
     * only complete windows are emitted. */
+  /** Complete-window count of a token array — THE one definition
+    * both the detector ([[windowArr]], which numbers the ordinals)
+    * and the rebuilder ([[rebuiltText]], which slices kept ordinals
+    * and the tail) compute from. Sharing it is what keeps verdict
+    * ordinals and rebuild spans structurally aligned: if the
+    * emission rule changes, both faces move together or neither
+    * compiles. */
+  private def nWinsOf(toks: Column, winLen: Int, stride: Int): Column =
+    greatest(
+      floor((size(toks) - winLen).cast("double") / stride).cast("int") + 1,
+      lit(0))
+
   private[graft] def windowArr(
       toks: Column, winLen: Int, stride: Int): Column = {
     require(winLen > 0 && stride > 0, "winLen and stride must be > 0")
-    val nWins = greatest(
-      floor((size(toks) - winLen).cast("double") / stride).cast("int") + 1,
-      lit(0))
+    val nWins = nWinsOf(toks, winLen, stride)
     // sequence(0, n-1) DESCENDS when n = 0 — guard with an empty array
     // so too-short documents contribute no windows
     when(nWins > 0,
@@ -500,9 +533,8 @@ object Dedup {
     * an absent verdict to an empty array). */
   private[graft] def rebuiltText(
       toks: Column, dropArr: Column, winLen: Int): Column = {
-    val nWins = greatest(
-      floor((size(toks) - winLen).cast("double") / winLen).cast("int") + 1,
-      lit(0))
+    // stride = winLen: the strip faces cut NON-OVERLAPPING windows
+    val nWins = nWinsOf(toks, winLen, stride = winLen)
     val keptIdx = when(nWins > 0,
       filter(sequence(lit(0), nWins - 1),
         i => !array_contains(dropArr, i)))
@@ -657,10 +689,10 @@ object Dedup {
     * batch incremental probe and both streaming admission faces so
     * the policy has one definition, not three drifting copies. */
   def capBuckets(index: DataFrame, keyCols: Seq[String],
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, minBucket: Int = 1): DataFrame = {
     val ok = index.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
+      .filter(col("bsz") <= maxBucket && col("bsz") >= minBucket)
       .select(keyCols.map(col): _*)
     index.join(ok, keyCols)
   }
@@ -719,10 +751,8 @@ object Dedup {
     // boilerplate) are capped — exact-dup and smaller bands cover
     // those, and at 100 TB an uncapped hot bucket is THE failure mode
     // of LSH joins.
-    val bucketSizes = bandRows.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val banded = bandRows.join(bucketSizes, Seq("band", "bh"))
+    val banded = capBuckets(bandRows, Seq("band", "bh"), maxBucket,
+        minBucket = 2) // size-1 buckets cannot form a pair
       .select(col("id"), col("band"), col("bh"))
     val cand = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -939,10 +969,8 @@ object Dedup {
           shiftright(col("code"), lo).bitwiseAND(lit(mask)).as("sb"))
       }: _*)).as("bk"))
       .select(col("id"), col("code"), col("bk.seg"), col("bk.sb"))
-    val bucketSizes = banded.groupBy(col("seg"), col("sb"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val kept = banded.join(bucketSizes.select("seg", "sb"), Seq("seg", "sb"))
+    val kept = capBuckets(banded, Seq("seg", "sb"), maxBucket,
+      minBucket = 2) // size-1 buckets cannot form a pair
     val cand = kept.alias("l").join(kept.alias("r"),
         col("l.seg") === col("r.seg") && col("l.sb") === col("r.sb") &&
           col("l.id") < col("r.id"))

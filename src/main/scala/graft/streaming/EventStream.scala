@@ -302,8 +302,10 @@ object EventStream {
     // per doc and carried (bands x per band row), never re-derived
     // per candidate row in the verify — the batch path's
     // re-evaluation discipline (Dedup.shingled).
-    val sh = array_distinct(
-      Dedup.shingles(split(trim(col(textCol)), "\\s+"), shingleN))
+    // token array MATERIALIZED in its own projection before the
+    // shingle lambda references it (Dedup.shingled's discipline): an
+    // inlined split() re-tokenizes once per shingle inside the
+    // interpreted transform lambda — O(tokens x shingles) per doc
     // null-text docs are FILTERED like every sibling face: the batch
     // index build (minhashSignatures' explode) drops them, so
     // admitting them here would break batch/stream parity — and their
@@ -321,7 +323,10 @@ object EventStream {
     val keyed = docs
       .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
-      .select(col(idCol), col(tsCol), col(textCol), sh.as("__sh"))
+      .select(col(idCol), col(tsCol), col(textCol),
+        Dedup.tokensOf(col(textCol)).as("__t"))
+      .select(col(idCol), col(tsCol), col(textCol),
+        array_distinct(Dedup.shingles(col("__t"), shingleN)).as("__sh"))
       .select(col(idCol), col(tsCol), col(textCol), col("__sh"),
         explode(concat(
           Dedup.bandKeys(Dedup.minhashSignature(col("__sh"), nH),
@@ -341,9 +346,11 @@ object EventStream {
     val index = Dedup.capBuckets(corpusBands, Seq("band", "bh"), maxBucket)
       .select(col("band"), col("bh"), col("id").as("__cid"))
       .persist()
-    val corpusSh = corpus.select(col(idCol).as("__cid"),
-        array_distinct(Dedup.shingles(
-          split(trim(col(textCol)), "\\s+"), shingleN)).as("__csh"))
+    val corpusSh = corpus
+      .select(col(idCol).as("__cid"),
+        Dedup.tokensOf(col(textCol)).as("__t"))
+      .select(col("__cid"),
+        array_distinct(Dedup.shingles(col("__t"), shingleN)).as("__csh"))
       .persist()
 
     keyed

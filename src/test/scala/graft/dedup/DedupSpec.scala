@@ -17,6 +17,36 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("null-text rows pass through BOTH exact-dedup faces untouched: " +
+      "null digests must never collapse into one keeper (that would " +
+      "silently delete non-duplicate rows)") {
+    val df = Seq((1L, "same doc"), (2L, "same doc"),
+      (3L, null), (4L, null), (5L, null)).toDF("id", "text")
+    val out = Dedup.exactByContent(df, "id", "text")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L, 4L, 5L),
+      s"every null-text row must survive, got $out")
+
+    val idx = Dedup.contentDigests(Seq((0L, "same doc")).toDF("id", "text"),
+      "id", "text")
+    val inc = Dedup.incrementalExactDedup(idx,
+        df, "id", "text")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(inc == Seq(3L, 4L, 5L),
+      s"index hit dropped, null-text rows all kept, got $inc")
+  }
+
+  test("connectedComponents refuses null id VALUES loudly instead of " +
+      "silently splitting clusters") {
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null id"),
+      s"expected the null-id refusal, got: ${e.getMessage}")
+  }
+
   test("shingles builds word n-grams; short docs collapse to one shingle") {
     val toks = split(lit("a b c d"), " ")
     val sh = Seq(1).toDF("x").select(Dedup.shingles(toks, 2).as("sh"))
@@ -183,7 +213,12 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("cc_reliable")
     try {
       sc.setCheckpointDir(dir.toString)
-      val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // hold the labels FRAME itself across the directory walk: its
+      // plan references the final round's checkpointed RDD, so the
+      // ContextCleaner cannot reclaim that round's rdd-* dir while
+      // this local is reachable — the walk below is race-free
+      val reliableDf = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val reliable = reliableDf
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(reliable == local)
       // prove the reliable path actually engaged: round state landed
