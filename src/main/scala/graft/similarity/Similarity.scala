@@ -690,8 +690,11 @@ object Similarity {
     * partitions, it does not spill), a within-cell self-join whose
     * volume is Σ cell² bounded by the `maxCell` guard (cells above
     * it skip PAIRING and their rows pass through — the maxBucket
-    * posture of the LSH family; size `nLists` ~ N/targetCell at real
-    * scale, or reuse a persisted IVF index's cells), and the
+    * posture of the LSH family, with the skip LOGGED and the cells
+    * reportable via [[oversizedSemanticCells]]; size `nLists` ~
+    * N/targetCell at real scale, or run
+    * [[semanticDedupFromAssignments]] off a persisted IVF index's
+    * cells — the fit-once/assign-forever face), and the
     * O(log d) star-contraction CC. The exactness regime is
     * `nLists = 1, maxCell = Int.MaxValue`: one cell makes the
     * within-cell join ALL pairs, so the result equals brute-force
@@ -716,16 +719,113 @@ object Similarity {
       targetCell: Int = 256): DataFrame = {
     // ONE lazy checkpoint for BOTH regimes: the input is referenced
     // by the fit sample, the assignment pass, and the singletons
-    // anti-join, so an expensive derived lineage must execute once
-    val src = df.localCheckpoint(eager = false)
+    // anti-join, so an expensive derived lineage must execute once.
+    // Routed through Checkpoints so a reliable-checkpoint-dir run
+    // covers this frame too — a materialized lazy localCheckpoint is
+    // NOT recomputable after executor loss, and this frame outlives
+    // connectedComponents' many per-round actions.
+    val src = graft.Checkpoints.lazyCheckpoint(df)
     val k = if (nLists >= 1) nLists else autoCells(src.count(), targetCell)
     val cents = coarseCells(src, k, seed)
-    val assigned = ivfAssign(src, cents, nAssign = 1)
-      .localCheckpoint(eager = false)
-    // cells above the guard (or trivially of size 1) skip pairing;
-    // their rows survive as singletons
-    val okCells = assigned.groupBy(col("cell"))
+    // assignments are single-cell by construction here, so the
+    // uniqueness validation the public fromAssignments face runs is
+    // skipped — it would be a pure extra pass. The singleton universe
+    // is src, NOT the assignments: a null-vec row never assigns (the
+    // explode drops it) but must still pass through as a survivor —
+    // the same no-data-loss convention Dedup's null-text handling
+    // pins.
+    semanticDedupBody(ivfAssign(src, cents, nAssign = 1), threshold,
+      maxCell, checkUnique = false, idUniverse = Some(src.select(col("id"))))
+  }
+
+  /** SemDeDup off PRECOMPUTED cell assignments — the
+    * fit-once/assign-forever face the 100-TB posture runs: build (or
+    * load) a persisted IVF index once ([[ivfIndex]] /
+    * [[graft.jobs.AdmissionIndexes.saveIvfIndex]]), assign arriving
+    * batches against its stored centroids ([[ivfAssign]] +
+    * [[loadedCentroids]]), and dedup reads the `(cell, id, vec)`
+    * assignments table directly — no refit, no re-assignment, and on
+    * a CELL-BUCKETED table the within-cell self-join needs no
+    * exchange at all (the scan is already partitioned on the join
+    * key). Results are identical to [[semanticDedup]] run at the same
+    * cell count/seed (SimilaritySpec pins the parity).
+    *
+    * Assignments MUST be single-assignment (`nAssign = 1`): SemDeDup
+    * partitions the corpus, it does not spill. A multi-assigned index
+    * (the ANN recall lever) holds each id in several cells, which
+    * would silently inflate group sizes and duplicate survivor rows —
+    * refused loudly here (one distinct-count pass over the pruned
+    * (id) projection; skip belongs only to the inline builder, which
+    * assigns nAssign=1 by construction). */
+  def semanticDedupFromAssignments(
+      assignments: DataFrame, // (cell, id, vec), nAssign=1
+      threshold: Double,
+      maxCell: Int = 10000): DataFrame =
+    semanticDedupBody(assignments, threshold, maxCell, checkUnique = true)
+
+  /** (cell, csz) of the cells [[semanticDedup]] would SKIP pairing at
+    * the given cap — the monitoring companion to the maxCell skew
+    * guard, mirroring [[oversizedCodeBuckets]] /
+    * [[graft.dedup.Dedup.oversizedMinhashBuckets]]: same fit, same
+    * auto-sizing, same assignment, so it reports on exactly the cells
+    * the operator skips. Each row is a duplicate-concentrated region
+    * whose near-dups silently SURVIVE the cap (auto-sizing makes
+    * overflow unlikely on well-spread data, but a duplicate-heavy
+    * embedding space — dedup's own target — concentrates mass); run
+    * it when survivor counts look high, then either raise maxCell for
+    * those regions or route their rows through exact dedup. */
+  def oversizedSemanticCells(
+      df: DataFrame, // (id, vec)
+      nLists: Int = -1,
+      seed: Long = 42L,
+      maxCell: Int = 10000,
+      targetCell: Int = 256): DataFrame = {
+    val src = graft.Checkpoints.lazyCheckpoint(df)
+    val k = if (nLists >= 1) nLists else autoCells(src.count(), targetCell)
+    val cents = coarseCells(src, k, seed)
+    ivfAssign(src, cents, nAssign = 1)
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCell)
+  }
+
+  private def semanticDedupBody(
+      assignments: DataFrame,
+      threshold: Double,
+      maxCell: Int,
+      checkUnique: Boolean,
+      idUniverse: Option[DataFrame] = None): DataFrame = {
+    val assigned = graft.Checkpoints.lazyCheckpoint(assignments)
+    // per-cell sizes: one row per cell — drives the pairing guard AND
+    // the skip report below from a single aggregate
+    val cellSizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .localCheckpoint()
+    if (checkUnique) {
+      val total = cellSizes.agg(sum(col("csz"))).collect()(0).getLong(0)
+      val distinctIds = assigned.select(col("id")).distinct().count()
+      require(distinctIds == total,
+        s"semanticDedupFromAssignments needs single-assignment " +
+          s"(nAssign=1) input: got $total assignment rows over " +
+          s"$distinctIds distinct ids — a multi-assigned ANN index " +
+          "would inflate group sizes and duplicate survivors; " +
+          "re-assign the corpus with ivfAssign(.., nAssign = 1)")
+    }
+    // cells above the guard (or trivially of size 1) skip pairing;
+    // their rows survive as singletons. NO SILENT CAP: the skipped
+    // count/mass is logged here (driver-side, over the nLists-row
+    // sizes frame — never a data scan), and oversizedSemanticCells
+    // reports the cells themselves.
+    val overRow = cellSizes.filter(col("csz") > maxCell)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("csz")), lit(0L)).as("mass"))
+      .collect()(0)
+    if (overRow.getLong(0) > 0)
+      System.err.println(s"[semantic-dedup] maxCell=$maxCell skipped " +
+        s"${overRow.getLong(0)} oversized cell(s) holding " +
+        s"${overRow.getLong(1)} rows — their near-dups pass through " +
+        "as survivors; see Similarity.oversizedSemanticCells")
+    val okCells = cellSizes
       .filter(col("csz") > 1 && col("csz") <= maxCell)
       .select(col("cell"))
     val kept = assigned.join(okCells, Seq("cell"))
@@ -744,7 +844,7 @@ object Similarity {
     val reps = labels.filter(col("id") === col("cluster"))
       .select(col("id"))
       .join(sizes, Seq("id"))
-    val singletons = src.select(col("id"))
+    val singletons = idUniverse.getOrElse(assigned.select(col("id")))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .withColumn("n_members", lit(1L))
     reps.unionByName(singletons)

@@ -318,4 +318,61 @@ class SimilaritySpec extends SparkSpec {
         s"$total != $n")
     }
   }
+
+  test("semanticDedup: an oversized cell's rows pass through as " +
+      "survivors AND the monitor reports the cell — no silent cap") {
+    // an identical-vector corpus: every row lands in ONE cell, which
+    // maxCell=10 then skips — exactly the duplicate-heavy shape the
+    // cap can hide. The operator must keep all rows (pass-through,
+    // never data loss) and oversizedSemanticCells must surface the
+    // skipped mass.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val dup = (1L to 40L).map(i => (i, v(1, 0, 0, 0)))
+    val docs = (dup :+ ((100L, v(0, 1, 0, 0)))).toDF("id", "vec")
+    val out = Similarity.semanticDedup(docs, threshold = 0.9,
+      nLists = 1, maxCell = 10)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 41, s"oversized-cell rows must pass through " +
+      s"as survivors, got ${rows.length} of 41")
+    assert(rows.forall(_._2 == 1L),
+      "skipped-cell rows must surface as singletons (no pairing ran)")
+    val over = Similarity.oversizedSemanticCells(docs, nLists = 1,
+      maxCell = 10).collect()
+    assert(over.length == 1 && over(0).getAs[Long]("csz") == 41L,
+      s"monitor must report the one oversized cell with its mass, " +
+        s"got ${over.toSeq}")
+    // same corpus under a cap that admits the cell: dedup collapses it
+    val merged = Similarity.semanticDedup(docs, threshold = 0.9,
+      nLists = 1, maxCell = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 40L, 100L -> 1L), s"got $merged")
+  }
+
+  test("semanticDedupFromAssignments: identical to the inline path at " +
+      "the same cell count, and refuses multi-assigned input loudly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // fit-once/assign-forever face: the persisted-index build's own
+    // assignments (nAssign=1) must reproduce the inline result exactly
+    // — same deterministic fit, same cells, same pairs
+    val (_, assignments) = Similarity.ivfIndex(emb, nLists = 8,
+      nAssign = 1)
+    val fromIdx = Similarity
+      .semanticDedupFromAssignments(assignments, threshold = 0.35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val inline = Similarity.semanticDedup(emb, threshold = 0.35,
+        nLists = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(fromIdx == inline,
+      s"fromAssignments diverged from inline: only-idx=" +
+        s"${fromIdx -- inline} only-inline=${inline -- fromIdx}")
+    // a multi-assigned (ANN-style) index must be refused, not
+    // silently dedup-inflated
+    val (_, multi) = Similarity.ivfIndex(emb, nLists = 8, nAssign = 2)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupFromAssignments(multi, threshold = 0.35)
+        .count()
+    }
+    assert(err.getMessage.contains("nAssign"))
+  }
 }
