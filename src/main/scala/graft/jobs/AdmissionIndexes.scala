@@ -43,9 +43,61 @@ object AdmissionIndexes {
       append: Boolean = false): Unit =
     save(df, table, digestKeys, buckets, append)
 
+  /** Persist (or append to) the LSH band index. When the build
+    * parameters are passed, they are STAMPED on the table
+    * (`graft.shingleN/bands/rowsPerBand` TBLPROPERTIES + the spec
+    * sidecar): a band key is a hash of a `rowsPerBand`-wide signature
+    * slice, so an index and a probe that disagree on any of the three
+    * hash STRUCTURALLY DISJOINT key spaces — every near-dup silently
+    * admitted, nothing failing. The stamp turns that silence into a
+    * loud refusal: [[loadBandIndex]] rejects a mismatched probe, and
+    * an append with different params is rejected here. Parameter-less
+    * saves remain legal (stamp-free tables probe with a warning). */
   def saveBandIndex(df: DataFrame, table: String, buckets: Int = 64,
-      append: Boolean = false): Unit =
-    save(df, table, bandKeys, buckets, append)
+      append: Boolean = false, shingleN: Int = -1, bands: Int = -1,
+      rowsPerBand: Int = -1): Unit =
+    save(df, table, bandKeys, buckets, append,
+      props = bandProps(shingleN, bands, rowsPerBand))
+
+  private def bandProps(shingleN: Int, bands: Int,
+      rowsPerBand: Int): Map[String, String] =
+    Seq("shingleN" -> shingleN, "bands" -> bands,
+      "rowsPerBand" -> rowsPerBand)
+      .collect { case (k, v) if v >= 0 => s"graft.$k" -> v.toString }
+      .toMap
+
+  /** Load a persisted band index, REFUSING a parameter mismatch: the
+    * probe's (shingleN, bands, rowsPerBand) must equal the stamp the
+    * index was built with, or the probe's band keys come from
+    * different-width signature slices than the stored ones —
+    * disjoint key spaces, every near-dup silently admitted with
+    * best_jaccard 0.0. This is the band-index twin of the MaxScore
+    * bounds stamp: stale/mismatched configuration fails LOUDLY at
+    * load time, never silently at admission time. A stamp-less table
+    * (built by an older save, or with parameters withheld) probes
+    * with a stderr warning — the caller owns parity then. */
+  def loadBandIndex(spark: SparkSession, table: String, shingleN: Int,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val stamp = tableProps(spark, table)
+    if (stamp.isEmpty)
+      System.err.println(s"[admission-indexes] band index '$table' " +
+        "carries no parameter stamp — cannot verify probe parity " +
+        s"(shingleN=$shingleN bands=$bands rowsPerBand=$rowsPerBand); " +
+        "rebuild via bootstrap/saveBandIndex with parameters to stamp it")
+    else {
+      val want = bandProps(shingleN, bands, rowsPerBand)
+      val bad = want.filter { case (k, v) => stamp.get(k).exists(_ != v) }
+      require(bad.isEmpty,
+        s"band index '$table' parameter mismatch: probe wants " +
+          bad.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+          s" but the index is stamped " +
+          bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
+          " — band keys would hash DISJOINT key spaces and every " +
+          "near-dup would be silently admitted; probe with the " +
+          "stamped parameters or rebuild the index")
+    }
+    load(spark, table)
+  }
 
   def saveCodeIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
@@ -216,7 +268,11 @@ object AdmissionIndexes {
     try {
       val aligned =
         spark.table(table).repartition(buckets, keys.map(col): _*)
-      save(aligned, side, keys, buckets, append = false)
+      // the parameter stamp must SURVIVE compaction: the rewrite is a
+      // fresh save, so carry the live table's graft.* properties onto
+      // the side copy (the swap renames then move them into place)
+      save(aligned, side, keys, buckets, append = false,
+        props = tableProps(spark, table))
       val (liveN, sideN) =
         (spark.table(table).count(), spark.table(side).count())
       require(sideN == liveN,
@@ -269,57 +325,107 @@ object AdmissionIndexes {
     requirePlainName(table)
     val side = s"${table}__compacting"
     val retired = s"${table}__retired"
-    if (spark.catalog.tableExists(table)) None
-    else if (spark.catalog.tableExists(side)) {
-      spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
-      spark.sql(s"DROP TABLE IF EXISTS `$retired`")
-      val msg = s"completed interrupted compaction swap forward: " +
-        s"'$side' -> '$table'"
-      System.err.println(s"[admission-indexes] $msg")
-      Some(msg)
+    // catalog-independent half FIRST: when the live name is gone,
+    // re-attach any on-disk copies the catalog lost (a JVM crash on
+    // an in-memory catalog empties it while complete copies — with
+    // their spec sidecars — survive in the warehouse), so the
+    // swap-completion logic below sees the same state a persistent
+    // metastore would have kept
+    val reattached =
+      if (spark.catalog.tableExists(table)) Nil
+      else Seq(table, side, retired).filter(registerFromSpec(spark, _))
+    val sidecarNote =
+      if (reattached.isEmpty) ""
+      else s" (re-registered from spec sidecar: ${reattached.mkString(", ")})"
+    if (spark.catalog.tableExists(table)) {
+      if (reattached.isEmpty) None
+      else {
+        val msg = s"re-registered '$table' from its spec sidecar " +
+          "after catalog loss"
+        System.err.println(s"[admission-indexes] $msg")
+        Some(msg)
+      }
+    } else if (spark.catalog.tableExists(side)) {
+      // completing the swap FORWARD trusts that a side table
+      // coexisting with a missing live name passed compact's
+      // row-count verification. On a persistent metastore a hard kill
+      // between the side CTAS commit and that verification can leave
+      // a registered-but-UNVERIFIED side copy, and an operator's
+      // manual half-recovery can produce the same shape — so when the
+      // pre-compaction copy is still here, RE-RUN the comparison
+      // (two cheap count aggregates) instead of destroying the only
+      // verified-good data on a heuristic.
+      val verified =
+        if (!spark.catalog.tableExists(retired)) true
+        else spark.table(side).count() == spark.table(retired).count()
+      if (verified) {
+        spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE IF EXISTS `$retired`")
+        val msg = s"completed interrupted compaction swap forward: " +
+          s"'$side' -> '$table'$sidecarNote"
+        System.err.println(s"[admission-indexes] $msg")
+        Some(msg)
+      } else {
+        spark.sql(s"ALTER TABLE `$retired` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE IF EXISTS `$side`")
+        val msg = s"rolled interrupted compaction swap back: '$side' " +
+          s"FAILED row-count re-verification against '$retired' " +
+          s"(unverified side copy dropped; '$retired' -> '$table')" +
+          sidecarNote
+        System.err.println(s"[admission-indexes] $msg")
+        Some(msg)
+      }
     } else if (spark.catalog.tableExists(retired)) {
       spark.sql(s"ALTER TABLE `$retired` RENAME TO `$table`")
       val msg = s"rolled interrupted compaction swap back: " +
-        s"'$retired' -> '$table'"
+        s"'$retired' -> '$table'$sidecarNote"
       System.err.println(s"[admission-indexes] $msg")
       Some(msg)
     } else {
-      // the catalog knows nothing — if complete copies sit in a
-      // LOCAL warehouse (post-crash in-memory-catalog state), say so
+      // nothing recoverable — if sidecar-less copies sit in a LOCAL
+      // warehouse (tables written before the sidecar existed), say so
       // precisely rather than letting compact refuse with "nothing
       // to compact" while the data is on disk
-      val whUri = spark.conf.get("spark.sql.warehouse.dir")
-      val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
-      if (isLocal) {
-        val wh = whUri.stripPrefix("file:")
-        // include the LIVE dir: a crash anywhere outside the swap
-        // window leaves it on disk with the catalog empty — the most
-        // common post-crash state, equally unrecoverable here
+      localWarehouse(spark).foreach { wh =>
         val onDisk = Seq(table, side, retired)
           .filter(n => new java.io.File(wh, n.toLowerCase).isDirectory)
         if (onDisk.nonEmpty)
           System.err.println(s"[admission-indexes] recover('$table'): " +
             s"the catalog knows none of '$table'/'$side'/'$retired' " +
             s"but the warehouse holds ${onDisk.mkString(", ")} on " +
-            "disk — an in-memory catalog cannot restore a bucketed " +
-            "table's spec after a JVM crash; use a persistent " +
-            "metastore for automatic recovery, or rebuild the index")
+            "disk WITHOUT spec sidecars — these predate the sidecar; " +
+            "rebuild the index once (the rebuild writes the sidecar " +
+            "and future crashes self-heal)")
       }
       None
     }
   }
 
   /** The startup sweep: [[recover]] every index table the catalog
-    * shows a dangling `__retired`/`__compacting` copy for — run once
-    * at deployment start (or before a maintenance window) and every
-    * interrupted compaction in the warehouse self-heals in one call.
-    * Returns one action description per recovered table. */
+    * shows a dangling `__retired`/`__compacting` copy for, PLUS —
+    * on a local warehouse — every on-disk directory carrying a spec
+    * sidecar that the catalog does not know (the post-JVM-crash
+    * state of an in-memory catalog: complete copies on disk, empty
+    * catalog). Run once at deployment start (or before a maintenance
+    * window) and every interrupted compaction OR lost registration
+    * in the warehouse self-heals in one call. Returns one action
+    * description per recovered table. */
   def recoverAll(spark: SparkSession): Seq[String] = {
-    val suffixes = Seq("__compacting", "__retired")
-    spark.catalog.listTables().collect().map(_.name)
+    val suffixes = Seq("__compacting", "__retired", "__registering")
+    val fromCatalog = spark.catalog.listTables().collect().map(_.name)
       .filter(n => suffixes.exists(n.endsWith))
       .map(n => suffixes.foldLeft(n)((b, s) => b.stripSuffix(s)))
-      .distinct.toSeq.sorted
+      .toSeq
+    val fromDisk = localWarehouse(spark).toSeq.flatMap { wh =>
+      Option(wh.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory &&
+          (new java.io.File(d, specFileName).isFile ||
+            suffixes.exists(d.getName.endsWith)))
+        .map(_.getName)
+        .filter(_.matches("[A-Za-z0-9_]+"))
+        .map(n => suffixes.foldLeft(n)((b, s) => b.stripSuffix(s)))
+    }
+    (fromCatalog ++ fromDisk).distinct.sorted
       .flatMap(base => recover(spark, base))
   }
 
@@ -342,7 +448,13 @@ object AdmissionIndexes {
     * embeddings exist.) */
   def bootstrap(corpus: DataFrame, idCol: String, textCol: String,
       prefix: String, buckets: Int = 64, shingleN: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2, winLen: Int = 10): Unit = {
+      bands: Int = 8, rowsPerBand: Int = 4, winLen: Int = 10): Unit = {
+    // rowsPerBand DEFAULT matches Dedup.minhashBandRows and
+    // streamingNearDupAdmission (4): the whole family must agree, or
+    // a default-built index probed by a default stream/batch hashes
+    // band keys from different-width signature slices — disjoint key
+    // spaces, every near-dup silently admitted. The stamp written
+    // below turns any remaining mismatch into a loud refusal.
     requirePlainName(prefix)
     import org.apache.spark.sql.functions.col
     import graft.dedup.Dedup
@@ -353,7 +465,8 @@ object AdmissionIndexes {
     saveBandIndex(
       Dedup.minhashBandRows(snap, idCol, textCol, shingleN, bands,
         rowsPerBand),
-      s"${prefix}_bands", buckets)
+      s"${prefix}_bands", buckets, shingleN = shingleN, bands = bands,
+      rowsPerBand = rowsPerBand)
     saveWindowIndex(Dedup.windowDigestSet(snap, idCol, textCol, winLen),
       s"${prefix}_windows", buckets)
     savePostingsIndex(Search.postings(snap, idCol, textCol),
@@ -400,14 +513,34 @@ object AdmissionIndexes {
     * logged here so the operator sees it at append time, not at the
     * first refused query. Every append also logs the postings
     * table's [[fragmentation]], the compaction-cadence signal. */
+  /** `maxFilesPerBucket` (opt-in) closes the maintenance loop: after
+    * the appends land, every index table this call touched is
+    * auto-compacted via [[compactIfFragmented]] when its
+    * files-per-bucket crossed the cap — the crash-safe
+    * write-then-swap [[compact]], triggered by the [[fragmentation]]
+    * signal instead of a human reading the log line. Probe results
+    * are identical across the trigger (compact's own contract); the
+    * cost is one bucket-local rewrite per crossed table, amortized
+    * over the ~cap appends that accumulated the files. `None` keeps
+    * the r11 behavior: signal logged, cadence owned by the operator. */
   def appendDeltas(adm: CorpusPipeline.Admission, prefix: String,
-      buckets: Int = 64, rebuildBounds: Boolean = false): Unit = {
+      buckets: Int = 64, rebuildBounds: Boolean = false,
+      maxFilesPerBucket: Option[Int] = None): Unit = {
     requirePlainName(prefix)
     val spark = adm.newDigests.sparkSession
     saveDigestIndex(adm.newDigests, s"${prefix}_digests", buckets,
       append = true)
-    saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
-      append = true)
+    // the delta's band params (when the Admission carries them) are
+    // verified against the stored index's stamp INSIDE save — a
+    // mismatched append refuses before writing a row
+    adm.bandParams match {
+      case Some((sh, b, r)) =>
+        saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
+          append = true, shingleN = sh, bands = b, rowsPerBand = r)
+      case None =>
+        saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
+          append = true)
+    }
     adm.newWindows.foreach(w =>
       saveWindowIndex(w, s"${prefix}_windows", buckets, append = true))
     adm.newPostings.foreach(p =>
@@ -428,7 +561,36 @@ object AdmissionIndexes {
         System.err.println(s"[admission-indexes] ${prefix}_postings " +
           s"fragmentation: $f"))
     }
+    maxFilesPerBucket.foreach { cap =>
+      val touched = Seq(
+        s"${prefix}_digests" -> digestKeys,
+        s"${prefix}_bands" -> bandKeys) ++
+        adm.newWindows.map(_ => s"${prefix}_windows" -> windowKeys) ++
+        adm.newPostings.map(_ => s"${prefix}_postings" -> postingsKeys) ++
+        adm.newCodes.map(_ => s"${prefix}_codes" -> codeKeys)
+      touched.foreach { case (t, keys) =>
+        compactIfFragmented(spark, t, keys, buckets, cap) }
+    }
   }
+
+  /** Trigger the crash-safe [[compact]] when (and only when) the
+    * [[fragmentation]] signal crosses `maxFilesPerBucket` — the
+    * threshold face of the README operations recipe ("compact when
+    * maxFilesPerBucket exceeds ~16"). Returns true when a compaction
+    * ran. Never a data scan on the no-op path: the check is catalog
+    * metadata + a file listing. */
+  def compactIfFragmented(spark: SparkSession, table: String,
+      keys: Seq[String], buckets: Int = 64,
+      maxFilesPerBucket: Int = 16): Boolean =
+    fragmentation(spark, table) match {
+      case Some(f) if f.maxFilesPerBucket > maxFilesPerBucket =>
+        System.err.println(s"[admission-indexes] '$table' crossed the " +
+          s"fragmentation threshold ($f, cap=$maxFilesPerBucket) — " +
+          "auto-compacting")
+        compact(spark, table, keys, buckets)
+        true
+      case _ => false
+    }
 
   /** Fragmentation report of a bucketed index table — the signal
     * that decides WHEN to [[compact]]: every append writes one file
@@ -515,16 +677,189 @@ object AdmissionIndexes {
   }
 
   private def save(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int, append: Boolean): Unit = {
+      buckets: Int, append: Boolean,
+      props: Map[String, String] = Map.empty): Unit = {
     requirePlainName(table)
     keys.foreach(k => require(df.columns.contains(k),
       s"index frame is missing probe-key column '$k' " +
         s"(has ${df.columns.mkString(", ")})"))
-    if (!append) prepareOverwrite(df.sparkSession, table)
+    val spark = df.sparkSession
+    if (append && props.nonEmpty) {
+      // an append computed under different parameters than the stored
+      // index would key a DISJOINT hash space into the same table —
+      // refuse before writing a single row
+      val stamp = tableProps(spark, table)
+      val bad = props.filter { case (k, v) => stamp.get(k).exists(_ != v) }
+      require(bad.isEmpty,
+        s"append to '$table' parameter mismatch: delta was built with " +
+          bad.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+          " but the index is stamped " +
+          bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
+          " — refusing the append (it would mix disjoint key spaces)")
+    }
+    if (!append) prepareOverwrite(spark, table)
     df.write
       .mode(if (append) "append" else "overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+    if (!append) {
+      if (props.nonEmpty) setTableProps(spark, table, props)
+      writeSpec(spark, table, keys, buckets, df.schema.toDDL, props)
+    }
+  }
+
+  /** The `graft.*` parameter stamp of a table — TBLPROPERTIES set at
+    * save time (empty when the table doesn't exist or carries none). */
+  def tableProps(spark: SparkSession, table: String): Map[String, String] = {
+    requirePlainName(table)
+    if (!spark.catalog.tableExists(table)) Map.empty
+    else spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.filter(_._1.startsWith("graft."))
+  }
+
+  private def setTableProps(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit =
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+
+  // ---------------------------------------------------------------
+  // Spec sidecar: catalog-independent recovery metadata
+  // ---------------------------------------------------------------
+
+  /** Everything needed to RE-REGISTER a table whose catalog entry is
+    * gone but whose data directory survived — which is exactly what a
+    * JVM crash leaves behind on an in-memory catalog: a bucketed
+    * table's bucket spec exists ONLY in the catalog and cannot be
+    * reconstructed from the parquet directory, so without this
+    * sidecar the data is complete on disk yet unprobeable (r11's
+    * recover() printed a directed notice and stopped there). `save`
+    * writes it as `_graft_spec.json` INSIDE the table directory
+    * (underscore-prefixed = invisible to Spark's file listing, and it
+    * travels with the directory through compact's swap renames);
+    * [[recoverAll]] re-registers any unregistered directory that
+    * carries one. Local (file:) warehouses only — a persistent
+    * metastore IS the durable spec store on remote warehouses. */
+  final case class TableSpec(keys: Seq[String], buckets: Int,
+      schemaDdl: String, props: Map[String, String])
+
+  private val specFileName = "_graft_spec.json"
+
+  private def jsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  private def localWarehouse(spark: SparkSession): Option[java.io.File] = {
+    val whUri = spark.conf.get("spark.sql.warehouse.dir")
+    val isLocal = !whUri.contains(":") || whUri.startsWith("file:")
+    if (isLocal) Some(new java.io.File(whUri.stripPrefix("file:")))
+    else None
+  }
+
+  private def writeSpec(spark: SparkSession, table: String,
+      keys: Seq[String], buckets: Int, schemaDdl: String,
+      props: Map[String, String]): Unit =
+    localWarehouse(spark).foreach { wh =>
+      val dir = new java.io.File(wh, table.toLowerCase)
+      if (dir.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        val m = new java.util.LinkedHashMap[String, Object]()
+        m.put("keys", keys.asJava)
+        m.put("buckets", Integer.valueOf(buckets))
+        m.put("schema", schemaDdl)
+        m.put("props", props.asJava)
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, specFileName).toPath,
+          jsonMapper.writeValueAsString(m))
+      }
+    }
+
+  /** Read a directory's spec sidecar (None when absent/unreadable). */
+  def readSpec(dir: java.io.File): Option[TableSpec] = {
+    val f = new java.io.File(dir, specFileName)
+    if (!f.isFile) None
+    else try {
+      import scala.jdk.CollectionConverters._
+      val node = jsonMapper.readTree(
+        java.nio.file.Files.readString(f.toPath))
+      Some(TableSpec(
+        node.get("keys").elements().asScala.map(_.asText()).toSeq,
+        node.get("buckets").asInt(),
+        node.get("schema").asText(),
+        node.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap))
+    } catch { case e: Exception =>
+      System.err.println(s"[admission-indexes] unreadable spec " +
+        s"sidecar ${f.getPath}: ${e.getMessage}")
+      None
+    }
+  }
+
+  /** Re-register one on-disk table directory from its spec sidecar —
+    * the catalog-independent half of crash recovery. The CREATE must
+    * land on the directory the data already occupies, and Spark
+    * refuses to create a MANAGED table over a non-empty location, so
+    * the registration is a move-aside dance: rename the data dir to
+    * `{table}__registering`, CREATE the (empty) managed bucketed
+    * table from the sidecar's schema + bucket spec + properties, then
+    * move the data back in. Both renames are same-filesystem
+    * directory moves (atomic, no data copy); a crash between them is
+    * itself healed here (a `__registering` dir with no data dir is
+    * moved back first). Returns true when a registration happened. */
+  def registerFromSpec(spark: SparkSession, table: String): Boolean = {
+    requirePlainName(table)
+    localWarehouse(spark) match {
+      case None => false
+      case Some(wh) =>
+        val dir = new java.io.File(wh, table.toLowerCase)
+        val aside = new java.io.File(wh, s"${table.toLowerCase}__registering")
+        // heal our own crash window first: data parked aside means a
+        // previous registration died between its renames — whether or
+        // not its CREATE finished (an empty shell + empty dir at
+        // most). Drop the shell, clear any empty dir, move the data
+        // back, and fall through to a clean re-attempt.
+        if (aside.isDirectory) {
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          if (dir.exists()) deleteRecursively(dir)
+          require(aside.renameTo(dir),
+            s"could not move ${aside.getPath} back to ${dir.getPath}")
+        }
+        if (spark.catalog.tableExists(table) || !dir.isDirectory) false
+        else readSpec(dir) match {
+          case None => false
+          case Some(spec) =>
+            require(dir.renameTo(aside),
+              s"could not park ${dir.getPath} for re-registration")
+            val bucketClause =
+              if (spec.buckets > 0 && spec.keys.nonEmpty)
+                s" CLUSTERED BY (${spec.keys.map(k => s"`$k`").mkString(", ")})" +
+                  s" SORTED BY (${spec.keys.map(k => s"`$k`").mkString(", ")})" +
+                  s" INTO ${spec.buckets} BUCKETS"
+              else ""
+            val propClause =
+              if (spec.props.nonEmpty)
+                " TBLPROPERTIES (" + spec.props.map { case (k, v) =>
+                  s"'$k'='$v'" }.mkString(", ") + ")"
+              else ""
+            spark.sql(s"CREATE TABLE `$table` (${spec.schemaDdl}) " +
+              s"USING PARQUET$bucketClause$propClause")
+            if (dir.exists()) deleteRecursively(dir) // CREATE's empty dir
+            require(aside.renameTo(dir),
+              s"could not move ${aside.getPath} back to ${dir.getPath}")
+            System.err.println(s"[admission-indexes] re-registered " +
+              s"'$table' from its spec sidecar (buckets=${spec.buckets}, " +
+              s"keys=${spec.keys.mkString(",")})")
+            true
+        }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(f.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
   }
 }

@@ -106,7 +106,7 @@ object CorpusPipeline {
       benchmark: DataFrame,
       shingleN: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       deconN: Int = 5,
@@ -125,7 +125,7 @@ object CorpusPipeline {
       benchmark: DataFrame,
       shingleN: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       deconN: Int = 5,
@@ -498,7 +498,7 @@ object CorpusPipeline {
       benchmark: DataFrame,
       shingleN: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       deconN: Int = 5,
@@ -617,7 +617,13 @@ object CorpusPipeline {
       admittedClean: Option[DataFrame] = None,
       newWindows: Option[DataFrame] = None,
       newPostings: Option[DataFrame] = None,
-      newStats: Option[DataFrame] = None)
+      newStats: Option[DataFrame] = None,
+      // the (shingleN, bands, rowsPerBand) newBands was computed
+      // with, so AdmissionIndexes.appendDeltas can verify the delta
+      // against the stored band index's stamp BEFORE appending — an
+      // append under different parameters would mix disjoint band-key
+      // spaces into one table
+      bandParams: Option[(Int, Int, Int)] = None)
 
   /** Embedding-admission inputs for [[admitBatch]]: `corpusVecs` /
     * `batchVecs` carry (id, vec) with id VALUES in the respective
@@ -646,7 +652,7 @@ object CorpusPipeline {
       textCol: String,
       shingleN: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.3,
       maxBucket: Int = 5000,
       embedding: Option[EmbeddingAdmission] = None,
@@ -797,7 +803,8 @@ object CorpusPipeline {
       admittedClean,
       strippedBatch.map(_.newWindows),
       newPostings,
-      newStats)
+      newStats,
+      bandParams = Some((shingleN, bands, rowsPerBand)))
   }
 
   /** Write the pipeline's cleaned output in training-read order:

@@ -249,7 +249,13 @@ object EventStream {
     * aggregation), producing BIT-IDENTICAL band hashes to
     * `graft.dedup.Dedup.minhashBandRows`, so the static index needs
     * no special streaming build: write it once with the batch API
-    * (same shingleN/bands/rowsPerBand) and both faces share it.
+    * (same shingleN/bands/rowsPerBand) and both faces share it. Load
+    * a persisted index through
+    * `graft.jobs.AdmissionIndexes.loadBandIndex(spark, table,
+    * shingleN, bands, rowsPerBand)` — it REFUSES a parameter mismatch
+    * against the stamp the build wrote, so an index/stream width
+    * disagreement (disjoint band-key spaces, every near-dup silently
+    * admitted) fails loudly at load time instead.
     * Candidates come from the stateless stream-static equi-join of
     * the batch's band keys against `corpusBands`; corpus text joins
     * back only for candidate ids; exact Jaccard verifies. The one
@@ -377,6 +383,16 @@ object EventStream {
     * documents arriving on a stream WITH an embedding column are
     * dropped when some indexed corpus vector is within cosine >=
     * `simThreshold` of theirs.
+    *
+    * This IS the streaming face of SemDeDup admission: at matching
+    * threshold, a doc is admitted here exactly when it would SURVIVE
+    * [[graft.similarity.Similarity.semanticDedup]] over corpus+doc
+    * (corpus ids smaller: any corpus-similar doc merges into a
+    * corpus-led group and the min-id keeper is the corpus row) —
+    * EventStreamSpec pins the verdict parity on a shared fixture.
+    * The one scope cut is within-STREAM semantic dups (two in-flight
+    * docs never compare); chain the batch pipeline over admitted
+    * rows for those, exactly as the token faces do.
     *
     * Codes are computed ROW-LOCALLY per micro-batch
     * ([[graft.similarity.Similarity.signCodes]] over plan-literal

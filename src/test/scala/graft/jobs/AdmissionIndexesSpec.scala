@@ -265,7 +265,7 @@ class AdmissionIndexesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val adm1 = CorpusPipeline.admitBatch(corpus, digests, bandsT,
       batch1, "doc_id", "text", shingleN = 3, bands = 8,
-      rowsPerBand = 2, threshold = 0.5,
+      rowsPerBand = 4, threshold = 0.5,
       stripWindows = Some(windows), withPostings = true)
     assert(adm1.admitted.select("doc_id").as[Long].collect().toSeq
       == Seq(11L))
@@ -279,7 +279,7 @@ class AdmissionIndexesSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val adm2 = CorpusPipeline.admitBatch(corpus2, digests, bandsT,
       batch2, "doc_id", "text", shingleN = 3, bands = 8,
-      rowsPerBand = 2, threshold = 0.5,
+      rowsPerBand = 4, threshold = 0.5,
       stripWindows = Some(windows), withPostings = true)
     val flags = adm2.annotated.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_corpus_exact_dup"))
@@ -335,7 +335,7 @@ class AdmissionIndexesSpec extends SparkSpec {
       AdmissionIndexes.load(spark, "ms_idx_digests"),
       AdmissionIndexes.load(spark, "ms_idx_bands"),
       batch, "doc_id", "text", shingleN = 3, bands = 8,
-      rowsPerBand = 2, threshold = 0.5, withPostings = true)
+      rowsPerBand = 4, threshold = 0.5, withPostings = true)
     AdmissionIndexes.appendDeltas(adm, "ms_idx", buckets = 4)
     val e = intercept[IllegalArgumentException] {
       Search.bm25BatchMaxScore(post, stats, bounds, queries,
@@ -359,7 +359,7 @@ class AdmissionIndexesSpec extends SparkSpec {
       AdmissionIndexes.load(spark, "ms_idx_digests"),
       AdmissionIndexes.load(spark, "ms_idx_bands"),
       batch2, "doc_id", "text", shingleN = 3, bands = 8,
-      rowsPerBand = 2, threshold = 0.5, withPostings = true)
+      rowsPerBand = 4, threshold = 0.5, withPostings = true)
     AdmissionIndexes.appendDeltas(adm2, "ms_idx", buckets = 4,
       rebuildBounds = true)
     val plain3 = Search.bm25Batch(post, stats, queries, "doc_id", k = 2)
@@ -396,6 +396,207 @@ class AdmissionIndexesSpec extends SparkSpec {
       s"compaction must restore one file per non-empty bucket: $f2")
     assert(AdmissionIndexes.fragmentation(spark, "no_such_table").isEmpty)
     spark.sql("DROP TABLE IF EXISTS frag_idx")
+  }
+
+  test("band-index parameter stamp: a mismatched probe is refused at " +
+      "load, a mismatched delta is refused at append, the family " +
+      "defaults agree end-to-end, and the stamp survives compaction") {
+    val corpus = (0 until 100).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    // bootstrap stamps its (shingleN, bands, rowsPerBand) — defaults
+    AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "stamp_idx",
+      buckets = 4)
+    assert(AdmissionIndexes.tableProps(spark, "stamp_idx_bands") ==
+      Map("graft.shingleN" -> "3", "graft.bands" -> "8",
+        "graft.rowsPerBand" -> "4"))
+    // matching probe loads; mismatched width refused LOUDLY — the
+    // silent failure mode was band keys hashed from different-width
+    // signature slices: disjoint key spaces, every near-dup admitted
+    assert(AdmissionIndexes.loadBandIndex(spark, "stamp_idx_bands",
+      shingleN = 3, bands = 8, rowsPerBand = 4).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      AdmissionIndexes.loadBandIndex(spark, "stamp_idx_bands",
+        shingleN = 3, bands = 8, rowsPerBand = 2)
+    }
+    assert(e.getMessage.contains("rowsPerBand") &&
+      e.getMessage.contains("DISJOINT"), e.getMessage)
+    // a delta computed under different params never reaches the table
+    val rowsBefore = AdmissionIndexes.load(spark, "stamp_idx_bands").count()
+    val delta = Dedup.minhashBandRows(
+      Seq((500L, docText(3))).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      AdmissionIndexes.saveBandIndex(delta, "stamp_idx_bands",
+        buckets = 4, append = true, shingleN = 3, bands = 8,
+        rowsPerBand = 2)
+    }
+    assert(e2.getMessage.contains("mismatch"), e2.getMessage)
+    assert(AdmissionIndexes.load(spark, "stamp_idx_bands").count()
+      == rowsBefore, "a refused append must write nothing")
+    // the family DEFAULTS agree end-to-end: a default admitBatch's
+    // delta appends onto a default bootstrap's index without touching
+    // a single parameter (the r11 failure mode was defaults that
+    // disagreed across faces)
+    val adm = CorpusPipeline.admitBatch(corpus,
+      AdmissionIndexes.load(spark, "stamp_idx_digests"),
+      AdmissionIndexes.load(spark, "stamp_idx_bands"),
+      Seq((900L, "wholly new text never seen before anywhere"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    AdmissionIndexes.appendDeltas(adm, "stamp_idx", buckets = 4)
+    assert(AdmissionIndexes.load(spark, "stamp_idx_bands").count()
+      > rowsBefore)
+    // compaction rewrites the table — the stamp must ride the swap
+    AdmissionIndexes.compact(spark, "stamp_idx_bands",
+      AdmissionIndexes.bandKeys, buckets = 4)
+    assert(AdmissionIndexes.tableProps(spark, "stamp_idx_bands")
+      .get("graft.rowsPerBand").contains("4"),
+      "the parameter stamp must survive compaction")
+    Seq("digests", "bands", "windows", "postings", "stats", "bounds")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS stamp_idx_$s"))
+  }
+
+  test("spec sidecar: after a simulated JVM crash (data on disk, " +
+      "catalog empty) recoverAll re-registers the table and the probe " +
+      "plan still bucket-prunes") {
+    val corpus = (0 until 200).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(corpus, "doc_id", "text"), "sidecar_idx",
+      buckets = 4)
+    val before = AdmissionIndexes.load(spark, "sidecar_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val probeDigest = before.head._2
+    // simulate the crash: the catalog forgets the table while the
+    // data directory (with its _graft_spec.json sidecar) survives.
+    // Park the dir under a non-table name (the dot keeps the sweep
+    // from seeing it), drop the catalog entry, put the dir back.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "sidecar_idx")
+    val park = new java.io.File(wh, "sidecar_idx.parked")
+    assert(new java.io.File(dir, "_graft_spec.json").isFile,
+      "save must write the spec sidecar into the table directory")
+    assert(dir.renameTo(park))
+    spark.sql("DROP TABLE sidecar_idx")
+    assert(park.renameTo(dir))
+    assert(!spark.catalog.tableExists("sidecar_idx"))
+
+    val healed = AdmissionIndexes.recoverAll(spark)
+    assert(healed.exists(_.contains("sidecar_idx")), s"got $healed")
+    assert(spark.catalog.tableExists("sidecar_idx"))
+    val after = AdmissionIndexes.load(spark, "sidecar_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "re-registered table must hold every row")
+    // the bucket spec was re-created from the sidecar: an equality
+    // probe on the bucket key prunes to one bucket at planning time.
+    // (autoBucketedScan pinned on — the planner elides bucketed scans
+    // for bare filters; the claim under test is the restored SPEC.)
+    val plan = withConf(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+      AdmissionIndexes.load(spark, "sidecar_idx")
+        .filter(col("digest") === probeDigest)
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"re-registered table lost bucket pruning:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS sidecar_idx")
+  }
+
+  test("recover re-verifies row counts before completing a swap " +
+      "forward: an unverified side copy is dropped and the retired " +
+      "copy restored; equal counts still complete forward") {
+    def digestsOf(n: Int, off: Int = 0) = Dedup.contentDigests(
+      (0 until n).map(i => ((i + off).toLong, docText(i + off)))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // the ADVICE scenario: live name gone, __retired holds the
+    // verified pre-compaction copy (50 rows), __compacting an
+    // UNVERIFIED side copy (3 rows — its CTAS committed but the
+    // row-count verification never ran). Forward-on-sight would
+    // destroy the only good data.
+    AdmissionIndexes.saveDigestIndex(digestsOf(50), "rv_idx__retired",
+      buckets = 4)
+    AdmissionIndexes.saveDigestIndex(digestsOf(3, 1000),
+      "rv_idx__compacting", buckets = 4)
+    val action = AdmissionIndexes.recover(spark, "rv_idx")
+    assert(action.exists(_.contains("FAILED row-count")), s"got $action")
+    assert(AdmissionIndexes.load(spark, "rv_idx").count() == 50,
+      "rollback must restore the verified retired copy")
+    assert(!spark.catalog.tableExists("rv_idx__compacting") &&
+      !spark.catalog.tableExists("rv_idx__retired"))
+    spark.sql("DROP TABLE rv_idx")
+
+    // equal counts (the real mid-swap crash state: both copies
+    // verified) still complete FORWARD to the compacted copy
+    AdmissionIndexes.saveDigestIndex(digestsOf(50), "rv_idx__retired",
+      buckets = 4)
+    AdmissionIndexes.saveDigestIndex(digestsOf(50), "rv_idx__compacting",
+      buckets = 2)
+    val fwd = AdmissionIndexes.recover(spark, "rv_idx")
+    assert(fwd.exists(_.contains("forward")), s"got $fwd")
+    assert(AdmissionIndexes.load(spark, "rv_idx").count() == 50)
+    assert(!spark.catalog.tableExists("rv_idx__retired"))
+    spark.sql("DROP TABLE rv_idx")
+  }
+
+  test("compactIfFragmented triggers the crash-safe compact only past " +
+      "the threshold, and appendDeltas' opt-in cap auto-compacts with " +
+      "identical probe results across the trigger") {
+    val base = (0 until 50).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(base, "doc_id", "text"), "ac_idx",
+      buckets = 2)
+    (0 until 4).foreach { r =>
+      AdmissionIndexes.saveDigestIndex(
+        Dedup.contentDigests(
+          Seq((1000L + r, s"delta text $r")).toDF("doc_id", "text"),
+          "doc_id", "text"),
+        "ac_idx", buckets = 2, append = true)
+    }
+    val frag = AdmissionIndexes.fragmentation(spark, "ac_idx").get
+    assert(frag.maxFilesPerBucket > 2)
+    val rows = AdmissionIndexes.load(spark, "ac_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // under the cap: no-op; over it: compacts, rows identical
+    assert(!AdmissionIndexes.compactIfFragmented(spark, "ac_idx",
+      AdmissionIndexes.digestKeys, buckets = 2,
+      maxFilesPerBucket = 100))
+    assert(AdmissionIndexes.compactIfFragmented(spark, "ac_idx",
+      AdmissionIndexes.digestKeys, buckets = 2, maxFilesPerBucket = 2))
+    assert(AdmissionIndexes.fragmentation(spark, "ac_idx")
+      .get.maxFilesPerBucket <= 1)
+    assert(AdmissionIndexes.load(spark, "ac_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == rows)
+    // immediately after compaction the signal is back under the cap
+    assert(!AdmissionIndexes.compactIfFragmented(spark, "ac_idx",
+      AdmissionIndexes.digestKeys, buckets = 2, maxFilesPerBucket = 2))
+    spark.sql("DROP TABLE ac_idx")
+
+    // the appendDeltas face: a cap of 1 makes the second append cross
+    // the threshold on the digest/band tables and auto-compact them
+    val corpus = Seq((1L, docText(1)), (2L, docText(2)))
+      .toDF("doc_id", "text")
+    AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "ac2_idx",
+      buckets = 2)
+    (0 until 2).foreach { r =>
+      val adm = CorpusPipeline.admitBatch(corpus,
+        AdmissionIndexes.load(spark, "ac2_idx_digests"),
+        AdmissionIndexes.load(spark, "ac2_idx_bands"),
+        Seq((100L + r, s"fresh batch number $r with its own words $r"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      AdmissionIndexes.appendDeltas(adm, "ac2_idx", buckets = 2,
+        maxFilesPerBucket = Some(1))
+    }
+    val fragAfter =
+      AdmissionIndexes.fragmentation(spark, "ac2_idx_digests").get
+    assert(fragAfter.maxFilesPerBucket <= 2,
+      s"auto-compact should have kept fragmentation bounded: $fragAfter")
+    // every admitted doc's digest is probeable after the rewrites
+    assert(AdmissionIndexes.load(spark, "ac2_idx_digests")
+      .filter(col("id") >= 100L).count() == 2)
+    Seq("digests", "bands", "windows", "postings", "stats", "bounds")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ac2_idx_$s"))
   }
 
   test("digest and code indexes refuse a frame missing their probe key") {
