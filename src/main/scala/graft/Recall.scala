@@ -128,6 +128,25 @@ object Recall {
         .filter(Dedup.hamming(col("ca"), col("cb")) <= 3)
       pairRecall(SparkEntry.queries("q_simhash_pairs")(s, d), exact,
         Seq("id_a", "id_b"))
+    }),
+
+    // pigeonhole-banded dHash (perceptual image hash) pairs vs the
+    // exact full-table hamming <= 14 self-join over the SAME 56-bit
+    // codes (banding is recall-lossless below the bound; the
+    // maxBucket=2000 hot-bucket cut is what recall prices)
+    "q_phash_pairs" -> ((s: SparkSession, d: String) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.grayPixelsStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)))
+        .select(col("media_id").as("id"),
+          Multimodal.dHash(col("px")).as("code"))
+        .localCheckpoint()
+      val l = codes.select(col("id").as("id_a"), col("code").as("ca"))
+      val r = codes.select(col("id").as("id_b"), col("code").as("cb"))
+      val exact = l.join(r, col("id_a") < col("id_b"))
+        .filter(Dedup.hamming(col("ca"), col("cb")) <= 14)
+      pairRecall(SparkEntry.queries("q_phash_pairs")(s, d), exact,
+        Seq("id_a", "id_b"))
     }))
 
   val skipped: Map[String, String] = Map(
@@ -151,6 +170,7 @@ object Recall {
     "q_incremental_embed" -> 0.90, // measured 0.97 at nTables=8 (r10: 0.83 at 4)
     "q_minhash_pairs" -> 0.95,    // measured 1.00
     "q_simhash_pairs" -> 0.95,    // measured 1.00 (banding lossless)
+    "q_phash_pairs" -> 0.95,      // measured 1.00 (banding lossless)
     // survivor-subset INVARIANT (see the measure's comment), not a
     // tuning number — below 0.99 means a plumbing bug, not a knob
     "q_semantic_dedup" -> 0.99)

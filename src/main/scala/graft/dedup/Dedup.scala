@@ -946,18 +946,36 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 5000,
+      bits: Int = 16): DataFrame =
+    hammingBandedPairs(simhashCodes(df, idCol, textCol, bits),
+      maxHamming, maxBucket, bits)
+
+  /** The pigeonhole-banding kernel itself, HASH-AGNOSTIC: near-dup
+    * pairs of any (id, code) fingerprint frame — text simhash
+    * ([[simhashPairs]]), perceptual image hash
+    * ([[graft.multimodal.Multimodal.dHash]] codes), any fingerprint
+    * whose similarity is hamming distance. The guarantee and the plan
+    * shape are exactly [[simhashPairs]]' scaladoc: `maxHamming + 1`
+    * segments, at least one bit-identical for any pair within the
+    * bound (pigeonhole — recall is EXACT below the bound when no
+    * bucket is capped), equi-join on (segment, bits) only, exact
+    * hamming re-check kills band collisions, `maxBucket` prices
+    * hot-code mass. */
+  def hammingBandedPairs(
+      coded: DataFrame, // (id, code)
+      maxHamming: Int = 3,
+      maxBucket: Int = 5000,
       bits: Int = 16): DataFrame = {
     // the pigeonhole guarantee needs maxHamming+1 NON-EMPTY segments;
     // more segments than bits produces zero-width ones whose
     // universal bucket the cap then drops — silently voiding the
     // guarantee the scaladoc states, so refuse the degenerate shape
     require(maxHamming + 1 <= bits,
-      s"simhashPairs needs maxHamming + 1 <= bits for the pigeonhole " +
-        s"guarantee (got maxHamming=$maxHamming, bits=$bits)")
+      s"hammingBandedPairs needs maxHamming + 1 <= bits for the " +
+        s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
     val nSeg = maxHamming + 1
     // segment boundaries spread the code bits as evenly as possible
     val bounds = (0 to nSeg).map(i => i * bits / nSeg)
-    val coded = simhashCodes(df, idCol, textCol, bits)
     val banded = coded.select(col("id"), col("code"),
       explode(array((0 until nSeg).map { s =>
         val lo = bounds(s)

@@ -150,4 +150,76 @@ object Multimodal {
         (r.media_id, off, r.payload(off).toInt & 0xff))
     }.toDF("media_id", "frame_offset", "frame_byte")
   }
+
+  /** Grayscale-thumbnail decode for perceptual hashing, behind the
+    * same honest mapPartitions seam as [[decodeStub]]: a REAL
+    * implementation opens one decoder context per partition, decodes
+    * each payload, grayscales, and box-resizes to a tiny w x h grid —
+    * the canonical dHash preprocessing. This container ships no image
+    * codec, so the stub derives DETERMINISTIC pseudo-pixels from the
+    * payload bytes (byte `i % 16` of md5(payload ++ ":" ++ i/16),
+    * unsigned) — the exact formula the q_phash oracle recomputes in
+    * SQL, so the DOWNSTREAM math ([[dHash]] + banding) is verified
+    * end-to-end even though the pixels are fake. Output:
+    * (media_id, px: array<int> of w*h gray values, row-major). */
+  def grayPixelsStub(rows: Dataset[MediaRow], w: Int = 9,
+      h: Int = 7): DataFrame = {
+    import rows.sparkSession.implicits._
+    val n = w * h
+    rows.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val px = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          if (i % 16 == 0) {
+            md.reset()
+            md.update(r.payload)
+            md.update(s":${i / 16}".getBytes("UTF-8"))
+            val d = md.digest()
+            var j = 0
+            while (j < 16 && i + j < n) {
+              px(i + j) = d(j) & 0xff
+              j += 1
+            }
+          }
+          i += 16
+        }
+        (r.media_id, px.toSeq)
+      }
+    }.toDF("media_id", "px")
+  }
+
+  /** Difference hash (dHash) of a row-major w x h grayscale pixel
+    * array — THE standard perceptual image fingerprint (public
+    * recipe: hackerfactor.com "Kind of Like That"; each bit compares
+    * a pixel to its right neighbor, so the code captures the
+    * horizontal gradient structure and is stable under rescaling,
+    * recompression, and small edits): bit `r*(w-1)+c` is set iff
+    * `px[r*w+c] < px[r*w+c+1]`. (w-1)*h bits; the 9x7 default gives
+    * 56 — inside a signed Long's positive range, so the code
+    * round-trips bit-exactly through parquet, DuckDB, and
+    * [[graft.dedup.Dedup.hamming]] with no sign traps (the classic
+    * 9x8/64 grid works too, but its bit 63 makes sign-sensitive
+    * cross-engine comparison fragile for zero information gain at
+    * dedup thresholds). Pure built-in column math over the pixel
+    * array — codegen'd, row-local, no UDF.
+    *
+    * Near-dup pairs over the codes: [[graft.dedup.Dedup
+    * .hammingBandedPairs]] — the same pigeonhole banding kernel the
+    * text simhash uses (banding is hash-agnostic: guaranteed recall
+    * within maxHamming, equi-join buckets only, never all-pairs). */
+  def dHash(px: org.apache.spark.sql.Column, w: Int = 9,
+      h: Int = 7): org.apache.spark.sql.Column = {
+    require((w - 1) * h <= 63,
+      s"dHash needs (w-1)*h <= 63 bits to stay in a Long's positive " +
+        s"range, got ${(w - 1) * h}")
+    (0 until h).flatMap { r =>
+      (0 until w - 1).map { c =>
+        val k = r * (w - 1) + c
+        when(element_at(px, r * w + c + 1) < element_at(px, r * w + c + 2),
+          lit(1L << k)).otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+  }
 }

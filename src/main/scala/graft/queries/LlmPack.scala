@@ -34,14 +34,28 @@ object LlmPack extends QueryPack {
     * JVM — the same process-lifetime caching Tables gets from the
     * parquet footer cache — and every pass still probes the
     * persisted tables from disk. A different sfDir (tests vs bench
-    * vs verify) rebuilds under its own key; `computeIfAbsent` blocks
-    * concurrent callers until the build completes so a probe can
-    * never see a half-built index. */
+    * vs verify) rebuilds under its own key; `compute` holds the map
+    * entry's lock for the build's duration so a concurrent probe can
+    * never see a half-built index.
+    *
+    * The key carries the CATALOG's identity, not just the JVM: the
+    * built tables live in a per-SparkContext catalog, so a second
+    * session created after the first stops (fresh in-memory catalog,
+    * same sfDir) must rebuild — a JVM-global memo would skip it and
+    * the probe would fail table-not-found. And a memo HIT still
+    * re-checks that every gate table exists before skipping: an
+    * out-of-band DROP (or data changed under the same sfDir path via
+    * a table drop) triggers a rebuild instead of probing a ghost. */
   private val gateBuilds =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def buildGateOnce(sfDir: String, gate: String)(build: => Unit): Unit =
-    gateBuilds.computeIfAbsent(s"$sfDir|$gate",
-      _ => { build; java.lang.Boolean.TRUE })
+  private def buildGateOnce(s: SparkSession, sfDir: String, gate: String,
+      tables: Seq[String])(build: => Unit): Unit = {
+    val cat = System.identityHashCode(s.sharedState.externalCatalog)
+    gateBuilds.compute(s"$cat|$sfDir|$gate", (_, prev) => {
+      if (prev == null || !tables.forall(s.catalog.tableExists)) build
+      java.lang.Boolean.TRUE
+    })
+  }
 
   /** Per-sfDir suffix for the gate tables' NAMES, so the memoized
     * build's isolation claim is real: without it, alternating sfDirs
@@ -263,7 +277,8 @@ object LlmPack extends QueryPack {
     "q_bm25_from_postings" -> ((s, d) => {
       import graft.jobs.AdmissionIndexes
       val sfx = gateSfx(d)
-      buildGateOnce(d, "postings") {
+      buildGateOnce(s, d, "postings",
+        Seq(s"q_gate_postings_$sfx", s"q_gate_postings_stats_$sfx")) {
         val docs = Tables.documents(s, d)
         AdmissionIndexes.savePostingsIndex(
           Search.postings(docs, "doc_id", "text"),
@@ -317,7 +332,8 @@ object LlmPack extends QueryPack {
       import graft.jobs.AdmissionIndexes
       val queries = bm25MultiQueries.toDF("query_id", "term")
       val sfx = gateSfx(d)
-      buildGateOnce(d, "ms") {
+      buildGateOnce(s, d, "ms", Seq(s"q_gate_ms_postings_$sfx",
+          s"q_gate_ms_stats_$sfx", s"q_gate_ms_bounds_$sfx")) {
         val docs = Tables.documents(s, d)
         val post = Search.postings(docs, "doc_id", "text")
           .localCheckpoint()
@@ -1015,7 +1031,8 @@ object LlmPack extends QueryPack {
       val base = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val sfx = gateSfx(d)
-      buildGateOnce(d, "ivfpq") {
+      buildGateOnce(s, d, "ivfpq", Seq(s"q_gate_ivfpq_$sfx",
+          s"q_gate_ivfpq_cents_$sfx", s"q_gate_ivfpq_cb_$sfx")) {
         val (cents, cbDf, assigned) = graft.similarity.Pq.ivfPqIndex(
           base, nLists = 16, m = 16, kCodes = 32)
         AdmissionIndexes.saveIvfIndex(assigned, s"q_gate_ivfpq_$sfx",
@@ -1065,7 +1082,8 @@ object LlmPack extends QueryPack {
       val base = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val sfx = gateSfx(d)
-      buildGateOnce(d, "ivf") {
+      buildGateOnce(s, d, "ivf",
+        Seq(s"q_gate_ivf_$sfx", s"q_gate_ivf_cents_$sfx")) {
         val (cents, assigned) = Similarity.ivfIndex(base, nLists = 16)
         AdmissionIndexes.saveIvfIndex(assigned, s"q_gate_ivf_$sfx",
           buckets = 16)
@@ -1282,6 +1300,60 @@ object LlmPack extends QueryPack {
             (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
           h.as("checksum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual image hash (dHash, 56-bit) through the honest decode
+    // seam: grayPixelsStub's mapPartitions derives deterministic
+    // md5-based pseudo-pixels (no codecs in this container — the SQL
+    // oracle recomputes the identical bytes), then the REAL dHash
+    // gradient-bit math runs as column expressions. Full oracle on
+    // the codes pins both halves.
+    "q_phash" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.grayPixelsStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)))
+        .select(col("media_id").as("doc_id"),
+          Multimodal.dHash(col("px")).as("code"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Image-content near-dup pairs at SCALE: dHash codes through the
+    // SAME pigeonhole banding kernel the text simhash uses
+    // (hammingBandedPairs — banding is hash-agnostic), bucket cap on.
+    // Rows-only here; recall vs the brute-force hamming twin is
+    // measured and floored (Recall.scala). maxHamming=14 is the
+    // operating point the md5-derived STUB pixels need to produce
+    // pairs (near-identical payloads get unrelated fake pixels, so
+    // code proximity is random-like); a real decoder's codes cluster
+    // near-dups at hamming 2-6, where the same banding gets 3-7
+    // segments of 8-18 bits — strictly easier buckets.
+    "q_phash_pairs" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.grayPixelsStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)))
+        .select(col("media_id").as("id"),
+          Multimodal.dHash(col("px")).as("code"))
+      Dedup.hammingBandedPairs(codes, maxHamming = 14,
+          maxBucket = 2000, bits = 56)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The banded pHash pairing under the hard driver-checked oracle
+    // (same contract shape as q_simhash_pairs_exact): bounded subset,
+    // cap disabled — pigeonhole banding guarantees exact recall
+    // within maxHamming and the hamming re-check kills band
+    // collisions, so the banded output must equal the brute-force
+    // hamming self-join over the (SQL-recomputable) dHash codes.
+    "q_phash_pairs_exact" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.grayPixelsStub(
+          Multimodal.fromDocuments(
+            Tables.documents(s, d).filter(col("doc_id") < 400)))
+        .select(col("media_id").as("id"),
+          Multimodal.dHash(col("px")).as("code"))
+      Dedup.hammingBandedPairs(codes, maxHamming = 14,
+          maxBucket = Int.MaxValue, bits = 56)
+        .orderBy(col("id_a"), col("id_b"))
     }),
   )
 
@@ -2010,5 +2082,39 @@ object LlmPack extends QueryPack {
         |  ['png','jpg','webp'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // dHash oracle: recompute the stub's md5-derived pixel bytes
+    // (byte i%16 of md5(text || ':' || i/16), unsigned) and replay
+    // the gradient-bit sum — bit k set iff pixel[r*9+c] < its right
+    // neighbor (r = k/8, c = k%8; 1-indexed list access in DuckDB).
+    "q_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |      < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |    THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_phash_pairs_exact" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents WHERE doc_id < 400),
+        |codes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |        < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |      THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |  FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+        |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.code, b.code)) <= 14
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

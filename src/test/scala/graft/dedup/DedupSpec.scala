@@ -163,6 +163,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hammingBandedPairs is hash-AGNOSTIC: exact parity with a " +
+      "brute-force hamming join over arbitrary 56-bit codes (the " +
+      "dHash/pHash width), and the cap still prices hot codes") {
+    // adversarial codes: a tight cluster around a base value (every
+    // pair within hamming 3), a far singleton, and a hot identical
+    // pair — none derived from text, proving the kernel needs only
+    // (id, code)
+    val base = 0x00a5a5a5a5a5a5L
+    val codes = Seq(
+      (1L, base), (2L, base ^ 1L), (3L, base ^ (1L << 20)),
+      (4L, base ^ (1L << 20) ^ (1L << 41)),
+      (5L, 0x003c3c3c3c3c3cL), // far from the cluster
+      (6L, base), (7L, base)).toDF("id", "code")
+    val banded = Dedup.hammingBandedPairs(codes, maxHamming = 3,
+        maxBucket = Int.MaxValue, bits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = codes.alias("l").join(codes.alias("r"),
+        col("l.id") < col("r.id"))
+      .withColumn("hamming", Dedup.hamming(col("l.code"), col("r.code")))
+      .filter(col("hamming") <= 3)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute && banded.nonEmpty,
+      s"banded $banded vs brute $brute")
+    // every within-bound pair found, the far code pairs with nothing
+    assert(!banded.exists(p => p._1 == 5L || p._2 == 5L))
+    // maxBucket=1 drops every bucket (all hold >= the identical
+    // trio), so the capped output is empty — the hot-code guard is
+    // live on this kernel too
+    assert(Dedup.hammingBandedPairs(codes, maxHamming = 3,
+      maxBucket = 1, bits = 56).count() == 0)
+  }
+
   test("simhashCodes(bits=32) widens the 16-bit code: low 16 bits match " +
       "only when votes agree, and the type widens to long") {
     val docs = Tables.documents(spark, sf).limit(50)

@@ -133,4 +133,56 @@ class MultimodalSpec extends SparkSpec {
     assert(out("wav") == ((Some("wav"), Some(2), Some(44100), Some(16))))
     assert(out("junk") == ((None, None, None, None)))
   }
+
+  test("dHash sets exactly the rising-gradient bits of a known pixel " +
+      "grid, and near-identical grids land within small hamming " +
+      "distance — the perceptual-hash contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3x2 grid (w=3, h=2): 2 bits per row, 4 bits total.
+    // row 0: 10 < 20 (bit 0 set), 20 > 5 (bit 1 clear)
+    // row 1: 7 > 3 (bit 2 clear), 3 < 9 (bit 3 set)
+    val grid = Seq((1L, Seq(10, 20, 5, 7, 3, 9))).toDF("id", "px")
+    val code = grid.select(Multimodal.dHash(col("px"), w = 3, h = 2))
+      .collect().head.getLong(0)
+    assert(code == ((1L << 0) | (1L << 3)), s"got $code")
+    // one flipped comparison = hamming 1; ties (==) read as 0-bit
+    val near = Seq(
+      (1L, Seq(10, 20, 5, 7, 3, 9)),
+      (2L, Seq(10, 20, 5, 7, 3, 2)), // only the last comparison flips
+      (3L, Seq(10, 10, 5, 7, 3, 9))) // first tied -> bit 0 clears
+      .toDF("id", "px")
+      .select(col("id"), Multimodal.dHash(col("px"), w = 3, h = 2).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(near(1L) ^ near(2L)) == 1)
+    assert(java.lang.Long.bitCount(near(1L) ^ near(3L)) == 1)
+    // the 9x7 default refuses nothing and stays in 56 bits
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dHash(col("px"), w = 9, h = 8) // 64 bits: sign trap
+    }
+    assert(e.getMessage.contains("63"))
+  }
+
+  test("grayPixelsStub is deterministic, shaped w*h, and identical " +
+      "payloads get identical pixels (hamming-0 dHash codes) — the " +
+      "decode seam the pHash pipeline rides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "wholly different text")).toDF("doc_id", "text")
+    val px = Multimodal.grayPixelsStub(Multimodal.fromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(px(1L).length == 63)
+    assert(px.values.flatten.forall(v => v >= 0 && v <= 255))
+    assert(px(1L) == px(2L), "identical payloads must decode identically")
+    assert(px(1L) != px(3L))
+    // and twice over the same input: bit-identical (md5 is pure)
+    val again = Multimodal.grayPixelsStub(Multimodal.fromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(again == px)
+    val codes = Multimodal.grayPixelsStub(Multimodal.fromDocuments(docs))
+      .select(col("media_id"), Multimodal.dHash(col("px")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(1L) == codes(2L) && codes(1L) != codes(3L))
+  }
 }
