@@ -785,6 +785,67 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamingEmbedAdmission IS the streaming face of SemDeDup " +
+      "admission: its verdicts equal semanticDedup survivorship on a " +
+      "shared fixture at the same threshold") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.VecDoc
+    import graft.similarity.Similarity
+    // Shared fixture: corpus {vA, vB}; arriving docs 10 (~vA, a
+    // semantic dup), 11 (novel), 12 (== vB, dup), 14 (novel). The
+    // batch docs are mutually dissimilar BY CONSTRUCTION — the one
+    // honest scope cut between the faces is that a stream never
+    // compares two in-flight docs (within-batch dups are the chained
+    // batch pipeline's job), so parity is asserted on a fixture where
+    // that cut cannot bite.
+    def v(xs: Float*): Seq[Float] = xs
+    val vA = v(1, 0, 0, 0, 0, 0, 0, 0)
+    val vB = v(0, 1, 0, 0, 0, 0, 0, 0)
+    val corpusVecs = Seq((1L, vA), (2L, vB)).toDF("id", "vec")
+    val batch = Seq(
+      10L -> v(0.99f, 0.05f, 0, 0, 0, 0, 0, 0),
+      11L -> v(0, 0, 1, 0, 0, 0, 0, 0),
+      12L -> v(0, 1, 0, 0, 0, 0, 0, 0),
+      14L -> v(0, 0, 0, 0, 0, 1, 0, 0))
+    val thr = 0.9
+
+    // batch face: SemDeDup over corpus + batch in the exact regime;
+    // a batch doc is ADMITTED iff it survives (corpus ids are
+    // smaller, so any corpus-similar doc merges into a corpus-led
+    // group and its min-id keeper is the corpus row)
+    val emb = (Seq(1L -> vA, 2L -> vB) ++ batch).toDF("id", "vec")
+    val survivors = Similarity.semanticDedup(emb, threshold = thr,
+        nLists = 1, maxCell = Int.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val batchSurvivors = survivors.intersect(batch.map(_._1).toSet)
+
+    // streaming face: same corpus, same threshold, docs on a stream
+    val nBits = 2
+    val corpusCodes = Similarity.signCodeIndex(corpusVecs, dim = 8,
+      nBits = nBits)
+    val in = MemoryStream[VecDoc]
+    val q = EventStream.streamingEmbedAdmission(
+        in.toDF(), corpusVecs, corpusCodes,
+        dim = 8, nBits = nBits, simThreshold = thr,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("semdedup_parity_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(batch.zipWithIndex.map { case ((id, vec), i) =>
+      VecDoc(id, ts(f"2024-01-01 00:0$i%d:00"), vec) }: _*)
+    q.processAllAvailable()
+    in.addData(VecDoc(99L, ts("2024-01-01 02:00:00"),
+      v(0, 0, 0, 1, 0, 0, 0, 0))) // closes the verdict window
+    q.processAllAvailable()
+    val admitted = spark.table("semdedup_parity_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(admitted == batchSurvivors,
+      s"streaming admitted $admitted but semanticDedup keeps " +
+        s"$batchSurvivors of the batch — the two faces diverged")
+    }
+  }
+
   test("stream-stream interval join matches same-user events within the " +
       "bound, across micro-batches, and never outside it") {
     withFewPartitions {
