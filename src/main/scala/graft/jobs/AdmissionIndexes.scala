@@ -95,6 +95,15 @@ object AdmissionIndexes {
           " — band keys would hash DISJOINT key spaces and every " +
           "near-dup would be silently admitted; probe with the " +
           "stamped parameters or rebuild the index")
+      // a PARTIAL stamp (some keys withheld at save time) cannot
+      // verify the missing dimensions — warn like the stamp-less
+      // case instead of silently treating absent as matching
+      val unverifiable = want.keys.filterNot(stamp.contains).toSeq.sorted
+      if (unverifiable.nonEmpty)
+        System.err.println(s"[admission-indexes] band index '$table' " +
+          s"stamp is PARTIAL — cannot verify " +
+          s"${unverifiable.mkString(", ")} against the probe; " +
+          "re-save with all three parameters to close the gap")
     }
     load(spark, table)
   }
@@ -157,6 +166,10 @@ object AdmissionIndexes {
           s"(has ${df.columns.mkString(", ")})"))
     prepareOverwrite(df.sparkSession, table)
     df.write.mode("overwrite").saveAsTable(table)
+    // buckets=0 sidecar: no bucket spec, but the schema still makes
+    // the quantizer re-registrable after a catalog loss — a probe
+    // needs centroids AND assignments, so recovery must cover both
+    writeSpec(df.sparkSession, table, Nil, 0, df.schema.toDDL, Map.empty)
   }
 
   /** The PQ quantizer: the 1-row (m, k, dsub, flat) codebook table
@@ -171,6 +184,7 @@ object AdmissionIndexes {
           s"(has ${df.columns.mkString(", ")})"))
     prepareOverwrite(df.sparkSession, table)
     df.write.mode("overwrite").saveAsTable(table)
+    writeSpec(df.sparkSession, table, Nil, 0, df.schema.toDDL, Map.empty)
   }
 
   def load(spark: SparkSession, table: String): DataFrame =
@@ -190,9 +204,13 @@ object AdmissionIndexes {
       require(df.columns.contains(c),
         s"corpus-stats frame needs column '$c' " +
           s"(has ${df.columns.mkString(", ")})"))
-    if (!append) prepareOverwrite(df.sparkSession, table)
+    val spark = df.sparkSession
+    val existed = append && spark.catalog.tableExists(table)
+    if (!append) prepareOverwrite(spark, table)
     df.write.mode(if (append) "append" else "overwrite")
       .saveAsTable(table)
+    if (!existed)
+      writeSpec(spark, table, Nil, 0, df.schema.toDDL, Map.empty)
   }
 
   /** The 1-row (n_docs, sum_len) frame from a stats table written by
@@ -697,13 +715,18 @@ object AdmissionIndexes {
           bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
           " — refusing the append (it would mix disjoint key spaces)")
     }
+    // an append that CREATES the table (no bootstrap ran) must stamp
+    // and sidecar it like a fresh save would — otherwise the table is
+    // permanently unstamped (mismatched probes merely warn) and
+    // unrecoverable after a catalog loss (no sidecar ever written)
+    val existed = append && spark.catalog.tableExists(table)
     if (!append) prepareOverwrite(spark, table)
     df.write
       .mode(if (append) "append" else "overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
-    if (!append) {
+    if (!existed) {
       if (props.nonEmpty) setTableProps(spark, table, props)
       writeSpec(spark, table, keys, buckets, df.schema.toDDL, props)
     }
@@ -746,10 +769,8 @@ object AdmissionIndexes {
 
   private val specFileName = "_graft_spec.json"
 
-  private def jsonMapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m
-  }
+  // stateless and thread-safe for plain read/write — construct once
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def localWarehouse(spark: SparkSession): Option[java.io.File] = {
     val whUri = spark.conf.get("spark.sql.warehouse.dir")
@@ -819,14 +840,31 @@ object AdmissionIndexes {
         // previous registration died between its renames — whether or
         // not its CREATE finished (an empty shell + empty dir at
         // most). Drop the shell, clear any empty dir, move the data
-        // back, and fall through to a clean re-attempt.
-        if (aside.isDirectory) {
+        // back, and fall through to a clean re-attempt. BUT never
+        // over newer data: if the live dir holds data files, the
+        // index was rebuilt after the crash and the parked copy is
+        // STALE — restoring it would destroy every post-rebuild row
+        // (the same never-destroy-good-data-on-a-heuristic rule the
+        // swap recovery enforces). Leave both in place and say so.
+        val staleAside = aside.isDirectory && dir.isDirectory &&
+          Option(dir.listFiles()).exists(
+            _.exists(_.getName.startsWith("part-")))
+        if (staleAside) {
+          // the stale copy also blocks a fresh registration (the park
+          // rename would land on it), so this call is a refusing no-op
+          System.err.println(s"[admission-indexes] '$table': a stale " +
+            s"'${aside.getName}' copy from an interrupted " +
+            "registration coexists with LIVE data — not restoring " +
+            s"it over newer rows; inspect and remove ${aside.getPath} " +
+            "manually (re-registration is blocked until then)")
+        } else if (aside.isDirectory) {
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
           if (dir.exists()) deleteRecursively(dir)
           require(aside.renameTo(dir),
             s"could not move ${aside.getPath} back to ${dir.getPath}")
         }
-        if (spark.catalog.tableExists(table) || !dir.isDirectory) false
+        if (staleAside || spark.catalog.tableExists(table) ||
+          !dir.isDirectory) false
         else readSpec(dir) match {
           case None => false
           case Some(spec) =>

@@ -586,6 +586,19 @@ object CorpusPipeline {
     * Only the batch is ever hashed; corpus text is re-read solely for
     * near-dup candidate verification inside incrementalNearDupPairs.
     *
+    * OPERATING POINT: the default (bands=8, rowsPerBand=4) banding's
+    * candidate s-curve crosses 50% at Jaccard ~0.54 — right for
+    * catching genuine near-duplicates (>= 0.7 Jaccard: ~89%+
+    * candidate probability; the exact-Jaccard verify then makes
+    * precision exact). `threshold` only VERIFIES candidates, it does
+    * not move the curve: a 0.3-threshold sweep that must also RECALL
+    * 0.3-0.5-Jaccard pairs needs wider banding — rowsPerBand=2 (50%
+    * crossover ~0.23) or more bands — passed EXPLICITLY so the index
+    * stamp records it. Pre-r12 indexes built under the old
+    * rowsPerBand=2 default are unstamped: probe them with explicit
+    * rowsPerBand=2 or re-bootstrap (the stamp then enforces parity
+    * forever after).
+    *
     * With `embedding` set, a FIFTH verdict runs between corpus
     * near-dup and batch near-dup: `is_corpus_embed_dup` — cosine >=
     * simThreshold against an indexed corpus vector

@@ -802,7 +802,11 @@ object Similarity {
       .agg(count(lit(1)).as("csz"))
       .localCheckpoint()
     if (checkUnique) {
-      val total = cellSizes.agg(sum(col("csz"))).collect()(0).getLong(0)
+      // coalesce: sum over an empty sizes frame is null (an empty
+      // assignments table — e.g. a delta that admitted nothing — must
+      // yield an empty result, not an NPE)
+      val total = cellSizes
+        .agg(coalesce(sum(col("csz")), lit(0L))).collect()(0).getLong(0)
       val distinctIds = assigned.select(col("id")).distinct().count()
       require(distinctIds == total,
         s"semanticDedupFromAssignments needs single-assignment " +

@@ -500,6 +500,22 @@ class AdmissionIndexesSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
       s"re-registered table lost bucket pruning:\n$plan")
     spark.sql("DROP TABLE IF EXISTS sidecar_idx")
+
+    // the NON-bucketed companions (stats/centroids/codebooks) carry a
+    // buckets=0 sidecar and recover the same way — a probe needs both
+    // halves of an index, so recovery must too
+    AdmissionIndexes.saveCorpusStats(
+      Seq((10L, 200L)).toDF("n_docs", "sum_len"), "sidecar_stats")
+    val sdir = new java.io.File(wh, "sidecar_stats")
+    val statsPark = new java.io.File(wh, "sidecar_stats.parked")
+    assert(sdir.renameTo(statsPark))
+    spark.sql("DROP TABLE sidecar_stats")
+    assert(statsPark.renameTo(sdir))
+    AdmissionIndexes.recoverAll(spark)
+    val st = AdmissionIndexes.loadCorpusStats(spark, "sidecar_stats")
+      .collect()(0)
+    assert(st.getLong(0) == 10L && st.getLong(1) == 200L)
+    spark.sql("DROP TABLE IF EXISTS sidecar_stats")
   }
 
   test("recover re-verifies row counts before completing a swap " +
@@ -597,6 +613,50 @@ class AdmissionIndexesSpec extends SparkSpec {
       .filter(col("id") >= 100L).count() == 2)
     Seq("digests", "bands", "windows", "postings", "stats", "bounds")
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ac2_idx_$s"))
+  }
+
+  test("an append that CREATES the table stamps and sidecars it like " +
+      "a fresh save; a stale __registering copy never overwrites live " +
+      "data") {
+    // append-before-bootstrap: the table must still come out stamped
+    // (else every later mismatched probe merely warns) and carry the
+    // recovery sidecar
+    val delta = Dedup.minhashBandRows(
+      Seq((1L, docText(1))).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 4)
+    AdmissionIndexes.saveBandIndex(delta, "fresh_append_idx",
+      buckets = 4, append = true, shingleN = 3, bands = 8,
+      rowsPerBand = 4)
+    assert(AdmissionIndexes.tableProps(spark, "fresh_append_idx")
+      .get("graft.rowsPerBand").contains("4"),
+      "append-created table must carry the stamp")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    assert(new java.io.File(new java.io.File(wh, "fresh_append_idx"),
+      "_graft_spec.json").isFile,
+      "append-created table must carry the recovery sidecar")
+    spark.sql("DROP TABLE fresh_append_idx")
+
+    // a stale parked copy (interrupted registration) + a REBUILT live
+    // table: the heal must refuse, not restore stale rows over new
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(
+        (0 until 40).map(i => (i.toLong, docText(i))).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      "heal_idx", buckets = 2)
+    val live = AdmissionIndexes.load(spark, "heal_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val stale = new java.io.File(wh, "heal_idx__registering")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stale, "marker").toPath, "stale")
+    assert(!AdmissionIndexes.registerFromSpec(spark, "heal_idx"))
+    assert(AdmissionIndexes.load(spark, "heal_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == live,
+      "live data must survive a stale parked copy untouched")
+    assert(stale.isDirectory, "the stale copy is left for the operator")
+    java.nio.file.Files.delete(new java.io.File(stale, "marker").toPath)
+    java.nio.file.Files.delete(stale.toPath)
+    spark.sql("DROP TABLE heal_idx")
   }
 
   test("digest and code indexes refuse a frame missing their probe key") {

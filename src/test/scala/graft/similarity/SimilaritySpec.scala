@@ -374,5 +374,10 @@ class SimilaritySpec extends SparkSpec {
         .count()
     }
     assert(err.getMessage.contains("nAssign"))
+    // an EMPTY assignments table (a delta that admitted nothing)
+    // yields an empty result, not an NPE from a null sum
+    val empty = assignments.filter(col("id") < 0)
+    assert(Similarity.semanticDedupFromAssignments(empty,
+      threshold = 0.35).count() == 0)
   }
 }
