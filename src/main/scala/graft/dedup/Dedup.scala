@@ -950,6 +950,31 @@ object Dedup {
     hammingBandedPairs(simhashCodes(df, idCol, textCol, bits),
       maxHamming, maxBucket, bits)
 
+  /** (seg, sb, bsz) of the segment buckets [[hammingBandedPairs]]
+    * would DROP at the given cap — the monitoring companion to its
+    * skew guard, completing the family contract
+    * ([[oversizedMinhashBuckets]] /
+    * [[graft.similarity.Similarity.oversizedCodeBuckets]]): a capped
+    * bucket's pairs silently SURVIVE as non-pairs, and at a fixed
+    * maxHamming the expected bucket width grows with the corpus
+    * (segment count is pinned by the pigeonhole bound, so width
+    * cannot auto-size) — run this when pair counts look low; each
+    * row is hot-code mass that exact dedup, or a tighter maxHamming
+    * from a better fingerprint, should own. */
+  def oversizedHammingBuckets(
+      coded: DataFrame, // (id, code)
+      maxHamming: Int = 3,
+      maxBucket: Int = 5000,
+      bits: Int = 16): DataFrame = {
+    require(maxHamming + 1 <= bits,
+      s"oversizedHammingBuckets needs maxHamming + 1 <= bits " +
+        s"(got maxHamming=$maxHamming, bits=$bits)")
+    bandedSegments(coded, maxHamming, bits)
+      .groupBy(col("seg"), col("sb"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+  }
+
   /** The pigeonhole-banding kernel itself, HASH-AGNOSTIC: near-dup
     * pairs of any (id, code) fingerprint frame — text simhash
     * ([[simhashPairs]]), perceptual image hash
@@ -973,20 +998,7 @@ object Dedup {
     require(maxHamming + 1 <= bits,
       s"hammingBandedPairs needs maxHamming + 1 <= bits for the " +
         s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
-    val nSeg = maxHamming + 1
-    // segment boundaries spread the code bits as evenly as possible
-    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
-    val banded = coded.select(col("id"), col("code"),
-      explode(array((0 until nSeg).map { s =>
-        val lo = bounds(s)
-        // Long mask (an Int mask breaks at width >= 32); width == 64
-        // means one segment covering the whole code — mask everything
-        val w = bounds(s + 1) - lo
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        struct(lit(s).as("seg"),
-          shiftright(col("code"), lo).bitwiseAND(lit(mask)).as("sb"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("code"), col("bk.seg"), col("bk.sb"))
+    val banded = bandedSegments(coded, maxHamming, bits)
     val kept = capBuckets(banded, Seq("seg", "sb"), maxBucket,
       minBucket = 2) // size-1 buckets cannot form a pair
     // the exact-hamming verify runs PIPELINED inside the bucket
@@ -1007,6 +1019,28 @@ object Dedup {
         hamming(col("l.code"), col("r.code")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** (id, code, seg, sb) segment rows of a fingerprint frame — the
+    * shared explode [[hammingBandedPairs]] pairs on and
+    * [[oversizedHammingBuckets]] monitors, one definition so the
+    * monitor reports on exactly the buckets the pair generator uses:
+    * maxHamming+1 segments spreading `bits` as evenly as possible. */
+  private def bandedSegments(coded: DataFrame, maxHamming: Int,
+      bits: Int): DataFrame = {
+    val nSeg = maxHamming + 1
+    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+    coded.select(col("id"), col("code"),
+      explode(array((0 until nSeg).map { s =>
+        val lo = bounds(s)
+        // Long mask (an Int mask breaks at width >= 32); width == 64
+        // means one segment covering the whole code — mask everything
+        val w = bounds(s + 1) - lo
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        struct(lit(s).as("seg"),
+          shiftright(col("code"), lo).bitwiseAND(lit(mask)).as("sb"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("code"), col("bk.seg"), col("bk.sb"))
   }
 
   /** Brute-force hamming pairs — O(n²), test oracle ONLY. Used by

@@ -191,9 +191,17 @@ class DedupSpec extends SparkSpec {
     assert(!banded.exists(p => p._1 == 5L || p._2 == 5L))
     // maxBucket=1 drops every bucket (all hold >= the identical
     // trio), so the capped output is empty — the hot-code guard is
-    // live on this kernel too
+    // live on this kernel too, and its monitoring companion reports
+    // EXACTLY the buckets the cap dropped (no silent caps)
     assert(Dedup.hammingBandedPairs(codes, maxHamming = 3,
       maxBucket = 1, bits = 56).count() == 0)
+    val over = Dedup.oversizedHammingBuckets(codes, maxHamming = 3,
+      maxBucket = 1, bits = 56).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("bsz") > 1),
+      s"monitor must surface the dropped hot buckets, got ${over.toSeq}")
+    // at a generous cap nothing is dropped and the monitor is empty
+    assert(Dedup.oversizedHammingBuckets(codes, maxHamming = 3,
+      maxBucket = 100, bits = 56).count() == 0)
   }
 
   test("simhashCodes(bits=32) widens the 16-bit code: low 16 bits match " +
