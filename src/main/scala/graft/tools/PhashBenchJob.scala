@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, Tables}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+
+/** Timed perceptual-hash near-dup run over a testdata documents table
+  * — the scale measurement for the dHash -> hammingBandedPairs
+  * pipeline at its PRODUCTION operating point (small maxHamming: a
+  * real decoder's near-dup codes sit at hamming 2-6, where
+  * maxHamming+1 segments are few and WIDE, so bucket values are
+  * plentiful and expected bucket width stays small). The
+  * q_phash_pairs oracle path runs maxHamming=14 only because the
+  * deterministic stub's codes are random-like; this job prices the
+  * point a real deployment runs.
+  *
+  * Reports the oversized-bucket monitor alongside the timing, so a
+  * run that silently lost recall to the cap is visible in the same
+  * line that prices it. Args: <sfDir> [maxHamming=3] [maxBucket=5000].
+  * Prints ONE JSON line. */
+object PhashBenchJob {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PhashBenchJob <sfDir> [maxHamming] [maxBucket]")
+    val sfDir = args(0)
+    val maxHamming = if (args.length >= 2) args(1).toInt else 3
+    val maxBucket = if (args.length >= 3) args(2).toInt else 5000
+    val spark = Sessions.local("graft-phash-bench")
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val t0 = System.nanoTime()
+    // codes once, shared by the pair run and the monitor (the
+    // consumed-twice rule)
+    val codes = Multimodal.grayPixelsStub(Multimodal.fromDocuments(docs))
+      .select(col("media_id").as("id"),
+        Multimodal.dHash(col("px")).as("code"))
+      .localCheckpoint()
+    val codesWall = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nPairs = Dedup.hammingBandedPairs(codes, maxHamming, maxBucket,
+      bits = 56).count()
+    val pairsWall = (System.nanoTime() - t1) / 1e9
+    val over = Dedup.oversizedHammingBuckets(codes, maxHamming,
+        maxBucket, bits = 56)
+      .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)))
+      .collect()(0)
+    println(s"""{"docs":$n,"max_hamming":$maxHamming,""" +
+      s""""max_bucket":$maxBucket,"pairs":$nPairs,""" +
+      f""""codes_wall_s":$codesWall%.2f,"pairs_wall_s":$pairsWall%.2f,""" +
+      s""""oversized_buckets":${over.getLong(0)},""" +
+      s""""oversized_mass":${over.getLong(1)},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
