@@ -846,9 +846,16 @@ object AdmissionIndexes {
         // STALE — restoring it would destroy every post-rebuild row
         // (the same never-destroy-good-data-on-a-heuristic rule the
         // swap recovery enforces). Leave both in place and say so.
+        // "live evidence" is data files OR the dir's own sidecar: a
+        // legitimately rebuilt ZERO-ROW table has no part- files but
+        // writeSpec gave it a fresh sidecar, while the crashed-CREATE
+        // shell dir (the one state the heal may destroy) has neither
+        // — its sidecar would only have been written after the
+        // move-back that never happened
         val staleAside = aside.isDirectory && dir.isDirectory &&
-          Option(dir.listFiles()).exists(
-            _.exists(_.getName.startsWith("part-")))
+          (Option(dir.listFiles()).exists(
+            _.exists(_.getName.startsWith("part-"))) ||
+            new java.io.File(dir, specFileName).isFile)
         if (staleAside) {
           // the stale copy also blocks a fresh registration (the park
           // rename would land on it), so this call is a refusing no-op

@@ -593,8 +593,8 @@ object CorpusPipeline {
     * precision exact). `threshold` only VERIFIES candidates, it does
     * not move the curve: a 0.3-threshold sweep that must also RECALL
     * 0.3-0.5-Jaccard pairs needs wider banding — rowsPerBand=2 (50%
-    * crossover ~0.23) or more bands — passed EXPLICITLY so the index
-    * stamp records it. Pre-r12 indexes built under the old
+    * crossover ~0.29 at bands=8; ~0.21 at bands=16) or more bands —
+    * passed EXPLICITLY so the index stamp records it. Pre-r12 indexes built under the old
     * rowsPerBand=2 default are unstamped: probe them with explicit
     * rowsPerBand=2 or re-bootstrap (the stamp then enforces parity
     * forever after).

@@ -654,6 +654,20 @@ class AdmissionIndexesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == live,
       "live data must survive a stale parked copy untouched")
     assert(stale.isDirectory, "the stale copy is left for the operator")
+
+    // the zero-row edge: a legitimately REBUILT empty table has no
+    // part- files, but its fresh sidecar is live evidence — the heal
+    // must still refuse (only the crashed-CREATE shell, which has
+    // neither, may be replaced)
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"),
+      "heal_idx", buckets = 2)
+    assert(!AdmissionIndexes.registerFromSpec(spark, "heal_idx"))
+    assert(spark.catalog.tableExists("heal_idx") &&
+      AdmissionIndexes.load(spark, "heal_idx").count() == 0,
+      "a rebuilt zero-row table must survive the stale parked copy")
     java.nio.file.Files.delete(new java.io.File(stale, "marker").toPath)
     java.nio.file.Files.delete(stale.toPath)
     spark.sql("DROP TABLE heal_idx")
