@@ -998,6 +998,17 @@ object Dedup {
     require(maxHamming + 1 <= bits,
       s"hammingBandedPairs needs maxHamming + 1 <= bits for the " +
         s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
+    // MATERIALIZATION IS CALLER POLICY: the code frame is referenced
+    // three times in this plan (both self-join sides + the bucket-
+    // size aggregate), so an EXPENSIVE derivation (a real decoder's
+    // mapPartitions) should arrive lazy-checkpointed — the
+    // PhashBenchJob discipline. The kernel deliberately does NOT
+    // checkpoint internally: measured at sf0.1, a forced
+    // localCheckpoint strips the derived frame's statistics, the
+    // planner loses the small-side broadcast, and q_phash_pairs goes
+    // 0.88 s -> 4.29 s (4.9x) — a pure loss whenever the derivation
+    // is cheap relative to the re-plan, while the caller always
+    // knows which side of that trade it is on.
     val banded = bandedSegments(coded, maxHamming, bits)
     val kept = capBuckets(banded, Seq("seg", "sb"), maxBucket,
       minBucket = 2) // size-1 buckets cannot form a pair
