@@ -7,13 +7,19 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and per-item decode /
   * feature-extraction runs as a partition-mapped batch operator.
   *
-  * The actual codec work is STUBBED (this container ships no image or
-  * audio libraries): `decodeStub` derives deterministic fake features
-  * from the payload bytes. Everything Spark-side — the schema, the
-  * Dataset encoders, the mapPartitions batch shape (one decoder
-  * context per partition, NOT per row), and the partitioning contract
-  * — is real and tested, so a real decoder drops in by replacing one
-  * function.
+  * IMAGE pixel decode is REAL: [[grayPixels]] runs JDK
+  * `javax.imageio.ImageIO` (headless — PNG/JPEG/GIF/BMP/TIFF readers
+  * ship with the JDK, no external codec) behind the mapPartitions
+  * seam, so the dHash near-dup pipeline hashes actual pixels.
+  * [[grayPixelsStub]] remains alongside as the ORACLE face: its
+  * pseudo-pixels are recomputable in SQL, so the downstream math
+  * (dHash + banding) is DuckDB-verified end-to-end every round —
+  * something no real codec allows. Audio/video feature extraction
+  * stays stubbed (`decodeStub`/`frameSampleStub` derive deterministic
+  * fake features; the JDK ships no audio/video decoder): the schema,
+  * Dataset encoders, mapPartitions batch shape (one decoder context
+  * per partition, NOT per row), and partitioning contract are real
+  * and tested, so a real codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -151,17 +157,16 @@ object Multimodal {
     }.toDF("media_id", "frame_offset", "frame_byte")
   }
 
-  /** Grayscale-thumbnail decode for perceptual hashing, behind the
-    * same honest mapPartitions seam as [[decodeStub]]: a REAL
-    * implementation opens one decoder context per partition, decodes
-    * each payload, grayscales, and box-resizes to a tiny w x h grid —
-    * the canonical dHash preprocessing. This container ships no image
-    * codec, so the stub derives DETERMINISTIC pseudo-pixels from the
-    * payload bytes (byte `i % 16` of md5(payload ++ ":" ++ i/16),
-    * unsigned) — the exact formula the q_phash oracle recomputes in
-    * SQL, so the DOWNSTREAM math ([[dHash]] + banding) is verified
-    * end-to-end even though the pixels are fake. Output:
-    * (media_id, px: array<int> of w*h gray values, row-major). */
+  /** ORACLE twin of [[grayPixels]], same seam and output schema:
+    * derives DETERMINISTIC pseudo-pixels from the payload bytes (byte
+    * `i % 16` of md5(payload ++ ":" ++ i/16), unsigned) — the exact
+    * formula the q_phash oracle recomputes in SQL, so the DOWNSTREAM
+    * math ([[dHash]] + banding) is DuckDB-verified end-to-end, which
+    * no real codec's output allows. Real pixel decode is
+    * [[grayPixels]]; this face exists for cross-engine verification
+    * and for payloads that are not real encoded images (testdata text
+    * bytes). Output: (media_id, px: array<int> of w*h gray values,
+    * row-major). */
   def grayPixelsStub(rows: Dataset[MediaRow], w: Int = 9,
       h: Int = 7): DataFrame = {
     import rows.sparkSession.implicits._
@@ -188,6 +193,115 @@ object Multimodal {
         (r.media_id, px.toSeq)
       }
     }.toDF("media_id", "px")
+  }
+
+  /** REAL grayscale-thumbnail decode for perceptual hashing: JDK
+    * `javax.imageio.ImageIO` (headless — PNG/JPEG/GIF/BMP/TIFF/WBMP
+    * readers ship with the JDK, zero new dependencies) decodes each
+    * payload, BT.601 luminance grayscales it, and a box-average
+    * resample reduces it to the tiny w x h grid dHash consumes — the
+    * canonical dHash preprocessing (hackerfactor "Kind of Like That":
+    * shrink, grayscale, compare neighbors). Behind the same
+    * mapPartitions seam as [[grayPixelsStub]] with the same output
+    * schema, so the two faces are drop-in interchangeable: one
+    * decoder context per PARTITION (ImageIO's disk cache is disabled
+    * once per partition — per-row temp files would dominate decode
+    * cost on an executor, and container tmp may not be writable), rows
+    * stream through it. All grid math is deterministic integer
+    * arithmetic ([[boxGray]]), so codes are reproducible across runs
+    * and JVMs.
+    *
+    * Payloads ImageIO cannot decode (corrupt bytes, unsupported
+    * format, zero-size image) yield px = NULL rather than dropping the
+    * row — the caller sees exactly which media failed and routes them
+    * (dHash of null is null; a null code joins nothing downstream).
+    * Output: (media_id, px: array<int> of w*h gray values in [0,255],
+    * row-major). */
+  def grayPixels(rows: Dataset[MediaRow], w: Int = 9,
+      h: Int = 7): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition decoder context: headless + no disk cache, set
+      // once before the first row streams through
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth < 1 || img.getHeight < 1)
+          (r.media_id, null: Seq[Int])
+        else (r.media_id, boxGray(img, w, h).toSeq)
+      }
+    }.toDF("media_id", "px")
+  }
+
+  /** BT.601 luminance + box-average resample of a decoded image to a
+    * row-major w x h grid — deterministic INTEGER math so a golden
+    * test can hand-compute the grid: luminance is
+    * floor((299R + 587G + 114B + 500) / 1000) (for gray pixels R=G=B=v
+    * this is exactly v), cell (cx, cy) averages the source rectangle
+    * [floor(cx*W/w), max(floor((cx+1)*W/w), x0+1)) x (same for y) —
+    * floor bounds tile the source exactly, every cell sees >= 1 pixel
+    * even when the source is SMALLER than the grid — and the cell
+    * value is floor(sum / count). A w x h source round-trips
+    * identically (each cell is one pixel). */
+  private[multimodal] def boxGray(img: java.awt.image.BufferedImage,
+      w: Int, h: Int): Array[Int] = {
+    val iw = img.getWidth
+    val ih = img.getHeight
+    val out = new Array[Int](w * h)
+    var cy = 0
+    while (cy < h) {
+      val y0 = cy * ih / h
+      val y1 = math.min(math.max((cy + 1) * ih / h, y0 + 1), ih)
+      var cx = 0
+      while (cx < w) {
+        val x0 = cx * iw / w
+        val x1 = math.min(math.max((cx + 1) * iw / w, x0 + 1), iw)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff) + 500) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * w + cx) = (sum / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Encode a row-major w x h grayscale pixel array as a real PNG via
+    * ImageIO — the bench/test-side INVERSE of [[grayPixels]]: lets a
+    * measurement job synthesize REAL encoded payloads (and a spec
+    * plant a known grid) so the decode seam is priced and verified on
+    * actual codec work, not pseudo-pixels. PNG is lossless, so
+    * grayPixels(pngOfGray(px, w, h), w, h) == px exactly. */
+  def pngOfGray(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h, s"need $w*$h=${w * h} pixels, got ${px.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Difference hash (dHash) of a row-major w x h grayscale pixel

@@ -18,21 +18,46 @@ import graft.multimodal.Multimodal
   *
   * Reports the oversized-bucket monitor alongside the timing, so a
   * run that silently lost recall to the cap is visible in the same
-  * line that prices it. Args: <sfDir> [maxHamming=3] [maxBucket=5000].
-  * Prints ONE JSON line. */
+  * line that prices it. Args: <sfDir> [maxHamming=3] [maxBucket=5000]
+  * [mode=stub]. `mode=real` synthesizes REAL PNG payloads (one 36x28
+  * image per doc, pixels derived deterministically from the doc text
+  * via the stub formula, encoded through ImageIO) and decodes them
+  * through [[Multimodal.grayPixels]] — the ImageIO decode + box-
+  * resample seam priced on actual codec work; `codes_wall_s` then
+  * includes the encode+decode round trip, so compare it against the
+  * stub row to see what the codec itself costs. Prints ONE JSON
+  * line. */
 object PhashBenchJob {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: PhashBenchJob <sfDir> [maxHamming] [maxBucket]")
+    require(args.nonEmpty,
+      "usage: PhashBenchJob <sfDir> [maxHamming] [maxBucket] [stub|real]")
     val sfDir = args(0)
     val maxHamming = if (args.length >= 2) args(1).toInt else 3
     val maxBucket = if (args.length >= 3) args(2).toInt else 5000
+    val mode = if (args.length >= 4) args(3) else "stub"
     val spark = Sessions.local("graft-phash-bench")
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
     val t0 = System.nanoTime()
     // codes once, shared by the pair run and the monitor (the
     // consumed-twice rule)
-    val codes = Multimodal.grayPixelsStub(Multimodal.fromDocuments(docs))
+    val media = Multimodal.fromDocuments(docs)
+    val pixelSource = mode match {
+      case "real" =>
+        // real payloads: render the stub's deterministic pseudo-pixels
+        // at 4x the grid (36x28) into an actual PNG per row, then
+        // decode through the REAL ImageIO face — same near-dup
+        // structure as the stub run (PNG is lossless and box-resample
+        // of a 4x grid is exact), but every byte crosses a real codec
+        import spark.implicits._
+        val encoded = Multimodal.grayPixelsStub(media, w = 36, h = 28)
+          .as[(Long, Seq[Int])]
+          .map { case (id, px) => Multimodal.MediaRow(id, "image", "png",
+            Multimodal.pngOfGray(px.toArray, 36, 28)) }
+        Multimodal.grayPixels(encoded)
+      case _ => Multimodal.grayPixelsStub(media)
+    }
+    val codes = pixelSource
       .select(col("media_id").as("id"),
         Multimodal.dHash(col("px")).as("code"))
       .localCheckpoint()
@@ -46,7 +71,7 @@ object PhashBenchJob {
       .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)))
       .collect()(0)
     println(s"""{"docs":$n,"max_hamming":$maxHamming,""" +
-      s""""max_bucket":$maxBucket,"pairs":$nPairs,""" +
+      s""""max_bucket":$maxBucket,"mode":"$mode","pairs":$nPairs,""" +
       f""""codes_wall_s":$codesWall%.2f,"pairs_wall_s":$pairsWall%.2f,""" +
       s""""oversized_buckets":${over.getLong(0)},""" +
       s""""oversized_mass":${over.getLong(1)},"sf":"$sfDir"}""")

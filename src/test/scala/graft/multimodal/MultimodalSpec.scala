@@ -163,6 +163,96 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("63"))
   }
 
+  test("grayPixels golden-pixel: a real 9x7 gray PNG round-trips to " +
+      "the exact planted pixel array and the exact hand-computed " +
+      "dHash code — the REAL decoder face, verified bit-level") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted grid: deterministic, full 0-255 range, no ties between
+    // horizontal neighbors (so the expected code is unambiguous)
+    val px = Array.tabulate(9 * 7) { i =>
+      val (x, y) = (i % 9, i / 9)
+      (x * 37 + y * 11 + (if ((x + y) % 2 == 0) 3 else 0)) % 256
+    }
+    val payload = Multimodal.pngOfGray(px, 9, 7)
+    val rows = Seq(Multimodal.MediaRow(1L, "image", "png", payload)).toDS()
+    val got = Multimodal.grayPixels(rows).collect().head
+    assert(got.getLong(0) == 1L)
+    assert(got.getSeq[Int](1).toList == px.toList,
+      "lossless PNG decode must reproduce the planted grid exactly")
+    // the dHash over the REAL decode equals the rule computed by hand
+    val expected = (0 until 7).flatMap { r =>
+      (0 until 8).collect {
+        case c if px(r * 9 + c) < px(r * 9 + c + 1) => 1L << (r * 8 + c)
+      }
+    }.sum
+    val code = Multimodal.grayPixels(rows)
+      .select(Multimodal.dHash(col("px"))).collect().head.getLong(0)
+    assert(code == expected, s"dHash $code != hand-computed $expected")
+  }
+
+  test("grayPixels box-resample: floor-bound cells average exactly " +
+      "(2x2 blocks collapse to their value; a hand-computed non-" +
+      "divisible case matches), and undecodable payloads yield NULL " +
+      "px, never a dropped row or a crash") {
+    import spark.implicits._
+    // 18x14 image of constant 2x2 blocks -> 9x7 grid == block values
+    val blocks = Array.tabulate(9 * 7)(i => (i * 53) % 256)
+    val big = Array.tabulate(18 * 14) { i =>
+      val (x, y) = (i % 18, i / 18)
+      blocks((y / 2) * 9 + (x / 2))
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "png", Multimodal.pngOfGray(big, 18, 14)),
+      Multimodal.MediaRow(2L, "image", "png", "not an image".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "image", "png",
+        Multimodal.pngOfGray(Array(10, 20, 30, 40, 50, 60, 70, 80, 90), 3, 3)))
+      .toDS()
+    val out = Multimodal.grayPixels(rows, 9, 7).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Int](1).toList)).toMap
+    assert(out(1L).contains(blocks.toList))
+    assert(out(2L).isEmpty, "undecodable payload must yield NULL px")
+    // 3x3 -> 2x2 by hand: cells tile [0,1)/[1,3) per axis ->
+    // {10}, {20,30}, {40,70}, {50,60,80,90} -> 10, 25, 55, 70
+    val small = Multimodal.grayPixels(
+      rows.filter(_.media_id == 3L), w = 2, h = 2).collect().head
+    assert(small.getSeq[Int](1).toList == List(10, 25, 55, 70))
+  }
+
+  test("grayPixels near-dup contract: a JPEG re-encode of a real " +
+      "image lands within hamming 6 of its PNG original's dHash — " +
+      "the operating point the production maxHamming targets — while " +
+      "a different image stays far") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // smooth 90x70 gradient: structured content, the case perceptual
+    // hashing exists for (JPEG's DCT loss barely moves box averages)
+    def gradient(flip: Boolean): Array[Int] = Array.tabulate(90 * 70) { i =>
+      val (x, y) = (i % 90, i / 90)
+      val v = (x * 2 + y) % 256
+      if (flip) 255 - v else v
+    }
+    val png = Multimodal.pngOfGray(gradient(false), 90, 70)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jout),
+      "headless JPEG encode must be available")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "png", png),
+      Multimodal.MediaRow(2L, "image", "jpg", jout.toByteArray),
+      Multimodal.MediaRow(3L, "image", "png",
+        Multimodal.pngOfGray(gradient(true), 90, 70)))
+      .toDS()
+    val codes = Multimodal.grayPixels(rows)
+      .select(col("media_id"), Multimodal.dHash(col("px")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(codes(1L) ^ codes(2L))
+    val far = java.lang.Long.bitCount(codes(1L) ^ codes(3L))
+    assert(near <= 6, s"JPEG re-encode drifted hamming $near > 6")
+    assert(far > 20, s"inverted image unexpectedly close: hamming $far")
+  }
+
   test("grayPixelsStub is deterministic, shaped w*h, and identical " +
       "payloads get identical pixels (hamming-0 dHash codes) — the " +
       "decode seam the pHash pipeline rides") {
