@@ -106,6 +106,13 @@ object Bench {
     val (priorTimes, priorCpus) =
       Seq("bench_last.json", "bench_baseline.json").view.flatMap(priorOf)
         .headOption.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
+    // the COMMITTED baseline, separately: bench_last.json is
+    // overwritten by every run, so a slow cross-round drift (1.4x per
+    // round, say) never trips the 1.5x last-run guard — the baseline
+    // diff at a looser 2x closes that blind spot. Empty when the
+    // baseline is for a different sfDir (priorOf's sf check).
+    val (baseTimes, baseCpus) = priorOf("bench_baseline.json")
+      .getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     val requested =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
@@ -162,11 +169,24 @@ object Bench {
       val regressedS = regressed.map(k =>
         s"""{"query":"$k","sec":${f"${times(k)}%.3f"},"prev_sec":${f"${priorTimes(k)}%.3f"}}""")
         .mkString("[", ",", "]")
+      // cross-round drift vs the COMMITTED baseline (2x, cpu-
+      // corroborated, min-of-2+ — same noise discipline as the
+      // last-run guard above)
+      val drifted =
+        if (partial) Seq.empty
+        else done.filter { k =>
+          okFlags(k) && samples.getOrElse(k, 0) >= 2 &&
+            baseTimes.get(k).exists(prev => times(k) > 2.0 * prev) &&
+            baseCpus.get(k).forall(prevC => cpus(k) > 2.0 * prevC)
+        }
+      val driftedS = drifted.map(k =>
+        s"""{"query":"$k","sec":${f"${times(k)}%.3f"},"baseline_sec":${f"${baseTimes(k)}%.3f"}}""")
+        .mkString("[", ",", "]")
       val partialS = if (partial) ""","partial":true""" else ""
       val okSamples = names.filter(n => okFlags.getOrElse(n, false))
         .map(n => samples.getOrElse(n, 1))
       val passes = if (okSamples.isEmpty) 1 else math.max(okSamples.min, 1)
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_${passes}_passes","regressed":$regressedS,"elapsed_wall":${f"$elapsedS%.1f"}$partialS}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${m(times)},"cpu_queries":${m(cpus)},"cpu_total":${f"$cpuTotal%.3f"},"n_queries":${times.size},"failed":$failedS,"sf":"$sfDir","timing":"min_of_${passes}_passes","regressed":$regressedS,"regressed_vs_baseline":$driftedS,"elapsed_wall":${f"$elapsedS%.1f"}$partialS}"""
     }
 
     // Stdout is what the driver parses (its reader takes the last JSON

@@ -136,8 +136,16 @@ object Recall {
     // maxBucket=2000 hot-bucket cut is what recall prices)
     "q_phash_pairs" -> ((s: SparkSession, d: String) => {
       import graft.multimodal.Multimodal
+      // the exact side is an UNBANDED theta self-join (O(n²) in
+      // documents) — bounded to doc_id < 2000 so the measure stays
+      // exact recall on that subset at any sfDir (at the sf0.01
+      // calibration fixture the bound covers every doc, so the
+      // enforced number is the full-corpus recall; the intersection
+      // with the banded output only ever counts exact-side pairs, so
+      // the bound never inflates recall)
       val codes = Multimodal.grayPixelsStub(
-          Multimodal.fromDocuments(Tables.documents(s, d)))
+          Multimodal.fromDocuments(
+            Tables.documents(s, d).filter(col("doc_id") < 2000)))
         .select(col("media_id").as("id"),
           Multimodal.dHash(col("px")).as("code"))
         .localCheckpoint()

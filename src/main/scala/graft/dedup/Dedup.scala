@@ -1033,25 +1033,127 @@ object Dedup {
   }
 
   /** (id, code, seg, sb) segment rows of a fingerprint frame — the
+    * PERSISTED side of incremental hamming near-dup, the fingerprint
+    * family's twin of [[minhashBandRows]]: write this once for the
+    * corpus (at scale, bucketed on (seg, sb) —
+    * [[graft.jobs.AdmissionIndexes.saveHammingIndex]], which stamps
+    * (maxHamming, bits) so a mismatched probe refuses), then each new
+    * batch probes it via [[incrementalHammingPairs]] instead of
+    * re-coding the corpus. Rows CARRY the full code, so the verify
+    * needs no corpus re-read — unlike the minhash index, the hamming
+    * index is self-contained (8 bytes of code vs re-shingling text).
+    * Null codes (e.g. undecodable images from
+    * [[graft.multimodal.Multimodal.grayPixels]]) produce segment rows
+    * with null sb, which no equi-join ever matches — they index as
+    * inert rows; filter them out before saving to keep the index
+    * minimal. */
+  def hammingBandRows(
+      coded: DataFrame, // (id, code)
+      maxHamming: Int = 3,
+      bits: Int = 16): DataFrame = {
+    require(maxHamming + 1 <= bits,
+      s"hammingBandRows needs maxHamming + 1 <= bits for the " +
+        s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
+    bandedSegments(coded, maxHamming, bits)
+  }
+
+  /** Incremental hamming near-dup: (id_new, id_old, hamming) pairs of
+    * batch fingerprints within `maxHamming` of an INDEXED corpus
+    * fingerprint — [[hammingBandedPairs]]' steady-state face, the
+    * fingerprint twin of [[incrementalNearDupPairs]]: only the batch
+    * is banded; the corpus side is the persisted [[hammingBandRows]]
+    * index, read already bucketed on the (seg, sb) join key (only the
+    * small batch side exchanges). Recall is the kernel's pigeonhole
+    * guarantee — any pair within the bound shares at least one
+    * bit-identical segment with the SAME segment bounds on both sides
+    * (index and probe must agree on (maxHamming, bits); the
+    * AdmissionIndexes stamp enforces it). The exact-hamming verify is
+    * PIPELINED in the probe join's output (codes ride the index rows)
+    * — only true pairs reach the dedupe exchange, the same
+    * survivors-not-candidates order the kernel measured 16.5x on.
+    * Corpus-side buckets larger than `maxBucket` are excluded: a
+    * batch code landing in a dropped bucket is hot-code mass whose
+    * VERBATIM repeats the exact-digest path owns (collapse them with
+    * [[collapseIdenticalCodes]] before indexing and a capped bucket
+    * can only hold genuinely distinct-but-close codes). */
+  def incrementalHammingPairs(
+      corpusIndex: DataFrame, // (id, code, seg, sb)
+      batchCodes: DataFrame, // (id, code)
+      maxHamming: Int = 3,
+      maxBucket: Int = 5000,
+      bits: Int = 16): DataFrame = {
+    require(maxHamming + 1 <= bits,
+      s"incrementalHammingPairs needs maxHamming + 1 <= bits for the " +
+        s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
+    val batchSegs = bandedSegments(batchCodes, maxHamming, bits)
+    val keptIndex = capBuckets(corpusIndex, Seq("seg", "sb"), maxBucket)
+    batchSegs.alias("b").join(keptIndex.alias("i"),
+        col("b.seg") === col("i.seg") && col("b.sb") === col("i.sb"))
+      .select(col("b.id").as("id_new"), col("i.id").as("id_old"),
+        hamming(col("b.code"), col("i.code")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_new", "id_old")
+  }
+
+  /** Fold rows whose fingerprint repeats VERBATIM to one
+    * representative: (reps, edges) where `reps` keeps the minimum id
+    * of every distinct code (with the code) and `edges` links each
+    * folded member to its representative. Identical codes are hamming
+    * 0 — a near-dup at ANY bound — so banding reps-only plus these
+    * linear edges yields the same clusters as banding everything,
+    * while a k-row hot code contributes k-1 edges instead of a
+    * k-wide bucket (~k²/2 candidate pairs, or worse: a CAPPED bucket
+    * silently dropping them — the 1000x PhashBench run ceded 51,875
+    * rows of hot-code mass to the cap before this existed). The
+    * fingerprint-space analog of CorpusPipeline's token-set /
+    * bit-identical-vector pre-collapse, and the routing that makes
+    * "exact dedup should own capped mass" executable. Null codes are
+    * dropped (they can never verify a hamming bound; grouping them
+    * would falsely collapse every undecodable row into one cluster). */
+  def collapseIdenticalCodes(
+      coded: DataFrame): (DataFrame, DataFrame) = {
+    val withRep = coded.filter(col("code").isNotNull)
+      .withColumn("__rep",
+        min(col("id")).over(Window.partitionBy(col("code"))))
+      .localCheckpoint()
+    val reps = withRep.filter(col("id") === col("__rep"))
+      .select(col("id"), col("code"))
+    val edges = withRep.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    (reps, edges)
+  }
+
+  /** (id, code, seg, sb) segment rows of a fingerprint frame — the
     * shared explode [[hammingBandedPairs]] pairs on and
     * [[oversizedHammingBuckets]] monitors, one definition so the
     * monitor reports on exactly the buckets the pair generator uses:
     * maxHamming+1 segments spreading `bits` as evenly as possible. */
   private def bandedSegments(coded: DataFrame, maxHamming: Int,
-      bits: Int): DataFrame = {
+      bits: Int): DataFrame =
+    coded.select(col("id"), col("code"),
+      explode(hammingSegments(col("code"), maxHamming, bits)).as("bk"))
+      .select(col("id"), col("code"), col("bk.seg"), col("bk.sb"))
+
+  /** Array of (seg, sb) segment structs of a fingerprint code — the
+    * ROW-LOCAL column form of the banding explode, shared by the
+    * batch kernel ([[bandedSegments]]) and the streaming admission
+    * face ([[graft.streaming.EventStream
+    * .streamingFingerprintAdmission]]), so a stream's probe keys are
+    * BIT-IDENTICAL to a batch-built [[hammingBandRows]] index by
+    * construction — one definition, not a convention two copies must
+    * keep (the minhash faces' bandKeys discipline). */
+  def hammingSegments(code: Column, maxHamming: Int, bits: Int): Column = {
     val nSeg = maxHamming + 1
     val bounds = (0 to nSeg).map(i => i * bits / nSeg)
-    coded.select(col("id"), col("code"),
-      explode(array((0 until nSeg).map { s =>
-        val lo = bounds(s)
-        // Long mask (an Int mask breaks at width >= 32); width == 64
-        // means one segment covering the whole code — mask everything
-        val w = bounds(s + 1) - lo
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        struct(lit(s).as("seg"),
-          shiftright(col("code"), lo).bitwiseAND(lit(mask)).as("sb"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("code"), col("bk.seg"), col("bk.sb"))
+    array((0 until nSeg).map { s =>
+      val lo = bounds(s)
+      // Long mask (an Int mask breaks at width >= 32); width == 64
+      // means one segment covering the whole code — mask everything
+      val w = bounds(s + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(s).as("seg"),
+        shiftright(code, lo).bitwiseAND(lit(mask)).as("sb"))
+    }: _*)
   }
 
   /** Brute-force hamming pairs — O(n²), test oracle ONLY. Used by

@@ -38,6 +38,7 @@ object AdmissionIndexes {
   val windowKeys: Seq[String] = Seq("wh")
   val postingsKeys: Seq[String] = Seq("term")
   val ivfKeys: Seq[String] = Seq("cell")
+  val hammingKeys: Seq[String] = Seq("seg", "sb")
 
   def saveDigestIndex(df: DataFrame, table: String, buckets: Int = 64,
       append: Boolean = false): Unit =
@@ -78,34 +79,125 @@ object AdmissionIndexes {
     * with a stderr warning — the caller owns parity then. */
   def loadBandIndex(spark: SparkSession, table: String, shingleN: Int,
       bands: Int, rowsPerBand: Int): DataFrame = {
+    verifyStamp(spark, table, bandProps(shingleN, bands, rowsPerBand),
+      family = "band index",
+      consequence = "band keys would hash DISJOINT key spaces and " +
+        "every near-dup would be silently admitted")
+    load(spark, table)
+  }
+
+  /** The shared stamp-parity gate of every parameterized index load:
+    * REFUSE when a probe parameter contradicts the table's stamp;
+    * warn (stderr) on a stamp-less or PARTIAL stamp — absent keys
+    * cannot be verified and must not silently read as matching. */
+  private def verifyStamp(spark: SparkSession, table: String,
+      want: Map[String, String], family: String,
+      consequence: String): Unit = {
     val stamp = tableProps(spark, table)
     if (stamp.isEmpty)
-      System.err.println(s"[admission-indexes] band index '$table' " +
-        "carries no parameter stamp — cannot verify probe parity " +
-        s"(shingleN=$shingleN bands=$bands rowsPerBand=$rowsPerBand); " +
-        "rebuild via bootstrap/saveBandIndex with parameters to stamp it")
+      System.err.println(s"[admission-indexes] $family '$table' " +
+        "carries no parameter stamp — cannot verify probe parity (" +
+        want.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" ") +
+        "); migrate it with stampBandIndex/stampHammingIndex after " +
+        "verifying the build parameters, or rebuild with them")
     else {
-      val want = bandProps(shingleN, bands, rowsPerBand)
       val bad = want.filter { case (k, v) => stamp.get(k).exists(_ != v) }
       require(bad.isEmpty,
-        s"band index '$table' parameter mismatch: probe wants " +
+        s"$family '$table' parameter mismatch: probe wants " +
           bad.map { case (k, v) => s"$k=$v" }.mkString(", ") +
           s" but the index is stamped " +
           bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
-          " — band keys would hash DISJOINT key spaces and every " +
-          "near-dup would be silently admitted; probe with the " +
-          "stamped parameters or rebuild the index")
-      // a PARTIAL stamp (some keys withheld at save time) cannot
-      // verify the missing dimensions — warn like the stamp-less
-      // case instead of silently treating absent as matching
+          s" — $consequence; probe with the stamped parameters or " +
+          "rebuild the index")
       val unverifiable = want.keys.filterNot(stamp.contains).toSeq.sorted
       if (unverifiable.nonEmpty)
-        System.err.println(s"[admission-indexes] band index '$table' " +
+        System.err.println(s"[admission-indexes] $family '$table' " +
           s"stamp is PARTIAL — cannot verify " +
           s"${unverifiable.mkString(", ")} against the probe; " +
-          "re-save with all three parameters to close the gap")
+          "re-save with all parameters to close the gap")
     }
+  }
+
+  /** Persist (or append to) the hamming fingerprint index
+    * ([[graft.dedup.Dedup.hammingBandRows]]: (id, code, seg, sb),
+    * probed by (seg, sb) via
+    * [[graft.dedup.Dedup.incrementalHammingPairs]]) — the image/
+    * fingerprint twin of [[saveBandIndex]]. (maxHamming, bits) are
+    * STAMPED when passed: segment bounds are a pure function of the
+    * two, so an index and a probe that disagree band DIFFERENT bit
+    * ranges into the same key space — candidates go structurally
+    * wrong (missed segments = silently admitted near-dups), nothing
+    * fails. [[loadHammingIndex]] refuses the mismatch. */
+  def saveHammingIndex(df: DataFrame, table: String, buckets: Int = 64,
+      append: Boolean = false, maxHamming: Int = -1,
+      bits: Int = -1): Unit =
+    save(df, table, hammingKeys, buckets, append,
+      props = hammingProps(maxHamming, bits))
+
+  private def hammingProps(maxHamming: Int, bits: Int): Map[String, String] =
+    Seq("maxHamming" -> maxHamming, "bits" -> bits)
+      .collect { case (k, v) if v >= 0 => s"graft.$k" -> v.toString }
+      .toMap
+
+  /** Load a persisted hamming index, REFUSING a (maxHamming, bits)
+    * mismatch against the stamp — same loud-at-load contract as
+    * [[loadBandIndex]]. */
+  def loadHammingIndex(spark: SparkSession, table: String,
+      maxHamming: Int, bits: Int): DataFrame = {
+    verifyStamp(spark, table, hammingProps(maxHamming, bits),
+      family = "hamming index",
+      consequence = "segment bounds would band DIFFERENT bit ranges " +
+        "into the same key space and near-dups would be silently " +
+        "admitted")
     load(spark, table)
+  }
+
+  /** One-shot migration for a PRE-STAMP band index (saved before the
+    * stamp existed, or with parameters withheld): write the
+    * caller-asserted (shingleN, bands, rowsPerBand) as the table's
+    * stamp and refresh its spec sidecar, so every later load/append
+    * VERIFIES instead of warning. The parameters cannot be recovered
+    * from the data (band keys are one-way hashes) — the caller owns
+    * the assertion's truth; a table that already carries a DIFFERENT
+    * stamp refuses (that is a rebuild, not a migration). */
+  def stampBandIndex(spark: SparkSession, table: String, shingleN: Int,
+      bands: Int, rowsPerBand: Int): Unit = {
+    val props = bandProps(shingleN, bands, rowsPerBand)
+    require(props.size == 3,
+      "stampBandIndex needs all three parameters (>= 0)")
+    stampTable(spark, table, props)
+  }
+
+  /** [[stampBandIndex]]'s hamming-index twin. */
+  def stampHammingIndex(spark: SparkSession, table: String,
+      maxHamming: Int, bits: Int): Unit = {
+    val props = hammingProps(maxHamming, bits)
+    require(props.size == 2,
+      "stampHammingIndex needs both parameters (>= 0)")
+    stampTable(spark, table, props)
+  }
+
+  private def stampTable(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit = {
+    requirePlainName(table)
+    require(spark.catalog.tableExists(table),
+      s"cannot stamp '$table': table does not exist")
+    val stamp = tableProps(spark, table)
+    val bad = props.filter { case (k, v) => stamp.get(k).exists(_ != v) }
+    require(bad.isEmpty,
+      s"'$table' already carries a DIFFERENT stamp (" +
+        bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
+        ") — re-stamping would assert parameters the data was not " +
+        "built with; rebuild the index instead")
+    setTableProps(spark, table, props)
+    // refresh (or create) the sidecar so crash recovery re-registers
+    // the table WITH its stamp
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    writeSpec(spark, table,
+      meta.bucketSpec.map(_.bucketColumnNames).getOrElse(Nil),
+      meta.bucketSpec.map(_.numBuckets).getOrElse(0),
+      spark.table(table).schema.toDDL, stamp ++ props)
   }
 
   def saveCodeIndex(df: DataFrame, table: String, buckets: Int = 64,
@@ -591,6 +683,28 @@ object AdmissionIndexes {
     }
   }
 
+  /** Append one media batch's hamming-index delta — the write half
+    * of the media admission loop ([[CorpusPipeline.admitMediaBatch]]
+    * -> this), the fingerprint twin of [[appendDeltas]]: the delta's
+    * (maxHamming, bits) are verified against the stored stamp INSIDE
+    * save (a mismatched append refuses before writing a row), and
+    * `maxFilesPerBucket` closes the same auto-compaction loop. */
+  def appendMediaDeltas(adm: CorpusPipeline.MediaAdmission,
+      table: String, buckets: Int = 64,
+      maxFilesPerBucket: Option[Int] = None): Unit = {
+    requirePlainName(table)
+    adm.hammingParams match {
+      case Some((mh, b)) =>
+        saveHammingIndex(adm.newHamming, table, buckets, append = true,
+          maxHamming = mh, bits = b)
+      case None =>
+        saveHammingIndex(adm.newHamming, table, buckets, append = true)
+    }
+    maxFilesPerBucket.foreach(cap =>
+      compactIfFragmented(adm.newHamming.sparkSession, table,
+        hammingKeys, buckets, cap))
+  }
+
   /** Trigger the crash-safe [[compact]] when (and only when) the
     * [[fragmentation]] signal crosses `maxFilesPerBucket` — the
     * threshold face of the README operations recipe ("compact when
@@ -702,7 +816,7 @@ object AdmissionIndexes {
       s"index frame is missing probe-key column '$k' " +
         s"(has ${df.columns.mkString(", ")})"))
     val spark = df.sparkSession
-    if (append && props.nonEmpty) {
+    if (append && props.nonEmpty && spark.catalog.tableExists(table)) {
       // an append computed under different parameters than the stored
       // index would key a DISJOINT hash space into the same table —
       // refuse before writing a single row
@@ -714,6 +828,15 @@ object AdmissionIndexes {
           " but the index is stamped " +
           bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
           " — refusing the append (it would mix disjoint key spaces)")
+      // a PARTIAL (or absent) stamp cannot verify the missing
+      // dimensions — warn exactly as loadBandIndex does for the same
+      // state, so append is not the weaker face of the same guard
+      val unverifiable = props.keys.filterNot(stamp.contains).toSeq.sorted
+      if (unverifiable.nonEmpty)
+        System.err.println(s"[admission-indexes] append to '$table': " +
+          s"the stored stamp is ${if (stamp.isEmpty) "ABSENT" else "PARTIAL"}" +
+          s" — cannot verify ${unverifiable.mkString(", ")} against " +
+          "the delta; re-save with all parameters to close the gap")
     }
     // an append that CREATES the table (no bootstrap ran) must stamp
     // and sidecar it like a fresh save would — otherwise the table is
@@ -846,27 +969,28 @@ object AdmissionIndexes {
         // STALE — restoring it would destroy every post-rebuild row
         // (the same never-destroy-good-data-on-a-heuristic rule the
         // swap recovery enforces). Leave both in place and say so.
-        // "live evidence" is data files OR the dir's own sidecar: a
-        // legitimately rebuilt ZERO-ROW table has no part- files but
-        // writeSpec gave it a fresh sidecar, while the crashed-CREATE
-        // shell dir (the one state the heal may destroy) has neither
-        // — its sidecar would only have been written after the
-        // move-back that never happened
-        val staleAside = aside.isDirectory && dir.isDirectory &&
-          (Option(dir.listFiles()).exists(
-            _.exists(_.getName.startsWith("part-"))) ||
-            new java.io.File(dir, specFileName).isFile)
+        // "live evidence" is ANY file in the live dir (not just
+        // part-*/sidecar): the one state the heal may clear is the
+        // crashed-CREATE shell, which is an EMPTY directory — a table
+        // written by some tool outside this module could carry
+        // differently-named data files, and assuming every writer
+        // produced part-* files would let the heal destroy it. And
+        // even the cleared shell is PARKED under a quarantine name,
+        // never deleted — the heal holds no delete path at all.
+        val dirFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+        val staleAside = aside.isDirectory && dirFiles.nonEmpty
         if (staleAside) {
           // the stale copy also blocks a fresh registration (the park
           // rename would land on it), so this call is a refusing no-op
           System.err.println(s"[admission-indexes] '$table': a stale " +
             s"'${aside.getName}' copy from an interrupted " +
-            "registration coexists with LIVE data — not restoring " +
-            s"it over newer rows; inspect and remove ${aside.getPath} " +
-            "manually (re-registration is blocked until then)")
+            "registration coexists with a NON-EMPTY live directory — " +
+            s"not restoring it over newer content; inspect and remove " +
+            s"${aside.getPath} manually (re-registration is blocked " +
+            "until then)")
         } else if (aside.isDirectory) {
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
-          if (dir.exists()) deleteRecursively(dir)
+          if (dir.exists()) quarantine(wh, dir)
           require(aside.renameTo(dir),
             s"could not move ${aside.getPath} back to ${dir.getPath}")
         }
@@ -899,6 +1023,23 @@ object AdmissionIndexes {
             true
         }
     }
+  }
+
+  /** Park a directory the heal path would otherwise clear under a
+    * fresh `__quarantine_N` sibling name instead of deleting it — the
+    * heal's only expected target is an empty crashed-CREATE shell,
+    * but "expected" is a heuristic and quarantine makes a wrong guess
+    * recoverable by a human instead of permanent. A rename, never a
+    * copy or a delete. */
+  private def quarantine(wh: java.io.File, dir: java.io.File): Unit = {
+    val q = Iterator.from(0)
+      .map(i => new java.io.File(wh, s"${dir.getName}__quarantine_$i"))
+      .find(!_.exists()).get
+    require(dir.renameTo(q),
+      s"could not quarantine ${dir.getPath} to ${q.getPath}")
+    System.err.println(s"[admission-indexes] parked ${dir.getPath} " +
+      s"aside as ${q.getName} (heal expected an empty crashed-CREATE " +
+      "shell; remove the quarantine dir once confirmed)")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -38,7 +38,7 @@ object CorpusPipeline {
     * point's default argument. */
   private val defaultQuality: Column => Column = TextStats.gopherFilter(_)
 
-  /** Pluggable near-dup PAIR SOURCE for stage 3 — three ways to decide
+  /** Pluggable near-dup PAIR SOURCE for stage 3 — four ways to decide
     * "these two documents are near-duplicates", all feeding the same
     * connected-components + min-id-keeper machinery:
     *  - [[PairSource.TokenLsh]] (default): MinHash-LSH banded
@@ -48,17 +48,38 @@ object CorpusPipeline {
     *    provably complete pairs at the same Jaccard threshold;
     *  - [[PairSource.Embeddings]]: sign-LSH bucketed candidates +
     *    exact COSINE verify over an embedding column — catches
-    *    paraphrase-level duplication token overlap can't see.
+    *    paraphrase-level duplication token overlap can't see;
+    *  - [[PairSource.Fingerprint]]: pigeonhole-banded hamming pairs
+    *    over an (id, code) fingerprint frame — perceptual image
+    *    hashes ([[graft.multimodal.Multimodal.dHash]] over
+    *    [[graft.multimodal.Multimodal.grayPixels]]), text simhash,
+    *    any hamming-space code: the face that makes IMAGE-content
+    *    near-dup a pipeline stage.
     * Each source brings its own skew monitor (oversized band buckets /
-    * hot prefix tokens / oversized code buckets) and its own
-    * semantics-preserving pre-collapse (token-set-identical docs /
-    * bit-identical vectors are similarity exactly 1.0, so folding
-    * them to a representative before pair generation converts a
-    * quadratic bucket into linear edges). */
+    * hot prefix tokens / oversized code buckets / oversized hamming
+    * buckets) and its own semantics-preserving pre-collapse
+    * (token-set-identical docs / bit-identical vectors / verbatim-
+    * repeated codes are similarity exactly 1.0 resp. hamming 0, so
+    * folding them to a representative before pair generation converts
+    * a quadratic bucket into linear edges). */
   sealed trait PairSource
   object PairSource {
     case object TokenLsh extends PairSource
     case object ExactTokens extends PairSource
+    /** `codes`: (codeIdCol, codeCol) hamming-space fingerprints with
+      * ids matching the docs frame's `idCol` values — typically
+      * [[graft.multimodal.Multimodal.dHash]] codes of the documents'
+      * media payloads (56-bit default). Docs with no code row — or a
+      * NULL code (an undecodable image) — simply generate no pairs
+      * from this source (they can still be exact/token dups).
+      * Similarity is hamming <= `maxHamming`; the pipeline signature's
+      * Jaccard `threshold` is ignored by this source. */
+    final case class Fingerprint(
+        codes: DataFrame,
+        maxHamming: Int = 3,
+        bits: Int = 56,
+        codeIdCol: String = "id",
+        codeCol: String = "code") extends PairSource
     /** `embeddings`: (embIdCol, vecCol) with ids matching the docs
       * frame's `idCol` values. `dim = -1` reads the width off the
       * first vector. Docs with no embedding row — or a NULL vector —
@@ -403,6 +424,48 @@ object CorpusPipeline {
             .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
           decide(monitorRows, collapsed, "vector_precollapse"))
+      }
+
+      case fp: PairSource.Fingerprint => {
+        // (sid, code) for docs that HAVE a fingerprint — join on the
+        // ORIGINAL id (the surrogate exists only for clustering; for
+        // integral ids sid IS the id). NULL codes are dropped HERE:
+        // an undecodable image can never verify a hamming bound, and
+        // letting nulls through would band them into inert null-sb
+        // rows at best — and collapseIdenticalCodes guards the same
+        // edge independently.
+        val sidKeyed =
+          if (idIsIntegral) keyed.select(id) else keyed.select(id, col(sidCol))
+        val codes = sidKeyed
+          .join(fp.codes
+            .filter(col(fp.codeCol).isNotNull)
+            .select(col(fp.codeIdCol).as(idCol), col(fp.codeCol).as("code")),
+            Seq(idCol))
+          .select(col(sidCol).as("id"), col("code"))
+          .localCheckpoint()
+        val monitorRows: Long =
+          if (!skewGuard) 0L
+          else Dedup.oversizedHammingBuckets(codes, fp.maxHamming,
+            maxBucket, fp.bits).count()
+        // pre-collapse: VERBATIM-repeated codes are hamming 0 — a
+        // near-dup at any bound >= 0 — so fold them to min-id rep +
+        // linear edges before banding (the fingerprint analog of the
+        // token-set / bit-identical-vector collapse). This is also
+        // the routing that makes "exact dedup owns capped hot-code
+        // mass" executable: after the fold, a capped bucket can only
+        // hold genuinely distinct-but-close codes.
+        val (joinCodes, preEdges, collapsed) =
+          if (monitorRows == 0L) (codes, None, 0L)
+          else {
+            val (reps, edges0) = Dedup.collapseIdenticalCodes(codes)
+            val edges = edges0.localCheckpoint()
+            (reps, Some(edges), edges.count())
+          }
+        val gen = Dedup.hammingBandedPairs(joinCodes, fp.maxHamming,
+            maxBucket, fp.bits)
+          .select(col("id_a"), col("id_b"))
+        (preEdges.map(gen.unionByName(_)).getOrElse(gen),
+          decide(monitorRows, collapsed, "code_precollapse"))
       }
 
       case PairSource.TokenLsh => {
@@ -818,6 +881,97 @@ object CorpusPipeline {
       newPostings,
       newStats,
       bandParams = Some((shingleN, bands, rowsPerBand)))
+  }
+
+  /** Media-batch admission against a curated corpus's persisted
+    * hamming fingerprint index — the MEDIA face of [[admitBatch]],
+    * completing the batch/incremental/streaming square for image
+    * (and any hamming-space) fingerprints:
+    *
+    *   - is_corpus_phash_dup: within `maxHamming` of an INDEXED
+    *     corpus code ([[graft.dedup.Dedup.incrementalHammingPairs]]
+    *     against a [[graft.dedup.Dedup.hammingBandRows]] index saved
+    *     via [[AdmissionIndexes.saveHammingIndex]] — only the batch
+    *     is ever banded; the index is read pre-bucketed on the probe
+    *     key and its rows carry the codes, so the verify is pipelined
+    *     in the probe join and the corpus is never re-read);
+    *   - is_batch_phash_dup: near-dup cluster member (non-min-id)
+    *     within the batch's remaining rows — the SAME surrogate/CC/
+    *     min-id-keeper machinery as the text faces, driven through
+    *     [[PairSource.Fingerprint]] (code pre-collapse + skew
+    *     decision included).
+    *
+    * Null codes (undecodable media) skip both verdicts and ADMIT —
+    * no fingerprint evidence of duplication, the same policy as docs
+    * without embeddings; route them to quality review upstream if
+    * undecodable media should not land at all. `admitted` = rows
+    * with both verdicts false; `newHamming` is the admitted rows'
+    * banded index delta — append it via
+    * [[AdmissionIndexes.appendMediaDeltas]] and the next batch
+    * dedupes against this one too. `hammingParams` lets the append
+    * verify the delta against the stored stamp before writing. */
+  final case class MediaAdmission(
+      annotated: DataFrame,
+      admitted: DataFrame,
+      newHamming: DataFrame,
+      decisions: Seq[StageDecision] = Nil,
+      hammingParams: Option[(Int, Int)] = None)
+
+  def admitMediaBatch(
+      corpusHamming: DataFrame,
+      batchCodes: DataFrame,
+      idCol: String = "id",
+      codeCol: String = "code",
+      maxHamming: Int = 3,
+      maxBucket: Int = 5000,
+      bits: Int = 56,
+      skewGuard: Boolean = true): MediaAdmission = {
+    val id = col(idCol)
+    // corpus verdict: probe the persisted index with the batch's
+    // bands only (null codes can never verify — excluded from the
+    // probe, admitted below)
+    val probe = batchCodes.filter(col(codeCol).isNotNull)
+      .select(id.as("id"), col(codeCol).as("code"))
+    val corpusIds = Dedup.incrementalHammingPairs(corpusHamming, probe,
+        maxHamming, maxBucket, bits)
+      .select(col("id_new").as(idCol)).distinct()
+      .withColumn("__cnear", lit(true))
+      .localCheckpoint()
+    val afterCorpus = batchCodes.join(corpusIds.select(id), Seq(idCol),
+      "left_anti")
+    // batch-internal verdict: the shared surrogate/CC/keeper kernel
+    // via the Fingerprint pair source (codeCol stands in for textCol
+    // — the fingerprint arm never reads text)
+    val (batchFlag0, decision) = nearDupFlag(
+      afterCorpus.select(id, col(codeCol)), idCol, codeCol,
+      shingleN = 0, bands = 0, rowsPerBand = 0, threshold = 0.0,
+      maxBucket,
+      PairSource.Fingerprint(
+        afterCorpus.select(id.as("id"), col(codeCol).as("code")),
+        maxHamming, bits),
+      skewGuard)
+    val batchFlag = batchFlag0.localCheckpoint()
+    val annotated = batchCodes
+      .join(corpusIds, Seq(idCol), "left")
+      .join(batchFlag.withColumnRenamed("is_near_dup", "__bnear"),
+        Seq(idCol), "left")
+      .withColumn("is_corpus_phash_dup", coalesce(col("__cnear"), lit(false)))
+      .withColumn("is_batch_phash_dup",
+        when(col("is_corpus_phash_dup"), lit(null))
+          .otherwise(coalesce(col("__bnear"), lit(false))))
+      .drop("__cnear", "__bnear")
+    val admitted = annotated
+      .filter(!col("is_corpus_phash_dup") && !col("is_batch_phash_dup"))
+      .select(batchCodes.columns.map(col): _*)
+    MediaAdmission(
+      annotated,
+      admitted,
+      Dedup.hammingBandRows(
+        admitted.filter(col(codeCol).isNotNull)
+          .select(id.as("id"), col(codeCol).as("code")),
+        maxHamming, bits),
+      Seq(decision),
+      hammingParams = Some((maxHamming, bits)))
   }
 
   /** Write the pipeline's cleaned output in training-read order:

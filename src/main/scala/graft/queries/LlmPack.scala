@@ -46,15 +46,29 @@ object LlmPack extends QueryPack {
     * re-checks that every gate table exists before skipping: an
     * out-of-band DROP (or data changed under the same sfDir path via
     * a table drop) triggers a rebuild instead of probing a ghost. */
-  private val gateBuilds =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // per-key LOCK objects + a done set, NOT compute() holding the
+  // build inside the map's bin lock: a multi-table Spark index build
+  // under compute blocks unrelated gate keys hashing to the same bin
+  // for its whole duration, and a build that re-enters buildGateOnce
+  // throws IllegalStateException (recursive update). computeIfAbsent
+  // of a plain Object keeps bin locks microseconds-short; the build
+  // runs under its key's own monitor — which is also REENTRANT, so a
+  // nested same-key build degrades to a benign re-check instead of an
+  // exception.
+  private val gateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val gateDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def buildGateOnce(s: SparkSession, sfDir: String, gate: String,
       tables: Seq[String])(build: => Unit): Unit = {
     val cat = System.identityHashCode(s.sharedState.externalCatalog)
-    gateBuilds.compute(s"$cat|$sfDir|$gate", (_, prev) => {
-      if (prev == null || !tables.forall(s.catalog.tableExists)) build
-      java.lang.Boolean.TRUE
-    })
+    val key = s"$cat|$sfDir|$gate"
+    val lock = gateLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!gateDone.contains(key) || !tables.forall(s.catalog.tableExists))
+        build
+      gateDone.add(key)
+    }
   }
 
   /** Per-sfDir suffix for the gate tables' NAMES, so the memoized
@@ -1355,6 +1369,34 @@ object LlmPack extends QueryPack {
           maxBucket = Int.MaxValue, bits = 56)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // Incremental image near-dup: the corpus half's dHash codes live
+    // in a hammingBandRows index (at scale: persisted bucketed on
+    // (seg, sb) via AdmissionIndexes.saveHammingIndex); only the
+    // BATCH half is banded and probed — the steady-state shape of a
+    // growing media corpus, where arriving images never re-code the
+    // stored ones. Exactness: pigeonhole banding guarantees every
+    // cross pair within maxHamming shares a bit-identical segment
+    // (cap disabled on this bounded fixture), and the pipelined
+    // hamming verify kills band collisions — so the output equals
+    // the cross (batch x corpus) hamming join DuckDB recomputes over
+    // the SQL-recomputable stub codes. Same 250-split bounds as
+    // q_incremental_neardup.
+    "q_incremental_phash" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d)
+      def codesOf(f: org.apache.spark.sql.DataFrame) =
+        Multimodal.grayPixelsStub(Multimodal.fromDocuments(f))
+          .select(col("media_id").as("id"),
+            Multimodal.dHash(col("px")).as("code"))
+      val index = Dedup.hammingBandRows(
+        codesOf(docs.filter(col("doc_id") < 250)),
+        maxHamming = 14, bits = 56)
+      Dedup.incrementalHammingPairs(index,
+          codesOf(docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)),
+          maxHamming = 14, maxBucket = Int.MaxValue, bits = 56)
+        .orderBy(col("id_new"), col("id_old"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2116,5 +2158,23 @@ object LlmPack extends QueryPack {
         |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.code, b.code)) <= 14
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_incremental_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents WHERE doc_id < 500),
+        |codes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |        < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |      THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |  FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id AS id_new, a.doc_id AS id_old,
+        |  CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+        |FROM codes a JOIN codes b ON a.doc_id < 250 AND b.doc_id >= 250
+        |WHERE bit_count(xor(a.code, b.code)) <= 14
+        |ORDER BY id_new, id_old""".stripMargin,
   )
 }

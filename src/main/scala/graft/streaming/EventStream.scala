@@ -480,6 +480,92 @@ object EventStream {
       .select(col(idCol), col(tsCol), col(vecCol), col("best_cos"))
   }
 
+  /** Streaming FINGERPRINT admission against a persisted hamming
+    * index — the media face of [[streamingNearDupAdmission]],
+    * completing the batch/incremental/streaming square for image
+    * (and any hamming-space) fingerprints: rows arriving on a stream
+    * with a fingerprint column (e.g.
+    * [[graft.multimodal.Multimodal.dHash]] over
+    * [[graft.multimodal.Multimodal.grayPixels]]) are dropped when
+    * some already-indexed corpus code is within `maxHamming` of
+    * theirs.
+    *
+    * Probe keys are computed ROW-LOCALLY via the SHARED
+    * [[graft.dedup.Dedup.hammingSegments]] column (one definition
+    * with the batch kernel, so a batch-built
+    * [[graft.dedup.Dedup.hammingBandRows]] index serves the stream
+    * with no special build — load a persisted one through
+    * [[graft.jobs.AdmissionIndexes.loadHammingIndex]], which REFUSES
+    * a (maxHamming, bits) stamp mismatch). Candidates come from the
+    * STATELESS stream-static equi-join on (seg, sb); the exact
+    * hamming verify is PIPELINED in the join output — index rows
+    * carry their codes, so unlike the token face no second join back
+    * to corpus content is ever needed. The one stateful step is the
+    * per-row verdict ("NO candidate within the bound" is universally
+    * quantified): a watermarked tumbling-window aggregation,
+    * append-mode, state bounded by arrival rate x watermark.
+    *
+    * Skew: corpus buckets larger than `maxBucket` are excluded (the
+    * same policy as [[graft.dedup.Dedup.incrementalHammingPairs]] —
+    * collapse verbatim-repeated codes before indexing and a capped
+    * bucket can only hold genuinely distinct-but-close codes).
+    * Null-code rows (undecodable media) are DROPPED up front like
+    * every sibling face's null inputs; within-stream fingerprint
+    * dups are out of scope by construction (two stream rows never
+    * compare) — chain [[graft.jobs.CorpusPipeline.admitMediaBatch]]
+    * over admitted rows for those, and append their index delta
+    * between restarts exactly as with [[streamingAdmission]].
+    *
+    * Output: (idCol, tsCol, codeCol, best_hamming) for ADMITTED rows
+    * only — best_hamming is the closest corpus distance found (null
+    * when no candidate shared any segment), always > maxHamming. */
+  def streamingFingerprintAdmission(
+      docs: DataFrame, // idCol, tsCol, codeCol
+      corpusHamming: DataFrame, // (id, code, seg, sb)
+      maxHamming: Int = 3,
+      bits: Int = 56,
+      idCol: String = "doc_id",
+      codeCol: String = "code",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      maxBucket: Int = 5000,
+      windowLen: Option[String] = None): DataFrame = {
+    import graft.dedup.Dedup
+    val keyed = docs
+      .filter(col(codeCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(codeCol),
+        explode(Dedup.hammingSegments(col(codeCol), maxHamming, bits))
+          .as("bk"))
+      .select(col(idCol), col(tsCol), col(codeCol),
+        col("bk.seg").as("seg"), col("bk.sb").as("sb"))
+    // static side materialized ONCE (each micro-batch re-plans it
+    // otherwise); persist, not localCheckpoint — cached blocks
+    // rebuild from lineage on executor loss instead of killing the
+    // query. At real scale this IS the persisted admission index,
+    // loaded rather than built.
+    val index = Dedup.capBuckets(corpusHamming, Seq("seg", "sb"), maxBucket)
+      .select(col("seg"), col("sb"), col("code").as("__ccode"))
+      .persist()
+    // sentinel bits+1 for "this candidate row matched nothing" (left
+    // join miss): min() then reads bits+1 only when NO candidate
+    // existed at all, which the final select maps back to null —
+    // hamming can never exceed bits, so the sentinel is unambiguous
+    keyed
+      .join(index, Seq("seg", "sb"), "left")
+      .withColumn("__ham",
+        when(col("__ccode").isNull, lit(bits + 1))
+          .otherwise(Dedup.hamming(col(codeCol), col("__ccode"))))
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
+      .agg(min(col("__ham")).as("__best"),
+        first(col(tsCol)).as(tsCol), first(col(codeCol)).as(codeCol))
+      .filter(col("__best") > maxHamming)
+      .select(col(idCol), col(tsCol), col(codeCol),
+        when(col("__best") > bits, lit(null).cast("int"))
+          .otherwise(col("__best").cast("int")).as("best_hamming"))
+  }
+
   /** Streaming ANN lookup against a persisted IVF index — the
     * RETRIEVAL face of the streaming embedding family (where
     * [[streamingEmbedAdmission]] answers "is this a near-dup of the

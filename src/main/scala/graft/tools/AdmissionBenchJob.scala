@@ -48,11 +48,16 @@ object AdmissionBenchJob {
         // ALL five text-derived tables in one job off one checkpointed
         // corpus scan — the day-0 build the incremental family
         // assumes; compare index_build_s + window_index_build_s here
-        // against the bucketed mode's separate builds
+        // against the bucketed mode's separate builds. rowsPerBand=2
+        // EXPLICITLY: the probe below runs at 2, and a default-built
+        // (rowsPerBand=4) index would hash a disjoint band-key space —
+        // the stamp + loadBandIndex turn that mismatch into a refusal
+        // instead of a silently-admitting measurement.
         AdmissionIndexes.bootstrap(corpus, "doc_id", "text",
-          "admitbench_boot")
+          "admitbench_boot", shingleN = 3, bands = 8, rowsPerBand = 2)
         (AdmissionIndexes.load(spark, "admitbench_boot_digests"),
-          AdmissionIndexes.load(spark, "admitbench_boot_bands"))
+          AdmissionIndexes.loadBandIndex(spark, "admitbench_boot_bands",
+            shingleN = 3, bands = 8, rowsPerBand = 2))
       case "bucketed" =>
         // The deployment shape: indexes land in probe-key-bucketed
         // tables once, and every subsequent batch's probe joins read
@@ -65,9 +70,11 @@ object AdmissionBenchJob {
         AdmissionIndexes.saveBandIndex(
           graft.dedup.Dedup.minhashBandRows(corpus, "doc_id", "text",
             shingleN = 3, bands = 8, rowsPerBand = 2),
-          "admitbench_band_idx")
+          "admitbench_band_idx", shingleN = 3, bands = 8,
+          rowsPerBand = 2)
         (AdmissionIndexes.load(spark, "admitbench_digest_idx"),
-          AdmissionIndexes.load(spark, "admitbench_band_idx"))
+          AdmissionIndexes.loadBandIndex(spark, "admitbench_band_idx",
+            shingleN = 3, bands = 8, rowsPerBand = 2))
       case _ =>
         (graft.dedup.Dedup.contentDigests(corpus, "doc_id", "text")
           .localCheckpoint(),

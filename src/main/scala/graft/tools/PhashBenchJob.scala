@@ -25,16 +25,28 @@ import graft.multimodal.Multimodal
   * through [[Multimodal.grayPixels]] — the ImageIO decode + box-
   * resample seam priced on actual codec work; `codes_wall_s` then
   * includes the encode+decode round trip, so compare it against the
-  * stub row to see what the codec itself costs. Prints ONE JSON
-  * line. */
+  * stub row to see what the codec itself costs.
+  *
+  * A trailing `route` arg pre-collapses VERBATIM-repeated codes to
+  * min-id rep + linear fold edges BEFORE banding
+  * ([[Dedup.collapseIdenticalCodes]] — the executable form of "exact
+  * dedup owns capped hot-code mass"): `pairs` then counts banded
+  * rep pairs + fold edges, and the oversized monitor runs on the
+  * REPS — after the fold a capped bucket can only hold genuinely
+  * distinct-but-close codes, so `oversized_buckets` ~ 0 is the
+  * expected reading where the direct 1000x run ceded 51,875 rows.
+  * Cluster-level results are provably identical to the uncapped
+  * direct run (DedupSpec pins it); this job prices the fold at
+  * scale. Prints ONE JSON line. */
 object PhashBenchJob {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: PhashBenchJob <sfDir> [maxHamming] [maxBucket] [stub|real]")
+      "usage: PhashBenchJob <sfDir> [maxHamming] [maxBucket] [stub|real] [route]")
     val sfDir = args(0)
     val maxHamming = if (args.length >= 2) args(1).toInt else 3
     val maxBucket = if (args.length >= 3) args(2).toInt else 5000
     val mode = if (args.length >= 4) args(3) else "stub"
+    val route = args.length >= 5 && args(4) == "route"
     val spark = Sessions.local("graft-phash-bench")
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
@@ -63,15 +75,24 @@ object PhashBenchJob {
       .localCheckpoint()
     val codesWall = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val nPairs = Dedup.hammingBandedPairs(codes, maxHamming, maxBucket,
-      bits = 56).count()
+    // routed: fold verbatim-repeated codes out before banding; the
+    // fold edges ARE that mass's near-dup pairs (hamming 0), linear
+    val (bandSource, foldEdges) =
+      if (!route) (codes, 0L)
+      else {
+        val (reps, edges) = Dedup.collapseIdenticalCodes(codes)
+        (reps.localCheckpoint(), edges.count())
+      }
+    val nPairs = Dedup.hammingBandedPairs(bandSource, maxHamming,
+      maxBucket, bits = 56).count() + foldEdges
     val pairsWall = (System.nanoTime() - t1) / 1e9
-    val over = Dedup.oversizedHammingBuckets(codes, maxHamming,
+    val over = Dedup.oversizedHammingBuckets(bandSource, maxHamming,
         maxBucket, bits = 56)
       .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)))
       .collect()(0)
     println(s"""{"docs":$n,"max_hamming":$maxHamming,""" +
-      s""""max_bucket":$maxBucket,"mode":"$mode","pairs":$nPairs,""" +
+      s""""max_bucket":$maxBucket,"mode":"$mode","routed":$route,""" +
+      s""""pairs":$nPairs,"fold_edges":$foldEdges,""" +
       f""""codes_wall_s":$codesWall%.2f,"pairs_wall_s":$pairsWall%.2f,""" +
       s""""oversized_buckets":${over.getLong(0)},""" +
       s""""oversized_mass":${over.getLong(1)},"sf":"$sfDir"}""")

@@ -204,6 +204,92 @@ class DedupSpec extends SparkSpec {
       maxBucket = 100, bits = 56).count() == 0)
   }
 
+  test("incrementalHammingPairs against a hammingBandRows index has " +
+      "full-recompute parity: exactly the cross (batch x corpus) " +
+      "pairs the all-at-once kernel finds, corpus never re-coded") {
+    def codeOf(i: Int): Long = (i.toLong * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    val corpus = ((0 until 60).map(i => (i.toLong, codeOf(i))) ++
+      Seq((60L, 0x00a5a5a5a5a5a5L))).toDF("id", "code")
+    // batch: two rows near corpus codes (hamming 1 and 3), one
+    // identical (hamming 0), rest far
+    val batch = (Seq(
+      (100L, codeOf(7) ^ 1L),
+      (101L, codeOf(13) ^ 1L ^ (1L << 20) ^ (1L << 41)),
+      (102L, 0x00a5a5a5a5a5a5L)) ++
+      (103 until 120).map(i => (i.toLong, codeOf(i + 700))))
+      .toDF("id", "code")
+    val index = Dedup.hammingBandRows(corpus, maxHamming = 3, bits = 56)
+    val inc = Dedup.incrementalHammingPairs(index, batch, maxHamming = 3,
+        maxBucket = Int.MaxValue, bits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // full recompute over the union, restricted to cross pairs
+    val full = Dedup.hammingBandedPairs(corpus.unionByName(batch),
+        maxHamming = 3, maxBucket = Int.MaxValue, bits = 56)
+      .filter(col("id_b") >= 100L && col("id_a") < 100L)
+      .select(col("id_b").as("id_new"), col("id_a").as("id_old"),
+        col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == full && inc.size == 3, s"incremental $inc vs full $full")
+    // a second probe with the SAME batch against an index that now
+    // includes the first batch finds the batch rows too (the append
+    // loop's covering claim, at the kernel level)
+    val grown = index.unionByName(
+      Dedup.hammingBandRows(batch, maxHamming = 3, bits = 56))
+    val reprobe = Dedup.incrementalHammingPairs(grown,
+      Seq((200L, codeOf(7) ^ 1L)).toDF("id", "code"),
+      maxHamming = 3, maxBucket = Int.MaxValue, bits = 56)
+    assert(reprobe.filter(col("id_old") === 100L).count() == 1,
+      "the grown index must cover the previous batch's rows")
+  }
+
+  test("collapseIdenticalCodes routes verbatim-repeated codes to " +
+      "linear rep edges: clusters equal the uncapped direct run's " +
+      "while a planted hot code survives a cap that silences the " +
+      "direct path; null codes never collapse together") {
+    val base = 0x00a5a5a5a5a5a5L
+    // 40 rows sharing ONE code (the hot mass), plus a near pair
+    val hot = (0 until 40).map(i => (i.toLong, base))
+    val near = Seq((100L, base ^ 1L), (101L, (1L << 50) | 12345L))
+    val codes = (hot ++ near).toDF("id", "code")
+    val (reps, edges) = Dedup.collapseIdenticalCodes(codes)
+    assert(reps.count() == 3 && edges.count() == 39)
+    // routed path under a cap the hot bucket would blow (maxBucket=5):
+    // band REPS only, union the fold edges, cluster
+    val routedPairs = Dedup.hammingBandedPairs(reps, maxHamming = 3,
+        maxBucket = 5, bits = 56)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(edges)
+    val routed = Dedup.connectedComponents(routedPairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the UNCAPPED direct run's clusters
+    val direct = Dedup.connectedComponents(
+      Dedup.hammingBandedPairs(codes, maxHamming = 3,
+          maxBucket = Int.MaxValue, bits = 56)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == direct && routed.nonEmpty,
+      s"routed clusters $routed != direct $direct")
+    // the direct path UNDER THE SAME CAP loses the hot mass — the
+    // routing is what the cap's "exact dedup owns this" sentence
+    // needed to become executable
+    assert(Dedup.hammingBandedPairs(codes, maxHamming = 3,
+      maxBucket = 5, bits = 56).count() <
+      routedPairs.count())
+    // monitor goes quiet after the fold: reps hold one row per code
+    assert(Dedup.oversizedHammingBuckets(reps, maxHamming = 3,
+      maxBucket = 5, bits = 56).count() == 0)
+    // null codes (undecodable media) are dropped, never grouped
+    val withNulls = codes.unionByName(
+      Seq((200L, null.asInstanceOf[java.lang.Long]),
+        (201L, null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "code"))
+    val (reps2, edges2) = Dedup.collapseIdenticalCodes(withNulls)
+    assert(reps2.filter(col("id") >= 200L).count() == 0)
+    assert(edges2.filter(col("id_b") >= 200L).count() == 0,
+      "two undecodable rows must not collapse into one cluster")
+  }
+
   test("simhashCodes(bits=32) widens the 16-bit code: low 16 bits match " +
       "only when votes agree, and the type widens to long") {
     val docs = Tables.documents(spark, sf).limit(50)

@@ -673,6 +673,133 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE heal_idx")
   }
 
+  test("hamming fingerprint index: the probe plans NO exchange on the " +
+      "index side, the (maxHamming, bits) stamp refuses mismatched " +
+      "probes and appends, and admitMediaBatch -> appendMediaDeltas " +
+      "closes the media admission loop") {
+    // synthetic 56-bit codes with planted structure: batch code i
+    // NEAR corpus code i (hamming 2) for i < 5, far otherwise
+    def codeOf(i: Int): Long = (i.toLong * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    val corpusCodes = (0 until 200).map(i => (i.toLong, codeOf(i)))
+      .toDF("id", "code")
+    AdmissionIndexes.saveHammingIndex(
+      Dedup.hammingBandRows(corpusCodes, maxHamming = 3, bits = 56),
+      "phash_idx", buckets = 8, maxHamming = 3, bits = 56)
+
+    // stamp: mismatched probe refuses loudly; matched probe loads
+    val e = intercept[IllegalArgumentException] {
+      AdmissionIndexes.loadHammingIndex(spark, "phash_idx",
+        maxHamming = 5, bits = 56)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+    val index = AdmissionIndexes.loadHammingIndex(spark, "phash_idx",
+      maxHamming = 3, bits = 56)
+
+    // batch: ids 1000+i, first 5 within hamming 2 of corpus code i
+    // (flip two LOW bits inside one segment), rest fresh randoms
+    val batch = ((0 until 5).map(i => (1000L + i, codeOf(i) ^ 3L)) ++
+      (5 until 25).map(i => (1000L + i, codeOf(i + 5000))))
+      .toDF("id", "code")
+    val batchSegs = Dedup.hammingBandRows(batch, maxHamming = 3, bits = 56)
+      .select(col("id").as("bid"), col("code").as("bcode"),
+        col("seg"), col("sb"))
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val p = index.join(batchSegs, Seq("seg", "sb"))
+      val plan = p.queryExecution.executedPlan.toString
+      val probeKeyExchanges = "Exchange hashpartitioning\\(seg"
+        .r.findAllIn(plan).size
+      assert(probeKeyExchanges == 1,
+        s"expected exactly the batch-side probe-key exchange, got " +
+          s"$probeKeyExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan not bucketed:\n$plan")
+    }
+
+    // the admission face: corpus-near rows drop, fresh rows admit,
+    // and the probe result equals incrementalHammingPairs' verdicts
+    val adm = CorpusPipeline.admitMediaBatch(index, batch,
+      maxHamming = 3, maxBucket = 5000, bits = 56)
+    val verdicts = adm.annotated
+      .select(col("id"), col("is_corpus_phash_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0 until 5).foreach(i => assert(verdicts(1000L + i),
+      s"batch row ${1000 + i} is hamming 2 of corpus code $i"))
+    assert((5 until 25).forall(i => !verdicts(1000L + i)))
+    assert(adm.admitted.count() == 20)
+
+    // append the delta: the NEXT batch dedupes against this one
+    AdmissionIndexes.appendMediaDeltas(adm, "phash_idx", buckets = 8)
+    val batch2 = Seq((2000L, codeOf(5005) ^ 1L)) // hamming 1 of an
+      .toDF("id", "code") // ADMITTED round-1 row (id 1005)
+    val adm2 = CorpusPipeline.admitMediaBatch(
+      AdmissionIndexes.loadHammingIndex(spark, "phash_idx", 3, 56),
+      batch2, maxHamming = 3, bits = 56)
+    assert(adm2.admitted.count() == 0,
+      "round 2 must dedupe against round 1's appended delta")
+
+    // a mismatched delta refuses at append (disjoint segment spaces)
+    val badAdm = adm.copy(hammingParams = Some((5, 56)),
+      newHamming = Dedup.hammingBandRows(batch, maxHamming = 5, bits = 56))
+    val e2 = intercept[IllegalArgumentException] {
+      AdmissionIndexes.appendMediaDeltas(badAdm, "phash_idx", buckets = 8)
+    }
+    assert(e2.getMessage.contains("mismatch"))
+    spark.sql("DROP TABLE phash_idx")
+  }
+
+  test("registerFromSpec heal QUARANTINES a non-part-file shell " +
+      "instead of deleting it, and refuses any non-empty live dir") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // live dir with a NON-part data file (written by some other tool)
+    // + a parked copy: the heal must refuse — assuming every writer
+    // produces part- files would let it destroy foreign data
+    val liveDir = new java.io.File(wh, "foreign_idx")
+    liveDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(liveDir, "data.orc").toPath, "foreign bytes")
+    val parked = new java.io.File(wh, "foreign_idx__registering")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(parked, "marker").toPath, "stale")
+    assert(!AdmissionIndexes.registerFromSpec(spark, "foreign_idx"))
+    assert(new java.io.File(liveDir, "data.orc").isFile,
+      "foreign data file must survive the heal untouched")
+    assert(parked.isDirectory)
+    // clean up both
+    Seq(new java.io.File(liveDir, "data.orc"), liveDir,
+      new java.io.File(parked, "marker"), parked)
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+
+    // the one state the heal may clear — an EMPTY crashed-CREATE
+    // shell — is parked under a quarantine name, never deleted
+    AdmissionIndexes.saveDigestIndex(
+      Dedup.contentDigests(
+        Seq((1L, docText(1))).toDF("doc_id", "text"), "doc_id", "text"),
+      "qshell_idx", buckets = 2)
+    val dataDir = new java.io.File(wh, "qshell_idx")
+    val aside = new java.io.File(wh, "qshell_idx__registering")
+    // simulate the crash window: data parked aside FIRST (a managed
+    // DROP would delete the directory), then the catalog forgets the
+    // table, and the live dir is an EMPTY shell (the crashed CREATE's
+    // leftover)
+    assert(dataDir.renameTo(aside))
+    spark.sql("DROP TABLE qshell_idx")
+    dataDir.mkdirs()
+    assert(AdmissionIndexes.registerFromSpec(spark, "qshell_idx"),
+      "heal must complete the interrupted registration")
+    assert(AdmissionIndexes.load(spark, "qshell_idx").count() == 1)
+    val quarantined = Option(new java.io.File(wh).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("qshell_idx__quarantine"))
+    assert(quarantined.length == 1,
+      "the cleared shell must be quarantined, not deleted")
+    quarantined.foreach(q => AdmissionIndexes.load(spark, "qshell_idx"))
+    spark.sql("DROP TABLE qshell_idx")
+    quarantined.foreach { q =>
+      java.nio.file.Files.delete(q.toPath)
+    }
+  }
+
   test("digest and code indexes refuse a frame missing their probe key") {
     val e = intercept[IllegalArgumentException] {
       AdmissionIndexes.saveDigestIndex(

@@ -468,6 +468,74 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(annOff.filter(col("is_near_dup")).count() == 0)
   }
 
+  test("PairSource.Fingerprint: planted image dups (verbatim-code " +
+      "clone AND a hamming-3 near code) are flagged off their dHash " +
+      "codes with min-id keeper, docs without codes pass, and " +
+      "provenance records the fingerprint decision") {
+    // texts pairwise token-distinct (no token-path rescue) — the
+    // verdicts below can ONLY come from the fingerprint source
+    val idocs = (1L to 6L).map(i => (i, cleanText(s"img$i"))).toDF("doc_id", "text")
+    val base = 0x00a5a5a5a5a5a5L
+    val codes = Seq(
+      (1L, Some(base)),            // keeper
+      (2L, Some(base ^ 1L)),       // near: hamming 1 (re-encoded image)
+      (3L, Some(base)),            // clone: verbatim code
+      (4L, Some(0x003c3c3c3c3cL)), // far
+      // doc 5 has NO code row; doc 6 an undecodable image (null code)
+      (6L, Option.empty[Long])).toDF("doc_id", "code")
+    val (ann, dec) = CorpusPipeline.annotateWithDecisions(
+      idocs, "doc_id", "text", benchmark,
+      pairSource = CorpusPipeline.PairSource.Fingerprint(
+        codes, maxHamming = 3, bits = 56, codeIdCol = "doc_id"))
+    val near = ann.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup")).toMap
+    assert(near(1L) == false && near(2L) == true && near(3L) == true,
+      s"planted image dups lost: $near")
+    assert(near(4L) == false && near(5L) == false && near(6L) == false)
+    assert(dec.map(d => (d.stage, d.decision)) ==
+      Seq(("near_dup", "direct")))
+
+    // string ids: the code join must go through the ORIGINAL id
+    val sdocs = idocs.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val scodes = codes.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("code"))
+    val sAnn = CorpusPipeline.annotate(sdocs, "doc_id", "text", benchmark,
+      pairSource = CorpusPipeline.PairSource.Fingerprint(
+        scodes, maxHamming = 3, bits = 56, codeIdCol = "doc_id"))
+    val s3 = sAnn.filter(col("doc_id") === "doc-3").collect().head
+    assert(s3.getAs[Boolean]("is_near_dup"),
+      "string-id fingerprint near-dup lost through the surrogate")
+  }
+
+  test("fingerprint pair source skew guard: a hot verbatim code trips " +
+      "oversizedHammingBuckets, pre-collapses to linear edges " +
+      "(code_precollapse in provenance), and flags every clone the " +
+      "bucket cap would have dropped") {
+    // 40 token-distinct docs sharing ONE dHash code (re-posted image
+    // boilerplate: same pixels, different captions)
+    val clones = (0 until 40).map(i => (100L + i, cleanText(s"cap$i")))
+    val sdocs = clones.toDF("doc_id", "text")
+    val hot = 0x00a5a5a5a5a5a5L
+    val codes = clones.map { case (id, _) => (id, hot) }.toDF("doc_id", "code")
+    def run(guard: Boolean) = CorpusPipeline.annotateWithDecisions(
+      sdocs, "doc_id", "text", benchmark, maxBucket = 10,
+      pairSource = CorpusPipeline.PairSource.Fingerprint(
+        codes, maxHamming = 3, bits = 56, codeIdCol = "doc_id"),
+      skewGuard = guard)
+    val (ann, dec) = run(guard = true)
+    assert(dec.map(_.decision) == Seq("code_precollapse"), s"got: $dec")
+    assert(dec.head.detail.contains("collapsed=39"), s"got: ${dec.head}")
+    val near = ann.filter(col("is_near_dup")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(near == (101L to 139L).toSet, s"flagged: $near")
+    // without the guard the hot bucket is capped away and every clone
+    // sails through — the contrast the routing exists for
+    val (annOff, decOff) = run(guard = false)
+    assert(decOff.forall(_.decision == "direct"))
+    assert(annOff.filter(col("is_near_dup")).count() == 0)
+  }
+
   test("stats aggregates every stage's drop count in one row") {
     val s = CorpusPipeline.stats(result.annotated).collect().head
     assert(s.getAs[Long]("input") == 7)

@@ -295,6 +295,57 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming fingerprint admission: a batch-built hamming index " +
+      "drops in-bound image codes on the stream (verdict parity with " +
+      "the batch probe), admits far and no-candidate codes with their " +
+      "best distance, null codes dropped") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.CodeDoc
+    import graft.dedup.Dedup
+    val base = 0x00a5a5a5a5a5a5L
+    val corpusCodes = Seq((1L, base), (2L, 0x003c3c3c3c3c3cL))
+      .toDF("id", "code")
+    // the SAME index build the batch face probes — shared kernel
+    val index = Dedup.hammingBandRows(corpusCodes, maxHamming = 3,
+      bits = 56)
+    val in = MemoryStream[CodeDoc]
+    val q = EventStream.streamingFingerprintAdmission(
+        in.toDF(), index, maxHamming = 3, bits = 56,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fp_admit_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      CodeDoc(10L, ts("2024-01-01 00:00:00"), Some(base ^ 1L)), // h=1 drop
+      CodeDoc(11L, ts("2024-01-01 00:01:00"), Some(base ^ 0x1fL)), // h=5 admit
+      CodeDoc(12L, ts("2024-01-01 00:02:00"), Some(base)),      // h=0 drop
+      CodeDoc(13L, ts("2024-01-01 00:02:30"), None),            // null drop
+      // shares NO segment with any corpus code: admitted, null best
+      CodeDoc(14L, ts("2024-01-01 00:03:00"), Some(~base & ((1L << 56) - 1))))
+    q.processAllAvailable()
+    // verdicts are watermark-gated: advance event time past the
+    // window end + watermark so the first window's verdicts emit
+    in.addData(CodeDoc(99L, ts("2024-01-01 02:00:00"), Some(12345L)))
+    q.processAllAvailable()
+    val rows = spark.table("fp_admit_out").collect()
+    q.stop()
+    val m = rows.map(r => r.getAs[Long]("doc_id") ->
+      Option(r.get(r.fieldIndex("best_hamming")))).toMap
+    assert(m.keySet == Set(11L, 14L), s"admitted: $m")
+    assert(m(11L).contains(5), s"best_hamming of 11: ${m(11L)}")
+    // verdict parity with the batch probe: the stream dropped exactly
+    // the ids incrementalHammingPairs flags against the same index
+    val batchView = Seq((10L, base ^ 1L), (11L, base ^ 0x1fL),
+      (12L, base), (14L, ~base & ((1L << 56) - 1)))
+      .toDF("id", "code")
+    val batchDropped = Dedup.incrementalHammingPairs(index, batchView,
+        maxHamming = 3, maxBucket = 5000, bits = 56)
+      .select("id_new").collect().map(_.getLong(0)).toSet
+    assert(batchDropped == Set(10L, 12L),
+      s"batch face disagrees: $batchDropped")
+    }
+  }
+
   test("streaming passage strip: indexed windows are cut from arriving " +
       "docs once the watermark closes their verdict window; fresh and " +
       "sub-window docs pass through whole") {
@@ -1095,6 +1146,8 @@ object EventStreamSpec {
 
   final case class VecDoc(
       doc_id: Long, ts: java.sql.Timestamp, vec: Seq[Float])
+  final case class CodeDoc(
+      doc_id: Long, ts: java.sql.Timestamp, code: Option[Long])
   final case class Ping(device: String, at: java.sql.Timestamp, tag: String)
   final case class Pong(device: String, at: java.sql.Timestamp, seq: Long)
 }
