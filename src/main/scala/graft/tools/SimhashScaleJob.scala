@@ -24,17 +24,29 @@ import graft.dedup.Dedup
   * oversized-bucket monitor (count + mass) as its loss signal
   * instead.
   *
-  * Args: <sfDir> [bits=64] [maxHamming=3] [maxBucket=500] [uncapped].
-  * Prints ONE JSON line. */
+  * `routed` (implies the uncapped reference) additionally measures
+  * the identical-code pre-collapse path
+  * ([[Dedup.collapseIdenticalCodes]] -> band REPS at the cap -> fold
+  * edges unioned in): since a fold group's pairs surface as cluster
+  * co-membership rather than explicit rows, its recall is measured at
+  * the CLUSTER level — the fraction of uncapped true pairs whose two
+  * ids land in the same routed connected component, which is the
+  * verdict every downstream consumer (keeper selection) actually
+  * reads.
+  *
+  * Args: <sfDir> [bits=64] [maxHamming=3] [maxBucket=500]
+  * [uncapped|routed]. Prints ONE JSON line. */
 object SimhashScaleJob {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: SimhashScaleJob <sfDir> [bits] [maxHamming] [maxBucket] [uncapped]")
+      "usage: SimhashScaleJob <sfDir> [bits] [maxHamming] [maxBucket] [uncapped|routed]")
     val sfDir = args(0)
     val bits = if (args.length >= 2) args(1).toInt else 64
     val maxHamming = if (args.length >= 3) args(2).toInt else 3
     val maxBucket = if (args.length >= 4) args(3).toInt else 500
-    val runUncapped = args.length >= 5 && args(4) == "uncapped"
+    val mode = if (args.length >= 5) args(4) else ""
+    val runRouted = mode == "routed"
+    val runUncapped = mode == "uncapped" || runRouted
     val spark = Sessions.local("graft-simhash-scale")
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
@@ -50,14 +62,38 @@ object SimhashScaleJob {
         maxBucket, bits)
       .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)))
       .collect()(0)
-    val (uncapped, uncappedWall, recall) =
-      if (!runUncapped) (-1L, -1.0, -1.0)
+    val (uncappedPairs, uncapped, uncappedWall, recall) =
+      if (!runUncapped) (None, -1L, -1.0, -1.0)
       else {
         val t2 = System.nanoTime()
-        val u = Dedup.hammingBandedPairs(codes, maxHamming,
-          Int.MaxValue, bits).count()
+        val up = Dedup.hammingBandedPairs(codes, maxHamming,
+          Int.MaxValue, bits).localCheckpoint(eager = false)
+        val u = up.count()
         val w = (System.nanoTime() - t2) / 1e9
-        (u, w, if (u == 0) 1.0 else capped.toDouble / u)
+        (Some(up), u, w, if (u == 0) 1.0 else capped.toDouble / u)
+      }
+    val (routedRecall, routedWall, reps, foldEdges) =
+      if (!runRouted) (-1.0, -1.0, -1L, -1L)
+      else {
+        val t3 = System.nanoTime()
+        val (r, e0) = Dedup.collapseIdenticalCodes(codes)
+        val rCk = r.localCheckpoint()
+        val e = e0.localCheckpoint()
+        val routedPairs = Dedup.hammingBandedPairs(rCk, maxHamming,
+            maxBucket, bits)
+          .select(col("id_a"), col("id_b"))
+          .unionByName(e)
+        val labels = Dedup.connectedComponents(routedPairs, "id_a", "id_b")
+        val up = uncappedPairs.get
+        val covered = up
+          .join(labels.select(col("id").as("id_a"),
+            col("cluster").as("__ca")), Seq("id_a"))
+          .join(labels.select(col("id").as("id_b"),
+            col("cluster").as("__cb")), Seq("id_b"))
+          .filter(col("__ca") === col("__cb")).count()
+        val w = (System.nanoTime() - t3) / 1e9
+        (if (uncapped == 0) 1.0 else covered.toDouble / uncapped, w,
+          rCk.count(), e.count())
       }
     println(s"""{"docs":$n,"bits":$bits,"max_hamming":$maxHamming,""" +
       s""""max_bucket":$maxBucket,"pairs_capped":$capped,""" +
@@ -66,7 +102,9 @@ object SimhashScaleJob {
       s""""oversized_mass":${over.getLong(1)},""" +
       s""""pairs_uncapped":$uncapped,""" +
       f""""uncapped_wall_s":$uncappedWall%.2f,"recall":$recall%.4f,""" +
-      s""""sf":"$sfDir"}""")
+      s""""distinct_codes":$reps,"fold_edges":$foldEdges,""" +
+      f""""routed_cluster_recall":$routedRecall%.4f,""" +
+      f""""routed_wall_s":$routedWall%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
