@@ -1143,6 +1143,13 @@ object Dedup {
     * construction — one definition, not a convention two copies must
     * keep (the minhash faces' bandKeys discipline). */
   def hammingSegments(code: Column, maxHamming: Int, bits: Int): Column = {
+    // the guard EVERY consumer needs, enforced in the shared kernel:
+    // more segments than bits produces zero-width ones whose universal
+    // sb=0 bucket any cap then drops — silently voiding the pigeonhole
+    // guarantee (the streaming face has no other require on its path)
+    require(maxHamming + 1 <= bits,
+      s"hammingSegments needs maxHamming + 1 <= bits for the " +
+        s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
     val nSeg = maxHamming + 1
     val bounds = (0 to nSeg).map(i => i * bits / nSeg)
     array((0 until nSeg).map { s =>

@@ -816,27 +816,37 @@ object AdmissionIndexes {
       s"index frame is missing probe-key column '$k' " +
         s"(has ${df.columns.mkString(", ")})"))
     val spark = df.sparkSession
-    if (append && props.nonEmpty && spark.catalog.tableExists(table)) {
-      // an append computed under different parameters than the stored
-      // index would key a DISJOINT hash space into the same table —
-      // refuse before writing a single row
+    if (append && spark.catalog.tableExists(table)) {
       val stamp = tableProps(spark, table)
-      val bad = props.filter { case (k, v) => stamp.get(k).exists(_ != v) }
-      require(bad.isEmpty,
-        s"append to '$table' parameter mismatch: delta was built with " +
-          bad.map { case (k, v) => s"$k=$v" }.mkString(", ") +
-          " but the index is stamped " +
-          bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
-          " — refusing the append (it would mix disjoint key spaces)")
-      // a PARTIAL (or absent) stamp cannot verify the missing
-      // dimensions — warn exactly as loadBandIndex does for the same
-      // state, so append is not the weaker face of the same guard
-      val unverifiable = props.keys.filterNot(stamp.contains).toSeq.sorted
-      if (unverifiable.nonEmpty)
+      if (props.nonEmpty) {
+        // an append computed under different parameters than the
+        // stored index would key a DISJOINT hash space into the same
+        // table — refuse before writing a single row
+        val bad = props.filter { case (k, v) => stamp.get(k).exists(_ != v) }
+        require(bad.isEmpty,
+          s"append to '$table' parameter mismatch: delta was built with " +
+            bad.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+            " but the index is stamped " +
+            bad.keys.map(k => s"$k=${stamp(k)}").mkString(", ") +
+            " — refusing the append (it would mix disjoint key spaces)")
+        // a PARTIAL (or absent) stamp cannot verify the missing
+        // dimensions — warn exactly as loadBandIndex does for the same
+        // state, so append is not the weaker face of the same guard
+        val unverifiable = props.keys.filterNot(stamp.contains).toSeq.sorted
+        if (unverifiable.nonEmpty)
+          System.err.println(s"[admission-indexes] append to '$table': " +
+            s"the stored stamp is ${if (stamp.isEmpty) "ABSENT" else "PARTIAL"}" +
+            s" — cannot verify ${unverifiable.mkString(", ")} against " +
+            "the delta; re-save with all parameters to close the gap")
+      } else if (stamp.nonEmpty)
+        // the mirror hole: a parameter-LESS delta appended to a
+        // STAMPED table skips verification entirely — say so, the
+        // same way a stamp-less table warns a parameterized probe
         System.err.println(s"[admission-indexes] append to '$table': " +
-          s"the stored stamp is ${if (stamp.isEmpty) "ABSENT" else "PARTIAL"}" +
-          s" — cannot verify ${unverifiable.mkString(", ")} against " +
-          "the delta; re-save with all parameters to close the gap")
+          "the delta carries no parameters but the table is stamped (" +
+          stamp.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" ") +
+          ") — cannot verify the delta was built with them; pass the " +
+          "parameters on the append to close the gap")
     }
     // an append that CREATES the table (no bootstrap ran) must stamp
     // and sidecar it like a fresh save would — otherwise the table is

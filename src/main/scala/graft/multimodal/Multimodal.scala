@@ -246,7 +246,15 @@ object Multimodal {
     * floor bounds tile the source exactly, every cell sees >= 1 pixel
     * even when the source is SMALLER than the grid — and the cell
     * value is floor(sum / count). A w x h source round-trips
-    * identically (each cell is one pixel). */
+    * identically (each cell is one pixel).
+    *
+    * Alpha is composited over WHITE before the luminance read (the
+    * standard pHash flattening): a fully-transparent pixel's stored
+    * RGB is encoder-dependent garbage, so hashing it raw would land
+    * visually identical transparent-background images far apart in
+    * hamming space whenever their encoders disagreed on the invisible
+    * bytes. lum' = (a*lum + (255-a)*255 + 127) / 255 — for opaque
+    * pixels (a=255) this is exactly lum. */
   private[multimodal] def boxGray(img: java.awt.image.BufferedImage,
       w: Int, h: Int): Array[Int] = {
     val iw = img.getWidth
@@ -266,9 +274,11 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
-            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-              114 * (rgb & 0xff) + 500) / 1000
+            val argb = img.getRGB(x, y)
+            val a = (argb >>> 24) & 0xff
+            val lum = (299 * ((argb >> 16) & 0xff) +
+              587 * ((argb >> 8) & 0xff) + 114 * (argb & 0xff) + 500) / 1000
+            sum += (a * lum + (255 - a) * 255 + 127) / 255
             n += 1
             x += 1
           }
@@ -328,12 +338,19 @@ object Multimodal {
     require((w - 1) * h <= 63,
       s"dHash needs (w-1)*h <= 63 bits to stay in a Long's positive " +
         s"range, got ${(w - 1) * h}")
-    (0 until h).flatMap { r =>
-      (0 until w - 1).map { c =>
-        val k = r * (w - 1) + c
-        when(element_at(px, r * w + c + 1) < element_at(px, r * w + c + 2),
-          lit(1L << k)).otherwise(lit(0L))
-      }
-    }.reduce(_ + _)
+    // NULL px (an undecodable image from [[grayPixels]]) must yield a
+    // NULL code, not 0: each bit's when() falls to otherwise(0) on a
+    // null comparison, so without this guard every undecodable image
+    // would silently share code 0 — verbatim hamming-0 "duplicates"
+    // of each other (and of genuinely flat images), inverting the
+    // documented null-routing contract everywhere downstream
+    when(px.isNull, lit(null).cast("long")).otherwise(
+      (0 until h).flatMap { r =>
+        (0 until w - 1).map { c =>
+          val k = r * (w - 1) + c
+          when(element_at(px, r * w + c + 1) < element_at(px, r * w + c + 2),
+            lit(1L << k)).otherwise(lit(0L))
+        }
+      }.reduce(_ + _))
   }
 }

@@ -75,6 +75,10 @@ object SimhashScaleJob {
     val (routedRecall, routedWall, reps, foldEdges) =
       if (!runRouted) (-1.0, -1.0, -1L, -1L)
       else {
+        // routed_wall_s times ONLY what a production consumer pays
+        // (fold + banding + CC, forced by the label materialization);
+        // the recall-scoring double join over the uncapped pair set
+        // is measurement overhead and runs OUTSIDE the window
         val t3 = System.nanoTime()
         val (r, e0) = Dedup.collapseIdenticalCodes(codes)
         val rCk = r.localCheckpoint()
@@ -84,6 +88,8 @@ object SimhashScaleJob {
           .select(col("id_a"), col("id_b"))
           .unionByName(e)
         val labels = Dedup.connectedComponents(routedPairs, "id_a", "id_b")
+          .localCheckpoint()
+        val w = (System.nanoTime() - t3) / 1e9
         val up = uncappedPairs.get
         val covered = up
           .join(labels.select(col("id").as("id_a"),
@@ -91,7 +97,6 @@ object SimhashScaleJob {
           .join(labels.select(col("id").as("id_b"),
             col("cluster").as("__cb")), Seq("id_b"))
           .filter(col("__ca") === col("__cb")).count()
-        val w = (System.nanoTime() - t3) / 1e9
         (if (uncapped == 0) 1.0 else covered.toDouble / uncapped, w,
           rCk.count(), e.count())
       }

@@ -793,7 +793,13 @@ class AdmissionIndexesSpec extends SparkSpec {
       .filter(_.getName.startsWith("qshell_idx__quarantine"))
     assert(quarantined.length == 1,
       "the cleared shell must be quarantined, not deleted")
-    quarantined.foreach(q => AdmissionIndexes.load(spark, "qshell_idx"))
+    // the quarantined crashed-CREATE shell must be EMPTY (nothing was
+    // lost by parking it) and must not disturb the healed table's read
+    quarantined.foreach(q => assert(
+      Option(q.listFiles()).getOrElse(Array.empty).isEmpty,
+      s"quarantined shell ${q.getName} unexpectedly holds files"))
+    assert(AdmissionIndexes.load(spark, "qshell_idx").count() == 1,
+      "the healed table must read while the quarantine sibling exists")
     spark.sql("DROP TABLE qshell_idx")
     quarantined.foreach { q =>
       java.nio.file.Files.delete(q.toPath)

@@ -213,6 +213,17 @@ class MultimodalSpec extends SparkSpec {
         Option(r.get(1)).map(_ => r.getSeq[Int](1).toList)).toMap
     assert(out(1L).contains(blocks.toList))
     assert(out(2L).isEmpty, "undecodable payload must yield NULL px")
+    // ...and the NULL must PROPAGATE through dHash: without the
+    // explicit null guard each bit's when() falls to otherwise(0) and
+    // every undecodable image would share code 0 — verbatim fake
+    // duplicates of each other and of genuinely flat images
+    import org.apache.spark.sql.functions.col
+    val codeRows = Multimodal.grayPixels(rows, 9, 7)
+      .select(col("media_id"), Multimodal.dHash(col("px")).as("code"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("code")))).toMap
+    assert(codeRows(2L).isEmpty, "dHash of NULL px must be NULL, not 0")
+    assert(codeRows(1L).nonEmpty)
     // 3x3 -> 2x2 by hand: cells tile [0,1)/[1,3) per axis ->
     // {10}, {20,30}, {40,70}, {50,60,80,90} -> 10, 25, 55, 70
     val small = Multimodal.grayPixels(
@@ -251,6 +262,40 @@ class MultimodalSpec extends SparkSpec {
     val far = java.lang.Long.bitCount(codes(1L) ^ codes(3L))
     assert(near <= 6, s"JPEG re-encode drifted hamming $near > 6")
     assert(far > 20, s"inverted image unexpectedly close: hamming $far")
+  }
+
+  test("grayPixels composites alpha over white: a transparent-" +
+      "background PNG hashes identically regardless of the RGB bytes " +
+      "its encoder buried under alpha=0") {
+    import spark.implicits._
+    // two ARGB images, both visually: left half dark-gray 64, right
+    // half fully transparent — but one encoder stored BLACK under the
+    // transparent pixels, the other stored noise
+    def argbPng(underAlpha: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 14,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until 14; x <- 0 until 18) {
+        val p =
+          if (x < 9) 0xff000000 | (64 << 16) | (64 << 8) | 64
+          else underAlpha(x, y) & 0x00ffffff // alpha 0: invisible
+        img.setRGB(x, y, p)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "png", argbPng((_, _) => 0)),
+      Multimodal.MediaRow(2L, "image", "png",
+        argbPng((x, y) => x * 7919 + y * 104729)))
+      .toDS()
+    val px = Multimodal.grayPixels(rows, 9, 7).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(px(1L) == px(2L),
+      "under-alpha RGB must never reach the hash")
+    // the transparent half reads as WHITE (255), the opaque half 64
+    assert(px(1L).take(4).forall(_ == 64) && px(1L).slice(5, 9).forall(_ == 255),
+      s"got ${px(1L)}")
   }
 
   test("grayPixelsStub is deterministic, shaped w*h, and identical " +
