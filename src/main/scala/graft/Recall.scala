@@ -155,6 +155,30 @@ object Recall {
         .filter(Dedup.hamming(col("ca"), col("cb")) <= 14)
       pairRecall(SparkEntry.queries("q_phash_pairs")(s, d), exact,
         Seq("id_a", "id_b"))
+    }),
+
+    // capped video-pair rollup vs the exact rollup over the SAME
+    // per-frame 56-bit codes (banding is recall-lossless below the
+    // bound; the maxBucket=2000 hot-bucket cut is what recall
+    // prices). Video-PAIR recall: a video pair counts as recalled if
+    // the capped path surfaces it at all — matched_pairs may be
+    // lower under the cap, which is the verdict-preserving direction
+    // (the pair is still flagged for review). Same doc_id < 2000
+    // bound discipline as q_phash_pairs: exact on the subset at any
+    // sfDir, full-corpus at the sf0.01 calibration fixture.
+    "q_video_pairs" -> ((s: SparkSession, d: String) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.frameGridsStub(
+          Multimodal.fromDocuments(
+            Tables.documents(s, d).filter(col("doc_id") < 2000)),
+          frames = 4)
+        .select(col("media_id"), col("frame_no"),
+          Multimodal.dHash(col("px")).as("code"))
+        .localCheckpoint()
+      val exact = Multimodal.videoNearDupPairs(codes, maxHamming = 14,
+        maxBucket = Int.MaxValue, bits = 56)
+      pairRecall(SparkEntry.queries("q_video_pairs")(s, d), exact,
+        Seq("video_a", "video_b"))
     }))
 
   val skipped: Map[String, String] = Map(
@@ -179,6 +203,7 @@ object Recall {
     "q_minhash_pairs" -> 0.95,    // measured 1.00
     "q_simhash_pairs" -> 0.95,    // measured 1.00 (banding lossless)
     "q_phash_pairs" -> 0.95,      // measured 1.00 (banding lossless)
+    "q_video_pairs" -> 0.95,      // measured 1.00 (banding lossless)
     // survivor-subset INVARIANT (see the measure's comment), not a
     // tuning number — below 0.99 means a plumbing bug, not a knob
     "q_semantic_dedup" -> 0.99)

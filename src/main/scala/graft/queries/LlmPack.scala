@@ -1397,6 +1397,94 @@ object LlmPack extends QueryPack {
           maxHamming = 14, maxBucket = Int.MaxValue, bits = 56)
         .orderBy(col("id_new"), col("id_old"))
     }),
+
+    // VIDEO frame fingerprints through the honest decode seam:
+    // frameGridsStub emits 4 deterministic frame grids per payload
+    // (the frame-salted extension of grayPixelsStub's md5 formula —
+    // the SQL oracle recomputes the identical bytes), then the REAL
+    // per-frame dHash runs as column expressions. Full oracle on the
+    // (video, frame, code) rows pins the 1->N flatMap shape AND the
+    // per-frame code math. Real frame decode is Multimodal.gifFrames
+    // (spec-verified on real animated GIFs; DuckDB can't decode GIF,
+    // so the oracle face must be the stub).
+    "q_video_codes" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.frameGridsStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)), frames = 4)
+        .select(col("media_id").as("doc_id"), col("frame_no"),
+          Multimodal.dHash(col("px")).as("code"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // Video near-dup rollup under the hard driver-checked oracle:
+    // bounded subset, cap disabled — pigeonhole banding is exact
+    // within maxHamming, so the banded frame pairs (and therefore
+    // their per-video-pair rollup) must equal the brute-force
+    // frame-level hamming join DuckDB recomputes over the
+    // SQL-recomputable stub codes, rolled up with the same
+    // count/min aggregates.
+    "q_video_pairs_exact" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.frameGridsStub(
+          Multimodal.fromDocuments(
+            Tables.documents(s, d).filter(col("doc_id") < 200)),
+          frames = 4)
+        .select(col("media_id"), col("frame_no"),
+          Multimodal.dHash(col("px")).as("code"))
+      Multimodal.videoNearDupPairs(codes, maxHamming = 14,
+          maxBucket = Int.MaxValue, bits = 56)
+        .orderBy(col("video_a"), col("video_b"))
+    }),
+
+    // The scale face of the same rollup: bucket cap ON (hot-code
+    // frame mass priced, oversizedHammingBuckets reports it) over the
+    // full documents table. Rows-only here; recall vs the exact
+    // rollup is measured and floored (Recall.scala, q_video_pairs).
+    "q_video_pairs" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.frameGridsStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)), frames = 4)
+        .select(col("media_id"), col("frame_no"),
+          Multimodal.dHash(col("px")).as("code"))
+      Multimodal.videoNearDupPairs(codes, maxHamming = 14,
+          maxBucket = 2000, bits = 56)
+        .orderBy(col("video_a"), col("video_b"))
+    }),
+
+    // AUDIO fingerprint through the honest decode seam: an energy
+    // contour is a 1-row grayscale "image", so the oracle face is
+    // grayPixelsStub with (w=33, h=1) and the REAL dHash gradient
+    // math runs over it with the same grid — 32 energy-gradient
+    // bits. Real PCM parse is Multimodal.pcmEnergyContour (a
+    // hand-rolled RIFF walk, spec-verified on real WAV bytes; DuckDB
+    // can't parse WAV, so the oracle face must be the stub).
+    "q_audio_hash" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.grayPixelsStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)),
+          w = 33, h = 1)
+        .select(col("media_id").as("doc_id"),
+          Multimodal.dHash(col("px"), w = 33, h = 1).as("code"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Audio near-dup pairs under the hard oracle: the SAME pigeonhole
+    // banding kernel at the audio operating point (32-bit codes,
+    // maxHamming 8 -> 9 segments of 3-4 bits), bounded subset, cap
+    // disabled — banded == the brute-force hamming self-join DuckDB
+    // recomputes over the SQL-recomputable contour codes.
+    "q_audio_pairs_exact" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val codes = Multimodal.grayPixelsStub(
+          Multimodal.fromDocuments(
+            Tables.documents(s, d).filter(col("doc_id") < 400)),
+          w = 33, h = 1)
+        .select(col("media_id").as("id"),
+          Multimodal.dHash(col("px"), w = 33, h = 1).as("code"))
+      Dedup.hammingBandedPairs(codes, maxHamming = 8,
+          maxBucket = Int.MaxValue, bits = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2176,5 +2264,72 @@ object LlmPack extends QueryPack {
         |FROM codes a JOIN codes b ON a.doc_id < 250 AND b.doc_id >= 250
         |WHERE bit_count(xor(a.code, b.code)) <= 14
         |ORDER BY id_new, id_old""".stripMargin,
+    // Per-frame dHash oracle: recompute the frame stub's md5-derived
+    // pixel bytes (byte i%16 of md5(text || '#' || f || ':' || i/16),
+    // unsigned) for 4 frames per document and replay the gradient-bit
+    // sum per (doc, frame).
+    "q_video_codes" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) fs)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+        |  CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |      < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |    THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |GROUP BY doc_id, f ORDER BY doc_id, frame_no""".stripMargin,
+    "q_video_pairs_exact" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) fs
+        |  WHERE doc_id < 200),
+        |codes AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |        < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |      THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |  FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |  GROUP BY doc_id, f)
+        |SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+        |  COUNT(*) AS matched_pairs,
+        |  CAST(MIN(bit_count(xor(a.code, b.code))) AS INTEGER) AS min_hamming
+        |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.code, b.code)) <= 14
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Audio contour-hash oracle: the 33-value 1-row "grid" from the
+    // same md5 pixel formula (chunks 0..2), 32 gradient bits
+    // (h=1: bit k compares p[k] to p[k+1]).
+    "q_audio_hash" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(33), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN p[CAST(k + 1 AS INTEGER)] < p[CAST(k + 2 AS INTEGER)]
+        |    THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |FROM px CROSS JOIN (SELECT unnest(range(32)) AS k) ks
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_audio_pairs_exact" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(33), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents WHERE doc_id < 400),
+        |codes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN p[CAST(k + 1 AS INTEGER)] < p[CAST(k + 2 AS INTEGER)]
+        |      THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |  FROM px CROSS JOIN (SELECT unnest(range(32)) AS k) ks
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+        |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.code, b.code)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

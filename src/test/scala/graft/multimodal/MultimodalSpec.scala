@@ -320,4 +320,302 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(codes(1L) == codes(2L) && codes(1L) != codes(3L))
   }
+
+  test("gif round trip is LOSSLESS: known gray grids -> animated GIF " +
+      "-> gifFrames recovers every grid exactly, stride samples the " +
+      "right source frames, and undecodable payloads yield one " +
+      "(-1, NULL) row") {
+    import spark.implicits._
+    val grids = Seq(
+      Array.tabulate(9 * 7)(i => (i * 53) % 256),
+      Array.tabulate(9 * 7)(i => (i * 31 + 7) % 256),
+      Array.tabulate(9 * 7)(i => 255 - (i * 11) % 256))
+    val gif = Multimodal.gifOfGrayFrames(grids, 9, 7)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", "gif", gif),
+      Multimodal.MediaRow(2L, "video", "gif", "not a gif".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.gifFrames(rows, stride = 1, w = 9, h = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))
+        .map(_ => r.getSeq[Int](2).toList))
+      .toMap
+    grids.zipWithIndex.foreach { case (g, i) =>
+      assert(out((1L, i)).contains(g.toList),
+        s"frame $i did not round-trip exactly")
+    }
+    assert(out((2L, -1)).isEmpty, "undecodable payload -> (-1, NULL px)")
+    assert(out.size == 4)
+    // stride=2 keeps source indices 0 and 2 with their provenance
+    val sampled = Multimodal.gifFrames(rows.filter(_.media_id == 1L),
+        stride = 2, w = 9, h = 7)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Int](2).toList).toMap
+    assert(sampled.keySet == Set(0, 2))
+    assert(sampled(2) == grids(2).toList)
+  }
+
+  test("gifFrames composites the GIF89a playback model: delta rects " +
+      "draw at their offsets, restoreToBackgroundColor clears the " +
+      "rect (reads white through the alpha flattening), and " +
+      "restoreToPrevious rewinds the draw") {
+    import spark.implicits._
+    // 18x14 canvas -> 9x7 grid via exact 2x2 box averages, so the
+    // expected grids are hand-replayable on plain arrays. -1 marks
+    // "transparent" (composites to 255 in boxGray).
+    val cw = 18; val ch = 14
+    val base = Array.tabulate(cw * ch)(i => (i * 3) % 200)
+    def over(canvas: Array[Int], px: Array[Int], w: Int, h: Int,
+        left: Int, top: Int): Array[Int] = {
+      val out = canvas.clone()
+      for (y <- 0 until h; x <- 0 until w)
+        out((top + y) * cw + (left + x)) = px(y * w + x)
+      out
+    }
+    def cleared(canvas: Array[Int], w: Int, h: Int, left: Int,
+        top: Int): Array[Int] = {
+      val out = canvas.clone()
+      for (y <- 0 until h; x <- 0 until w)
+        out((top + y) * cw + (left + x)) = -1
+      out
+    }
+    def grid(canvas: Array[Int]): List[Int] =
+      (for (cy <- 0 until 7; cx <- 0 until 9) yield {
+        val vs = for (dy <- 0 until 2; dx <- 0 until 2)
+          yield { val v = canvas((cy * 2 + dy) * cw + (cx * 2 + dx))
+            if (v < 0) 255 else v }
+        vs.sum / 4
+      }).toList
+    val patch = Array.fill(6 * 4)(250)
+    val tiny = Array.fill(2 * 2)(5)
+    val gif = Multimodal.gifOfFrames(Seq(
+      Multimodal.GifFrame(base, cw, ch),
+      Multimodal.GifFrame(patch, 6, 4, left = 4, top = 2,
+        disposal = "restoreToBackgroundColor"),
+      Multimodal.GifFrame(tiny, 2, 2, left = 10, top = 8,
+        disposal = "restoreToPrevious"),
+      Multimodal.GifFrame(tiny, 2, 2, left = 0, top = 0)))
+    val rows = Seq(Multimodal.MediaRow(1L, "video", "gif", gif)).toDS()
+    val out = Multimodal.gifFrames(rows, stride = 1, w = 9, h = 7)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Int](2).toList).toMap
+    // frame 0: the base canvas
+    assert(out(0) == grid(base), "frame 0 must be the base canvas")
+    // frame 1: patch drawn over base at (4,2)
+    assert(out(1) == grid(over(base, patch, 6, 4, 4, 2)),
+      "frame 1 must composite the delta rect over the live canvas")
+    // frame 1's disposal clears its rect; frame 2 draws tiny at (10,8)
+    val afterClear = cleared(base, 6, 4, 4, 2)
+    assert(out(2) == grid(over(afterClear, tiny, 2, 2, 10, 8)),
+      "restoreToBackgroundColor must clear the rect to background")
+    // frame 2's disposal REWINDS its draw; frame 3 draws tiny at (0,0)
+    assert(out(3) == grid(over(afterClear, tiny, 2, 2, 0, 0)),
+      "restoreToPrevious must rewind frame 2's draw")
+  }
+
+  test("videoNearDupPairs rolls frame matches up to video pairs: " +
+      "cross-video only (media-first struct ordering), counts every " +
+      "matching frame pair once, min_hamming over survivors, and the " +
+      "minMatchedPairs gate filters singles") {
+    import spark.implicits._
+    // videos: A={15, 240, 0xFF00, 15}, B={15, 241, 0x0FF0}, C=far.
+    // maxHamming=2, bits=16. A.f0/A.f3 are identical SAME-video
+    // frames (must not pair); Axf0/Bf0 h=0 (x2: A.f3 too), Af1/Bf1
+    // h=1; C matches nothing within 2.
+    val frames = Seq(
+      (1L, 0, 15L), (1L, 1, 240L), (1L, 2, 0xFF00L), (1L, 3, 15L),
+      (2L, 0, 15L), (2L, 1, 241L), (2L, 2, 0x0FF0L),
+      (3L, 0, 0x5A5AL), (3L, 1, 0xA5A5L))
+      .toDF("media_id", "frame_no", "code")
+    val pairs = Multimodal.videoNearDupPairs(frames, maxHamming = 2,
+        maxBucket = Int.MaxValue, bits = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"expected only (1,2), got ${pairs.keySet}")
+    // matched frame pairs: (A.f0,B.f0), (A.f3,B.f0), (A.f1,B.f1)
+    assert(pairs((1L, 2L)) == ((3L, 0)),
+      s"expected (3 pairs, min_hamming 0), got ${pairs((1L, 2L))}")
+    // the gate: requiring >= 4 matched pairs drops the pair
+    assert(Multimodal.videoNearDupPairs(frames, maxHamming = 2,
+      maxBucket = Int.MaxValue, bits = 16, minMatchedPairs = 4L)
+      .count() == 0)
+  }
+
+  test("video near-dup end-to-end on REAL encoded GIFs: a lightly " +
+      "perturbed re-encode of a 3-frame video is flagged against its " +
+      "original; an inverted video is not") {
+    import spark.implicits._
+    // structurally DISTINCT frames (different gradient directions) —
+    // a constant brightness offset would not do: dHash is invariant
+    // to it, so offset-only "frames" all share one code
+    def gradient(seed: Int, flip: Boolean): Array[Int] =
+      Array.tabulate(90 * 70) { i =>
+        val (x, y) = (i % 90, i / 90)
+        val v = (x * (2 + 2 * seed) + y * (1 + seed)) % 256
+        if (flip) 255 - v else v
+      }
+    def jitter(px: Array[Int]): Array[Int] =
+      px.zipWithIndex.map { case (v, i) =>
+        math.min(255, math.max(0, v + (i % 5) - 2)) }
+    val a = Multimodal.gifOfGrayFrames(
+      (0 until 3).map(gradient(_, flip = false)), 90, 70)
+    val b = Multimodal.gifOfGrayFrames(
+      (0 until 3).map(s => jitter(gradient(s, flip = false))), 90, 70)
+    val c = Multimodal.gifOfGrayFrames(
+      (0 until 3).map(gradient(_, flip = true)), 90, 70)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", "gif", a),
+      Multimodal.MediaRow(2L, "video", "gif", b),
+      Multimodal.MediaRow(3L, "video", "gif", c)).toDS()
+    import org.apache.spark.sql.functions.col
+    val codes = Multimodal.gifFrames(rows)
+      .select(col("media_id"), col("frame_no"),
+        Multimodal.dHash(col("px")).as("code"))
+    val pairs = Multimodal.videoNearDupPairs(codes, maxHamming = 6,
+        maxBucket = Int.MaxValue, bits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.contains((1L, 2L)),
+      s"perturbed re-encode not flagged; pairs=${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 3L, "all 3 frames should match")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "inverted video must not pair with anything")
+  }
+
+  test("frameGridsStub: deterministic, frame-salted (distinct frames " +
+      "get distinct grids; identical payloads get identical frame " +
+      "sets), shaped w*h") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "wholly different text")).toDF("doc_id", "text")
+    val px = Multimodal.frameGridsStub(
+        Multimodal.fromDocuments(docs), frames = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Int](2).toList)
+      .toMap
+    assert(px.size == 9)
+    assert(px.values.forall(g => g.length == 63 &&
+      g.forall(v => v >= 0 && v <= 255)))
+    assert(px((1L, 0)) != px((1L, 1)), "frames must be salted apart")
+    (0 until 3).foreach(f => assert(px((1L, f)) == px((2L, f)),
+      "identical payloads must get identical frame grids"))
+    assert(px((1L, 0)) != px((3L, 0)))
+    val again = Multimodal.frameGridsStub(
+        Multimodal.fromDocuments(docs), frames = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Int](2).toList)
+      .toMap
+    assert(again == px, "stub must be bit-deterministic")
+  }
+
+  test("pcmEnergyContour golden: constant-amplitude windows of a real " +
+      "mono 16-bit WAV read back as their exact RMS values, and a " +
+      "monotone contour dHashes to all-ones") {
+    // 33 windows x 30 samples, window w alternating +/-(w*700):
+    // RMS of a constant-magnitude window is the magnitude itself
+    val samples = Array.tabulate(33 * 30) { i =>
+      val w = i / 30
+      val a = w * 700
+      if (i % 2 == 0) a else -a
+    }
+    val wav = Multimodal.wavOfSamples(samples)
+    val got = Multimodal.pcmContourOf(wav, 33)
+    val expected = Array.tabulate(33)(w =>
+      math.round(w * 700.0 / 32768.0 * 255.0).toInt)
+    assert(got.toList == expected.toList,
+      s"contour ${got.toList} != expected ${expected.toList}")
+    // strictly increasing contour -> every gradient bit set
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(Multimodal.MediaRow(1L, "audio", "wav", wav)).toDS()
+    val code = Multimodal.audioFingerprint(rows)
+      .select(col("code")).collect().head.getLong(0)
+    assert(code == (1L << 32) - 1,
+      s"monotone contour must set all 32 bits, got $code")
+  }
+
+  test("pcmEnergyContour parses channels and widths: a stereo WAV " +
+      "with L=R equals its mono twin; 8-bit unsigned decodes around " +
+      "the 128 midpoint; non-PCM and non-WAV payloads yield NULL " +
+      "energy (and NULL codes downstream)") {
+    import spark.implicits._
+    val mono = Array.tabulate(330)(i => if (i % 2 == 0) 8000 else -8000)
+    def wav(channels: Int, bits: Int, fmtCode: Int,
+        data: Array[Int]): Array[Byte] = {
+      val bytesPer = bits / 8
+      val dataLen = data.length * bytesPer
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmtCode.toShort).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * channels * bytesPer).putShort((channels * bytesPer).toShort)
+        .putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      data.foreach(s => if (bits == 16) out.putShort(s.toShort)
+        else out.put(s.toByte))
+      out.array()
+    }
+    val stereo = mono.flatMap(s => Array(s, s))
+    assert(Multimodal.pcmContourOf(wav(2, 16, 1, stereo), 33).toList ==
+      Multimodal.pcmContourOf(Multimodal.wavOfSamples(mono), 33).toList,
+      "L=R stereo must mix to its mono twin")
+    // 8-bit unsigned: alternating 128+64 / 128-64 -> |s|=64 of 128
+    val eight = Array.tabulate(330)(i => if (i % 2 == 0) 192 else 64)
+    val got8 = Multimodal.pcmContourOf(wav(1, 8, 1, eight), 33)
+    assert(got8.toList == List.fill(33)(math.round(64.0 / 128.0 * 255.0).toInt),
+      s"8-bit contour ${got8.toList}")
+    // refusals -> NULL, and the NULL propagates through the hash
+    assert(Multimodal.pcmContourOf("not audio".getBytes("UTF-8"), 33) == null)
+    assert(Multimodal.pcmContourOf(wav(1, 16, 3, mono), 33) == null,
+      "non-PCM format codes must refuse")
+    import org.apache.spark.sql.functions.col
+    val codes = Multimodal.audioFingerprint(Seq(
+        Multimodal.MediaRow(1L, "audio", "wav", "junk".getBytes),
+        Multimodal.MediaRow(2L, "audio", "wav", Multimodal.wavOfSamples(mono)))
+        .toDS())
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("code")))).toMap
+    assert(codes(1L).isEmpty, "unparseable audio must code NULL")
+    assert(codes(2L).nonEmpty)
+  }
+
+  test("audio near-dup contract: a volume-preserving light edit of a " +
+      "real WAV lands within hamming 6 of its original's contour " +
+      "hash; a different signal stays far — and the pairs ride the " +
+      "shared hamming banding kernel at bits=32") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a loudness SHAPE: per-window amplitude follows a bumpy curve
+    def amps(phase: Double): Array[Int] = Array.tabulate(33)(w =>
+      (6000 + 5000 * math.sin(w / 4.0 + phase)).toInt)
+    def signal(amps: Array[Int], jitterPct: Int): Array[Int] =
+      Array.tabulate(33 * 40) { i =>
+        val w = i / 40
+        val a = amps(w) + amps(w) * jitterPct / 100
+        if (i % 2 == 0) a else -a
+      }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", "wav",
+        Multimodal.wavOfSamples(signal(amps(0.0), 0))),
+      Multimodal.MediaRow(2L, "audio", "wav",
+        Multimodal.wavOfSamples(signal(amps(0.0), 3))), // +3% gain
+      Multimodal.MediaRow(3L, "audio", "wav",
+        Multimodal.wavOfSamples(signal(amps(2.5), 0)))) // shifted shape
+      .toDS()
+    val codes = Multimodal.audioFingerprint(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(codes(1L) ^ codes(2L))
+    val far = java.lang.Long.bitCount(codes(1L) ^ codes(3L))
+    assert(near <= 6, s"light edit drifted hamming $near > 6")
+    assert(far > 10, s"different signal unexpectedly close: $far")
+    // and the shared kernel surfaces exactly the near pair
+    val pairs = graft.dedup.Dedup.hammingBandedPairs(
+        Multimodal.audioFingerprint(rows)
+          .select(col("media_id").as("id"), col("code")),
+        maxHamming = 6, maxBucket = Int.MaxValue, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
