@@ -747,6 +747,47 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE phash_idx")
   }
 
+  test("audio codes ride the same media admission loop: REAL " +
+      "WAV-derived 32-bit contour fingerprints index at a bits=32 " +
+      "stamp, a volume-jittered re-encode of a corpus track is " +
+      "rejected, and fresh tracks admit") {
+    import graft.multimodal.Multimodal
+    // distinct loudness shapes per track — different FREQUENCY, not
+    // just phase (phase-only variants of one sinusoid can land inside
+    // the hamming bound of each other); +3% gain = the near-dup
+    def amps(track: Int): Array[Int] = Array.tabulate(33)(w =>
+      (6000 + 5000 * math.sin(w / (2.0 + track * 0.5))).toInt)
+    def wav(track: Int, gainPct: Int): Array[Byte] =
+      Multimodal.wavOfSamples(Array.tabulate(33 * 40) { i =>
+        val a = amps(track)(i / 40)
+        val s = a + a * gainPct / 100
+        if (i % 2 == 0) s else -s
+      })
+    def codesOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.audioFingerprint(
+        rows.map { case (id, p) =>
+          Multimodal.MediaRow(id, "audio", "wav", p) }.toDS())
+        .select(col("media_id").as("id"), col("code"))
+    val corpus = codesOf((0 until 8).map(t => (t.toLong, wav(t, 0))))
+    AdmissionIndexes.saveHammingIndex(
+      Dedup.hammingBandRows(corpus, maxHamming = 6, bits = 32),
+      "audio_idx", buckets = 8, maxHamming = 6, bits = 32)
+    val index = AdmissionIndexes.loadHammingIndex(spark, "audio_idx",
+      maxHamming = 6, bits = 32)
+    // batch: a re-encode of track 3 at +3% gain, plus a fresh track
+    val batch = codesOf(Seq((100L, wav(3, 3)), (101L, wav(20, 0))))
+    val adm = CorpusPipeline.admitMediaBatch(index, batch,
+      maxHamming = 6, bits = 32)
+    val verdicts = adm.annotated
+      .select(col("id"), col("is_corpus_phash_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(100L), "jittered re-encode must be rejected")
+    assert(!verdicts(101L), "fresh track must admit")
+    assert(adm.hammingParams.contains((6, 32)),
+      "delta must carry the audio stamp, not the image default")
+    spark.sql("DROP TABLE audio_idx")
+  }
+
   test("registerFromSpec heal QUARANTINES a non-part-file shell " +
       "instead of deleting it, and refuses any non-empty live dir") {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
