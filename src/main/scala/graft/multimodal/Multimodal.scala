@@ -236,8 +236,13 @@ object Multimodal {
     val out = new Array[Int](windows)
     var wI = 0
     while (wI < windows) {
-      val f0 = wI * nFrames / windows
-      val f1 = math.min(math.max((wI + 1) * nFrames / windows, f0 + 1), nFrames)
+      // Long math: wI * nFrames overflows Int past ~67M frames (a
+      // ~25-minute 44.1 kHz track), which would corrupt mid windows
+      // and index out of bounds on late ones — crashing the task
+      // instead of the documented NULL routing
+      val f0 = (wI.toLong * nFrames / windows).toInt
+      val f1 = math.min(math.max(
+        ((wI + 1).toLong * nFrames / windows).toInt, f0 + 1), nFrames)
       var sumSq = 0.0
       var f = f0
       while (f < f1) {
@@ -585,10 +590,16 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.flatMap { r =>
+        // per-row input stream, closed deterministically below — GC
+        // finalization of millions of MemoryCacheImageInputStreams
+        // per partition is avoidable heap pressure
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
         try {
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.payload)))
+          reader.setInput(iis)
           val n = reader.getNumImages(true)
           if (n < 1) Seq((r.media_id, -1, null: Seq[Int]))
           else {
@@ -612,6 +623,15 @@ object Multimodal {
                 }
               }
             }
+            // a corrupt descriptor can DECLARE a multi-GB canvas a
+            // few hundred payload bytes never back — allocating it
+            // throws OutOfMemoryError (an Error, not caught below)
+            // and kills the task instead of null-routing the row;
+            // refuse implausible screens before touching the heap
+            // (64M ARGB pixels = 256 MB, far above any sane GIF)
+            if (cw < 1 || ch < 1 || cw.toLong * ch > (1L << 26))
+              throw new java.io.IOException(
+                s"implausible GIF logical screen ${cw}x$ch")
             val canvas = new java.awt.image.BufferedImage(cw, ch,
               java.awt.image.BufferedImage.TYPE_INT_ARGB)
             val g = canvas.createGraphics()
@@ -669,6 +689,8 @@ object Multimodal {
           }
         } catch {
           case _: Exception => Seq((r.media_id, -1, null: Seq[Int]))
+        } finally {
+          try iis.close() catch { case _: Exception => }
         }
       }
     }.toDF("media_id", "frame_no", "px")

@@ -35,8 +35,7 @@ object MediaBenchJob {
     val sfDir = args(0)
     val mode = args(1)
     val frames = if (args.length >= 3) args(2).toInt else 4
-    val maxHamming = if (args.length >= 4) args(3).toInt
-      else (if (mode == "video") 6 else 6)
+    val maxHamming = if (args.length >= 4) args(3).toInt else 6
     val maxBucket = if (args.length >= 5) args(4).toInt else 5000
     val spark = Sessions.local("graft-media-bench")
     import spark.implicits._

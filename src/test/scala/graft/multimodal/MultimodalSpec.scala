@@ -346,6 +346,20 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(out((2L, -1)).isEmpty, "undecodable payload -> (-1, NULL px)")
     assert(out.size == 4)
+    // a corrupt logical-screen descriptor DECLARING a multi-GB canvas
+    // must null-route, not attempt the allocation (OutOfMemoryError is
+    // an Error — it would kill the task, not reach the Exception
+    // handler): patch the header's width/height (bytes 6-9, LE) of a
+    // valid GIF to 50000x50000
+    val bomb = gif.clone()
+    bomb(6) = 0x50.toByte; bomb(7) = 0xC3.toByte // 50000 LE
+    bomb(8) = 0x50.toByte; bomb(9) = 0xC3.toByte
+    val bombOut = Multimodal.gifFrames(
+        Seq(Multimodal.MediaRow(9L, "video", "gif", bomb)).toDS(),
+        stride = 1, w = 9, h = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2))))
+    assert(bombOut.toSeq == Seq((9L, -1, None)),
+      s"implausible screen must null-route, got ${bombOut.toSeq}")
     // stride=2 keeps source indices 0 and 2 with their provenance
     val sampled = Multimodal.gifFrames(rows.filter(_.media_id == 1L),
         stride = 2, w = 9, h = 7)
