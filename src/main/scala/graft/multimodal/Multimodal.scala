@@ -773,6 +773,37 @@ object Multimodal {
       .filter(col("matched_pairs") >= minMatchedPairs)
   }
 
+  /** Incremental video near-dup: [[videoNearDupPairs]]' steady-state
+    * face — new videos' frame codes probe a PERSISTED corpus frame
+    * index ([[graft.dedup.Dedup.hammingBandRows]] over
+    * (media_id, frame_no) struct keys, at scale saved bucketed on
+    * (seg, sb) via [[graft.jobs.AdmissionIndexes.saveHammingIndex]])
+    * and the frame matches roll up to
+    * (video_new, video_old, matched_pairs, min_hamming). Only the
+    * batch is banded; the corpus is never re-coded or re-shuffled
+    * ([[graft.dedup.Dedup.incrementalHammingPairs]]' plan), and the
+    * rollup is one equi-shuffle of VERIFIED pairs. Completes the
+    * batch ([[videoNearDupPairs]]) / incremental (this) / streaming
+    * ([[graft.streaming.EventStream.streamingVideoAdmission]])
+    * square for video fingerprints. */
+  def incrementalVideoPairs(
+      corpusIndex: DataFrame, // (id:(media_id,frame_no), code, seg, sb)
+      batchFrameCodes: DataFrame, // (media_id, frame_no, code)
+      maxHamming: Int = 6,
+      maxBucket: Int = 5000,
+      bits: Int = 56,
+      minMatchedPairs: Long = 1L): DataFrame = {
+    val coded = batchFrameCodes.select(
+      struct(col("media_id"), col("frame_no")).as("id"), col("code"))
+    graft.dedup.Dedup.incrementalHammingPairs(corpusIndex, coded,
+        maxHamming, maxBucket, bits)
+      .groupBy(col("id_new.media_id").as("video_new"),
+        col("id_old.media_id").as("video_old"))
+      .agg(count(lit(1)).as("matched_pairs"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("matched_pairs") >= minMatchedPairs)
+  }
+
   /** Difference hash (dHash) of a row-major w x h grayscale pixel
     * array — THE standard perceptual image fingerprint (public
     * recipe: hackerfactor.com "Kind of Like That"; each bit compares

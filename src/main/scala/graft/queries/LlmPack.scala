@@ -1451,6 +1451,34 @@ object LlmPack extends QueryPack {
         .orderBy(col("video_a"), col("video_b"))
     }),
 
+    // Incremental video near-dup under the hard oracle: the corpus
+    // half's frame codes live in a hammingBandRows index (at scale:
+    // persisted bucketed on (seg, sb)); only the BATCH half is
+    // banded, and the cross matches roll up per video pair. Cap
+    // disabled on this bounded fixture, so pigeonhole banding makes
+    // the output equal the cross (batch x corpus) frame-level
+    // hamming join DuckDB recomputes, rolled up with the same
+    // count/min aggregates. Same 250-split bounds as
+    // q_incremental_phash.
+    "q_video_incremental" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d)
+      def codesOf(f: org.apache.spark.sql.DataFrame) =
+        Multimodal.frameGridsStub(Multimodal.fromDocuments(f),
+            frames = 4)
+          .select(col("media_id"), col("frame_no"),
+            Multimodal.dHash(col("px")).as("code"))
+      val index = Dedup.hammingBandRows(
+        codesOf(docs.filter(col("doc_id") < 250))
+          .select(struct(col("media_id"), col("frame_no")).as("id"),
+            col("code")),
+        maxHamming = 14, bits = 56)
+      Multimodal.incrementalVideoPairs(index,
+          codesOf(docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)),
+          maxHamming = 14, maxBucket = Int.MaxValue, bits = 56)
+        .orderBy(col("video_new"), col("video_old"))
+    }),
+
     // AUDIO fingerprint through the honest decode seam: an energy
     // contour is a 1-row grayscale "image", so the oracle face is
     // grayPixelsStub with (w=33, h=1) and the REAL dHash gradient
@@ -2298,6 +2326,26 @@ object LlmPack extends QueryPack {
         |  COUNT(*) AS matched_pairs,
         |  CAST(MIN(bit_count(xor(a.code, b.code))) AS INTEGER) AS min_hamming
         |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.code, b.code)) <= 14
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_video_incremental" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) fs
+        |  WHERE doc_id < 500),
+        |codes AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |        < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |      THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |  FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |  GROUP BY doc_id, f)
+        |SELECT b.doc_id AS video_new, a.doc_id AS video_old,
+        |  COUNT(*) AS matched_pairs,
+        |  CAST(MIN(bit_count(xor(a.code, b.code))) AS INTEGER) AS min_hamming
+        |FROM codes a JOIN codes b ON a.doc_id < 250 AND b.doc_id >= 250
         |WHERE bit_count(xor(a.code, b.code)) <= 14
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Audio contour-hash oracle: the 33-value 1-row "grid" from the

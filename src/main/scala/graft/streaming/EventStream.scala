@@ -566,6 +566,81 @@ object EventStream {
           .otherwise(col("__best").cast("int")).as("best_hamming"))
   }
 
+  /** Streaming VIDEO admission: frame fingerprints arriving on a
+    * stream (video_id, frame_no, ts, code — e.g.
+    * [[graft.multimodal.Multimodal.gifFrames]] +
+    * [[graft.multimodal.Multimodal.dHash]] upstream) are rolled up
+    * to per-VIDEO verdicts against a persisted hamming index of
+    * corpus frame codes — the streaming face of
+    * [[graft.multimodal.Multimodal.videoNearDupPairs]]' corpus-probe
+    * half, sharing [[streamingFingerprintAdmission]]'s probe shape
+    * (row-local [[graft.dedup.Dedup.hammingSegments]], stateless
+    * stream-static (seg, sb) equi-join, hamming verify pipelined in
+    * the join output).
+    *
+    * The rollup is ONE stateful windowed aggregation (no chained
+    * stateful operators): per (window, video),
+    * `size(collect_set(frame))` counts DISTINCT frames seen and
+    * distinct frames matched within `maxHamming` — collect_set is
+    * streaming-legal where count(distinct) is not, and it skips the
+    * nulls the `when` guard leaves on unmatched rows, so both counts
+    * come out of one state store whose size is bounded by frames
+    * per video per window. A video is a corpus near-dup when
+    * `matched_frames >= minMatchedFrames` — the same alignment-free
+    * frame-set-overlap verdict as the batch rollup.
+    *
+    * Null-code frames are dropped up front (undecodable frames
+    * contribute no evidence either way); a video whose frames are
+    * ALL null never emits — absence means no verdict, same as a
+    * video with no frames in the window. Output (append mode, one
+    * row per video per window once the watermark closes it):
+    * (idCol, window, frames_seen, matched_frames, min_hamming,
+    * is_corpus_dup) — min_hamming null when no frame matched. */
+  def streamingVideoAdmission(
+      frames: DataFrame, // idCol, frameCol, tsCol, codeCol
+      corpusHamming: DataFrame, // (id, code, seg, sb)
+      maxHamming: Int = 6,
+      bits: Int = 56,
+      minMatchedFrames: Int = 1,
+      idCol: String = "video_id",
+      frameCol: String = "frame_no",
+      codeCol: String = "code",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      maxBucket: Int = 5000,
+      windowLen: Option[String] = None): DataFrame = {
+    import graft.dedup.Dedup
+    val keyed = frames
+      .filter(col(codeCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(frameCol), col(tsCol), col(codeCol),
+        explode(Dedup.hammingSegments(col(codeCol), maxHamming, bits))
+          .as("bk"))
+      .select(col(idCol), col(frameCol), col(tsCol), col(codeCol),
+        col("bk.seg").as("seg"), col("bk.sb").as("sb"))
+    // same static-side discipline as the fingerprint face: persist,
+    // at real scale this is the LOADED index, not a rebuild
+    val index = Dedup.capBuckets(corpusHamming, Seq("seg", "sb"), maxBucket)
+      .select(col("seg"), col("sb"), col("code").as("__ccode"))
+      .persist()
+    keyed
+      .join(index, Seq("seg", "sb"), "left")
+      .withColumn("__ham",
+        when(col("__ccode").isNull, lit(null).cast("int"))
+          .otherwise(Dedup.hamming(col(codeCol), col("__ccode"))))
+      .withColumn("__hit",
+        when(col("__ham") <= maxHamming, col(frameCol)))
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
+      .agg(
+        size(collect_set(col(frameCol))).as("frames_seen"),
+        size(collect_set(col("__hit"))).as("matched_frames"),
+        min(when(col("__ham") <= maxHamming, col("__ham")))
+          .as("min_hamming"))
+      .withColumn("is_corpus_dup",
+        col("matched_frames") >= minMatchedFrames)
+  }
+
   /** Streaming ANN lookup against a persisted IVF index — the
     * RETRIEVAL face of the streaming embedding family (where
     * [[streamingEmbedAdmission]] answers "is this a near-dup of the

@@ -37,6 +37,9 @@ import graft.streaming.EventStream.Event
   * [[EventStream.streamingBm25TopK]] — the streaming retrieval
   * faces, whose state is the in-horizon queries' candidate folds;
   * the IVF-PQ face adds the bounded refine fold on top),
+  * `video_admission` ([[EventStream.streamingVideoAdmission]] —
+  * frame-code index probe + per-video windowed rollup; state is the
+  * in-horizon videos' distinct-frame sets),
   * and `windowed` ([[EventStream.windowedCounts]]) as the
   * aggregation baseline. Args:
   *   <op> <nEvents> [chunk=20000] [watermarkMin=5] [simRate=100]
@@ -56,6 +59,9 @@ object StreamBenchJob {
 
   final case class VDoc(doc_id: Long, ts: Timestamp, vec: Seq[Float])
 
+  final case class FrameDoc(video_id: Long, frame_no: Int,
+      ts: Timestamp, code: Long)
+
   private val Base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
   private def eventTs(i: Long, simRate: Int): Timestamp =
@@ -63,7 +69,7 @@ object StreamBenchJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|ivf_topk|ivfpq_topk|bm25_topk|windowed> <nEvents> " +
+      "usage: StreamBenchJob <admission|strip|embed_admission|interval_join|ivf_topk|ivfpq_topk|bm25_topk|video_admission|windowed> <nEvents> " +
         "[chunk] [watermarkMin] [simRate] [embedBits] [statePartitions]")
     val op = args(0)
     val nEvents = args(1).toLong
@@ -319,6 +325,47 @@ object StreamBenchJob {
           val hi = math.min(i + chunk, nEvents)
           in.addData((i until hi).map(j =>
             Doc(j, eventTs(j, simRate), qText(j))))
+          q.processAllAvailable()
+          i = hi
+        }
+        q.stop()
+
+      case "video_admission" =>
+        // frame-code stream: 4 frames per video; ~2% of videos have
+        // two frames within hamming 2 of an indexed corpus frame
+        // (flagged at minMatchedFrames=2), the rest random-far. The
+        // corpus index holds 5000 frame codes of 1250 videos.
+        import graft.dedup.Dedup
+        def code(k: Long): Long =
+          (k * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)
+        val corpusIndex = (0 until 5000)
+          .map(j => ((j / 4).toLong, j % 4, code(j)))
+          .toDF("media_id", "frame_no", "code")
+          .select(struct(col("media_id"), col("frame_no")).as("id"),
+            col("code"))
+          .transform(df => Dedup.hammingBandRows(df, maxHamming = 2,
+            bits = 56))
+          .localCheckpoint()
+        def frameCode(i: Long): Long = {
+          val video = i / 4
+          val frame = i % 4
+          // dup videos: frames 0 and 1 land hamming 1 off corpus
+          // frames; others far
+          if (video % 50 == 0 && frame < 2)
+            code((video / 50) % 5000) ^ 1L
+          else code(1000000L + i)
+        }
+        val in = MemoryStream[FrameDoc]
+        val q = EventStream.streamingVideoAdmission(
+            in.toDF(), corpusIndex, maxHamming = 2, bits = 56,
+            minMatchedFrames = 2, watermark = watermark)
+          .writeStream.format("noop").outputMode("append").start()
+        var i = 0L
+        while (i < nEvents) {
+          val hi = math.min(i + chunk, nEvents)
+          in.addData((i until hi).map(j =>
+            FrameDoc(j / 4, (j % 4).toInt, eventTs(j, simRate),
+              frameCode(j))))
           q.processAllAvailable()
           i = hi
         }

@@ -346,6 +346,65 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming video admission: frame matches against a batch-built " +
+      "hamming index roll up to per-video verdicts in ONE stateful " +
+      "windowed aggregation — matched/seen distinct-frame counts, " +
+      "minMatchedFrames gate, all-null videos never emit") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.FrameDoc
+    import graft.dedup.Dedup
+    val fA = 0x00a5a5a5a5a5a5L
+    val fB = 0x003c3c3c3c3c3cL
+    // corpus video's frame codes, indexed the batch way
+    val index = Dedup.hammingBandRows(
+      Seq((1L, fA), (2L, fB)).toDF("id", "code"),
+      maxHamming = 3, bits = 56)
+    val in = MemoryStream[FrameDoc]
+    val q = EventStream.streamingVideoAdmission(
+        in.toDF(), index, maxHamming = 3, bits = 56,
+        minMatchedFrames = 2, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("video_admit_out")
+      .outputMode(OutputMode.Append()).start()
+    val far = ~fA & ((1L << 56) - 1)
+    in.addData(
+      // video 100: two frames near the corpus (h=1, h=2), one far ->
+      // matched 2 of 3, flagged at minMatchedFrames=2
+      FrameDoc(100L, 0, ts("2024-01-01 00:00:00"), Some(fA ^ 1L)),
+      FrameDoc(100L, 1, ts("2024-01-01 00:00:10"), Some(fB ^ 3L)),
+      FrameDoc(100L, 2, ts("2024-01-01 00:00:20"), Some(far)),
+      // video 101: one near frame only -> seen, but below the gate
+      FrameDoc(101L, 0, ts("2024-01-01 00:01:00"), Some(fA)),
+      FrameDoc(101L, 1, ts("2024-01-01 00:01:10"), Some(far ^ 7L)),
+      // video 102: all frames undecodable -> never emits
+      FrameDoc(102L, 0, ts("2024-01-01 00:02:00"), None),
+      FrameDoc(102L, 1, ts("2024-01-01 00:02:10"), None))
+    q.processAllAvailable()
+    in.addData(FrameDoc(999L, 0, ts("2024-01-01 02:00:00"), Some(1L)))
+    q.processAllAvailable()
+    val rows = spark.table("video_admit_out").collect()
+    q.stop()
+    val m = rows.map(r => r.getAs[Long]("video_id") ->
+      ((r.getAs[Int]("frames_seen"), r.getAs[Int]("matched_frames"),
+        Option(r.get(r.fieldIndex("min_hamming"))),
+        r.getAs[Boolean]("is_corpus_dup")))).toMap
+    assert(m.keySet == Set(100L, 101L), s"emitted: $m")
+    assert(m(100L) == ((3, 2, Some(1), true)), s"video 100: ${m(100L)}")
+    assert(m(101L) == ((2, 1, Some(0), false)), s"video 101: ${m(101L)}")
+    // verdict parity with the batch probe: the frames the stream
+    // counted as matched are exactly incrementalHammingPairs' id_new
+    // set against the same index
+    val batchView = Seq((1000L, fA ^ 1L), (1001L, fB ^ 3L),
+      (1002L, far), (1010L, fA), (1011L, far ^ 7L))
+      .toDF("id", "code")
+    val batchHits = Dedup.incrementalHammingPairs(index, batchView,
+        maxHamming = 3, maxBucket = 5000, bits = 56)
+      .select("id_new").collect().map(_.getLong(0)).toSet
+    assert(batchHits == Set(1000L, 1001L, 1010L),
+      s"batch face disagrees: $batchHits")
+    }
+  }
+
   test("streaming passage strip: indexed windows are cut from arriving " +
       "docs once the watermark closes their verdict window; fresh and " +
       "sub-window docs pass through whole") {
@@ -1148,6 +1207,8 @@ object EventStreamSpec {
       doc_id: Long, ts: java.sql.Timestamp, vec: Seq[Float])
   final case class CodeDoc(
       doc_id: Long, ts: java.sql.Timestamp, code: Option[Long])
+  final case class FrameDoc(video_id: Long, frame_no: Int,
+      ts: java.sql.Timestamp, code: Option[Long])
   final case class Ping(device: String, at: java.sql.Timestamp, tag: String)
   final case class Pong(device: String, at: java.sql.Timestamp, seq: Long)
 }
