@@ -5,13 +5,15 @@ package graft
   * choices, and WholeStageCodegen spans can be reviewed. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir =
-      if (args.nonEmpty && args(0).startsWith("/")) args(0)
-      else "/root/testdata/sf0.01"
+    // args(0) is the sfDir ONLY when it looks like one (absolute
+    // path); everything else is query names. The old rule dropped
+    // args(0) whenever MORE than one name was passed — silently
+    // explaining all but the first query asked for.
+    val hasDir = args.nonEmpty && args(0).startsWith("/")
+    val sfDir = if (hasDir) args(0) else "/root/testdata/sf0.01"
+    val named = (if (hasDir) args.drop(1) else args).toSeq
     val names =
-      if (args.length > 1) args.drop(1).toSeq
-      else if (args.nonEmpty && !args(0).startsWith("/")) args.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      if (named.nonEmpty) named else SparkEntry.queries.keys.toSeq.sorted
     val spark = Sessions.local("graft-explain")
     names.foreach { n =>
       println(s"\n========== $n ==========")
