@@ -595,27 +595,45 @@ object Multimodal {
       it.flatMap { r =>
         // per-row input stream, closed deterministically below — GC
         // finalization of millions of MemoryCacheImageInputStreams
-        // per partition is avoidable heap pressure
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        // per partition is avoidable heap pressure. Created INSIDE
+        // the try: a null/hostile payload must null-route, not NPE
+        // the task
+        var iis: javax.imageio.stream.ImageInputStream = null
         try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           if (n < 1) Seq((r.media_id, -1, null: Seq[Int]))
           else {
+            // corrupt descriptors can DECLARE multi-GB rasters a few
+            // hundred payload bytes never back — reader.read would
+            // allocate them and throw OutOfMemoryError (an Error, not
+            // caught below), killing the task instead of null-routing
+            // the row. Validate EVERY frame and the logical screen
+            // from header-only reads BEFORE the first pixel read
+            // (64M ARGB pixels = 256 MB, far above any sane GIF).
+            val maxPx = 1L << 26
+            (0 until n).foreach { i =>
+              val fw = reader.getWidth(i)
+              val fh = reader.getHeight(i)
+              if (fw < 1 || fh < 1 || fw.toLong * fh > maxPx)
+                throw new java.io.IOException(
+                  s"implausible GIF frame $i: ${fw}x$fh")
+            }
             // logical screen from stream metadata; fall back to the
             // first frame's size when the descriptor is absent
-            val first = reader.read(0)
             val (cw, ch) = {
               val sm = reader.getStreamMetadata
-              if (sm == null) (first.getWidth, first.getHeight)
+              val fallback = (reader.getWidth(0), reader.getHeight(0))
+              if (sm == null) fallback
               else {
                 val t = sm.getAsTree(sm.getNativeMetadataFormatName)
                 var n0 = t.getFirstChild
                 while (n0 != null &&
                   n0.getNodeName != "LogicalScreenDescriptor")
                   n0 = n0.getNextSibling
-                if (n0 == null) (first.getWidth, first.getHeight)
+                if (n0 == null) fallback
                 else {
                   val e = n0.asInstanceOf[org.w3c.dom.Element]
                   (e.getAttribute("logicalScreenWidth").toInt,
@@ -623,20 +641,14 @@ object Multimodal {
                 }
               }
             }
-            // a corrupt descriptor can DECLARE a multi-GB canvas a
-            // few hundred payload bytes never back — allocating it
-            // throws OutOfMemoryError (an Error, not caught below)
-            // and kills the task instead of null-routing the row;
-            // refuse implausible screens before touching the heap
-            // (64M ARGB pixels = 256 MB, far above any sane GIF)
-            if (cw < 1 || ch < 1 || cw.toLong * ch > (1L << 26))
+            if (cw < 1 || ch < 1 || cw.toLong * ch > maxPx)
               throw new java.io.IOException(
                 s"implausible GIF logical screen ${cw}x$ch")
             val canvas = new java.awt.image.BufferedImage(cw, ch,
               java.awt.image.BufferedImage.TYPE_INT_ARGB)
             val g = canvas.createGraphics()
             val outRows = (0 until n).flatMap { i =>
-              val frame = if (i == 0) first else reader.read(i)
+              val frame = reader.read(i)
               val im = reader.getImageMetadata(i)
               val t = im.getAsTree(im.getNativeMetadataFormatName)
               var left = 0; var top = 0; var disposal = "none"
@@ -690,7 +702,7 @@ object Multimodal {
         } catch {
           case _: Exception => Seq((r.media_id, -1, null: Seq[Int]))
         } finally {
-          try iis.close() catch { case _: Exception => }
+          if (iis != null) try iis.close() catch { case _: Exception => }
         }
       }
     }.toDF("media_id", "frame_no", "px")
@@ -797,6 +809,10 @@ object Multimodal {
       struct(col("media_id"), col("frame_no")).as("id"), col("code"))
     graft.dedup.Dedup.incrementalHammingPairs(corpusIndex, coded,
         maxHamming, maxBucket, bits)
+      // a video present in BOTH corpus and batch (overlapping
+      // reprocessing — the normal incremental hazard) must not
+      // report itself; same-video drop as videoNearDupPairs
+      .filter(col("id_new.media_id") =!= col("id_old.media_id"))
       .groupBy(col("id_new.media_id").as("video_new"),
         col("id_old.media_id").as("video_old"))
       .agg(count(lit(1)).as("matched_pairs"),

@@ -530,15 +530,44 @@ object EventStream {
       watermark: String = "10 minutes",
       maxBucket: Int = 5000,
       windowLen: Option[String] = None): DataFrame = {
+    // sentinel bits+1 for "this candidate row matched nothing" (the
+    // probe's left-join miss, __ham null): min() then reads bits+1
+    // only when NO candidate existed at all, which the final select
+    // maps back to null — hamming can never exceed bits, so the
+    // sentinel is unambiguous
+    hammingProbe(docs, Seq(idCol), corpusHamming, maxHamming, bits,
+        codeCol, tsCol, watermark, maxBucket)
+      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
+        col(idCol))
+      .agg(min(coalesce(col("__ham"), lit(bits + 1))).as("__best"),
+        first(col(tsCol)).as(tsCol), first(col(codeCol)).as(codeCol))
+      .filter(col("__best") > maxHamming)
+      .select(col(idCol), col(tsCol), col(codeCol),
+        when(col("__best") > bits, lit(null).cast("int"))
+          .otherwise(col("__best").cast("int")).as("best_hamming"))
+  }
+
+  /** The SHARED stream-side hamming probe of both fingerprint faces
+    * (one definition, not a convention two copies keep): null-code
+    * drop, watermark, row-local [[graft.dedup.Dedup.hammingSegments]]
+    * explode, capped corpus (seg, sb) LEFT equi-join with the exact
+    * hamming verify pipelined in the join output. Emits the key
+    * columns + tsCol + codeCol + `__ham` (nullable int — null on a
+    * join miss; callers choose their miss encoding). */
+  private def hammingProbe(docs: DataFrame, keyCols: Seq[String],
+      corpusHamming: DataFrame, maxHamming: Int, bits: Int,
+      codeCol: String, tsCol: String, watermark: String,
+      maxBucket: Int): DataFrame = {
     import graft.dedup.Dedup
+    val carried = (keyCols :+ tsCol :+ codeCol).map(col)
     val keyed = docs
       .filter(col(codeCol).isNotNull)
       .withWatermark(tsCol, watermark)
-      .select(col(idCol), col(tsCol), col(codeCol),
+      .select(carried :+
         explode(Dedup.hammingSegments(col(codeCol), maxHamming, bits))
-          .as("bk"))
-      .select(col(idCol), col(tsCol), col(codeCol),
-        col("bk.seg").as("seg"), col("bk.sb").as("sb"))
+          .as("bk"): _*)
+      .select(carried :+ col("bk.seg").as("seg") :+
+        col("bk.sb").as("sb"): _*)
     // static side materialized ONCE (each micro-batch re-plans it
     // otherwise); persist, not localCheckpoint — cached blocks
     // rebuild from lineage on executor loss instead of killing the
@@ -547,23 +576,11 @@ object EventStream {
     val index = Dedup.capBuckets(corpusHamming, Seq("seg", "sb"), maxBucket)
       .select(col("seg"), col("sb"), col("code").as("__ccode"))
       .persist()
-    // sentinel bits+1 for "this candidate row matched nothing" (left
-    // join miss): min() then reads bits+1 only when NO candidate
-    // existed at all, which the final select maps back to null —
-    // hamming can never exceed bits, so the sentinel is unambiguous
     keyed
       .join(index, Seq("seg", "sb"), "left")
       .withColumn("__ham",
-        when(col("__ccode").isNull, lit(bits + 1))
+        when(col("__ccode").isNull, lit(null).cast("int"))
           .otherwise(Dedup.hamming(col(codeCol), col("__ccode"))))
-      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
-        col(idCol))
-      .agg(min(col("__ham")).as("__best"),
-        first(col(tsCol)).as(tsCol), first(col(codeCol)).as(codeCol))
-      .filter(col("__best") > maxHamming)
-      .select(col(idCol), col(tsCol), col(codeCol),
-        when(col("__best") > bits, lit(null).cast("int"))
-          .otherwise(col("__best").cast("int")).as("best_hamming"))
   }
 
   /** Streaming VIDEO admission: frame fingerprints arriving on a
@@ -609,25 +626,8 @@ object EventStream {
       watermark: String = "10 minutes",
       maxBucket: Int = 5000,
       windowLen: Option[String] = None): DataFrame = {
-    import graft.dedup.Dedup
-    val keyed = frames
-      .filter(col(codeCol).isNotNull)
-      .withWatermark(tsCol, watermark)
-      .select(col(idCol), col(frameCol), col(tsCol), col(codeCol),
-        explode(Dedup.hammingSegments(col(codeCol), maxHamming, bits))
-          .as("bk"))
-      .select(col(idCol), col(frameCol), col(tsCol), col(codeCol),
-        col("bk.seg").as("seg"), col("bk.sb").as("sb"))
-    // same static-side discipline as the fingerprint face: persist,
-    // at real scale this is the LOADED index, not a rebuild
-    val index = Dedup.capBuckets(corpusHamming, Seq("seg", "sb"), maxBucket)
-      .select(col("seg"), col("sb"), col("code").as("__ccode"))
-      .persist()
-    keyed
-      .join(index, Seq("seg", "sb"), "left")
-      .withColumn("__ham",
-        when(col("__ccode").isNull, lit(null).cast("int"))
-          .otherwise(Dedup.hamming(col(codeCol), col("__ccode"))))
+    hammingProbe(frames, Seq(idCol, frameCol), corpusHamming,
+        maxHamming, bits, codeCol, tsCol, watermark, maxBucket)
       .withColumn("__hit",
         when(col("__ham") <= maxHamming, col(frameCol)))
       .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),

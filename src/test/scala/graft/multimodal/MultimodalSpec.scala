@@ -360,6 +360,31 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2))))
     assert(bombOut.toSeq == Seq((9L, -1, None)),
       s"implausible screen must null-route, got ${bombOut.toSeq}")
+    // the PER-FRAME twin: sane logical screen, but an ImageDescriptor
+    // declaring 40000x40000 — reader.read would allocate that raster
+    // (OutOfMemoryError, an Error) unless the header-only guard
+    // refuses first. Hand-built minimal GIF: header + 10x10 LSD +
+    // bomb descriptor + well-formed-enough data blocks + trailer.
+    val frameBomb = (Seq[Int](
+      'G', 'I', 'F', '8', '9', 'a',
+      10, 0, 10, 0, 0, 0, 0, // LSD: 10x10, no GCT
+      0x2C, 0, 0, 0, 0, 0x40, 0x9C, 0x40, 0x9C, 0x00, // 40000x40000
+      0x08, 0x01, 0x00, 0x00, // LZW min code + 1 data byte + term
+      0x3B)).map(_.toByte).toArray
+    val fbOut = Multimodal.gifFrames(
+        Seq(Multimodal.MediaRow(10L, "video", "gif", frameBomb)).toDS(),
+        stride = 1, w = 9, h = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2))))
+    assert(fbOut.toSeq == Seq((10L, -1, None)),
+      s"implausible frame must null-route, got ${fbOut.toSeq}")
+    // and a null payload must null-route, not NPE the task
+    val nullOut = Multimodal.gifFrames(
+        Seq(Multimodal.MediaRow(11L, "video", "gif",
+          null: Array[Byte])).toDS(),
+        stride = 1, w = 9, h = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2))))
+    assert(nullOut.toSeq == Seq((11L, -1, None)),
+      s"null payload must null-route, got ${nullOut.toSeq}")
     // stride=2 keeps source indices 0 and 2 with their provenance
     val sampled = Multimodal.gifFrames(rows.filter(_.media_id == 1L),
         stride = 2, w = 9, h = 7)
@@ -494,6 +519,38 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 3L, "all 3 frames should match")
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
       "inverted video must not pair with anything")
+  }
+
+  test("incrementalVideoPairs: batch videos match indexed corpus " +
+      "videos (full-recompute parity), and a video present in BOTH " +
+      "corpus and batch never reports itself") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    // corpus: videos 1, 2 (2 frames each); batch: video 1 AGAIN
+    // (overlapping reprocessing), video 10 near video 2, video 11 far
+    val corpus = Seq(
+      (1L, 0, 0x0FL), (1L, 1, 0xF0L),
+      (2L, 0, 0xFF00L), (2L, 1, 0x00FFL))
+      .toDF("media_id", "frame_no", "code")
+    val index = graft.dedup.Dedup.hammingBandRows(
+      corpus.select(struct(col("media_id"), col("frame_no")).as("id"),
+        col("code")),
+      maxHamming = 2, bits = 16)
+    val batch = Seq(
+      (1L, 0, 0x0FL), (1L, 1, 0xF0L), // itself — must not pair
+      (10L, 0, 0xFF01L), (10L, 1, 0x00FEL), // h=1/h=1 of video 2
+      (11L, 0, 0x5A5AL))
+      .toDF("media_id", "frame_no", "code")
+    val pairs = Multimodal.incrementalVideoPairs(index, batch,
+        maxHamming = 2, maxBucket = Int.MaxValue, bits = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    // video 1's self-overlap is dropped; video 10 pairs with corpus
+    // video 2 on both frames; video 1's frames ALSO match batch-video
+    // 1's indexed twin — but that IS the self pair, gone
+    assert(pairs.keySet == Set((10L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((10L, 2L)) == ((2L, 1)), s"got ${pairs((10L, 2L))}")
   }
 
   test("frameGridsStub: deterministic, frame-salted (distinct frames " +
