@@ -27,16 +27,19 @@ import graft.multimodal.Multimodal
   * banding (+ rollup for video). The oversized-bucket monitor rides
   * along so a run that lost recall to the cap is visible in the
   * line that prices it. Args: <sfDir> <video|audio> [frames=4]
-  * [maxHamming] [maxBucket]. Prints ONE JSON line. */
+  * [maxHamming] [maxBucket] [audioWindows=33 — 64 is the documented
+  * corpus-scale point: 63-bit codes, wider segments, see PERF.md's
+  * segment-density rule]. Prints ONE JSON line. */
 object MediaBenchJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: MediaBenchJob <sfDir> <video|audio> [frames] [maxHamming] [maxBucket]")
+      "usage: MediaBenchJob <sfDir> <video|audio> [frames] [maxHamming] [maxBucket] [audioWindows]")
     val sfDir = args(0)
     val mode = args(1)
     val frames = if (args.length >= 3) args(2).toInt else 4
     val maxHamming = if (args.length >= 4) args(3).toInt else 6
     val maxBucket = if (args.length >= 5) args(4).toInt else 5000
+    val audioWindows = if (args.length >= 6) args(5).toInt else 33
     val spark = Sessions.local("graft-media-bench")
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -65,22 +68,23 @@ object MediaBenchJob {
           .localCheckpoint()
         (frameCodes, 56, frameCodes.count())
       case "audio" =>
-        // real payloads: a WAV whose 33 window amplitudes follow the
+        // real payloads: a WAV whose window amplitudes follow the
         // doc's stub contour (amplitude = contour value * 128, i.e.
         // RMS read-back = value within rounding), 40 samples/window
-        val encoded = Multimodal.grayPixelsStub(media, w = 33, h = 1)
+        val w = audioWindows
+        val encoded = Multimodal.grayPixelsStub(media, w = w, h = 1)
           .as[(Long, Seq[Int])]
           .map { case (id, contour) =>
-            val samples = Array.tabulate(33 * 40) { i =>
+            val samples = Array.tabulate(w * 40) { i =>
               val a = contour(i / 40) * 128
               if (i % 2 == 0) a else -a
             }
             Multimodal.MediaRow(id, "audio", "wav",
               Multimodal.wavOfSamples(samples))
           }
-        val audioCodes = Multimodal.audioFingerprint(encoded)
+        val audioCodes = Multimodal.audioFingerprint(encoded, windows = w)
           .localCheckpoint()
-        (audioCodes, 32, audioCodes.count())
+        (audioCodes, w - 1, audioCodes.count())
       case other => sys.error(s"unknown mode $other")
     }
     val codesWall = (System.nanoTime() - t0) / 1e9
