@@ -88,9 +88,10 @@ object Multimodal {
   }
 
   /** REAL image-header metadata decode — no image library needed:
-    * PNG / GIF / BMP store their dimensions at fixed header offsets,
-    * so format sniffing and width/height extraction are pure byte
-    * math over the binary column (`substring` on binary + hex + conv
+    * PNG / GIF / BMP / WebP (VP8, VP8L, VP8X) store their dimensions
+    * at fixed header offsets, so format sniffing and width/height
+    * extraction are pure byte math over the binary column
+    * (`substring` on binary + hex + conv
     * — all codegen'd built-ins, no UDF, no shuffle). This is the
     * piece of "decode" that IS implementable without codecs; pixel
     * decode stays behind [[decodeStub]]'s mapPartitions seam.
@@ -107,10 +108,25 @@ object Multimodal {
     def le4(pos: Int) =
       byteAt(pos) + byteAt(pos + 1) * 256 +
         byteAt(pos + 2) * 65536 + byteAt(pos + 3) * 16777216
+    def le3(pos: Int) =
+      byteAt(pos) + byteAt(pos + 1) * 256 + byteAt(pos + 2) * 65536
     val isPng = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
     val isGif = substring(bin, 1, 6).cast("string").isin("GIF87a", "GIF89a")
     val isBmp = substring(bin, 1, 2).cast("string") === "BM"
     val isJpg = hex(substring(bin, 1, 2)) === "FFD8"
+    // WebP: RIFF container ("RIFF" at 1, "WEBP" at 9), first chunk
+    // fourCC at 13 picks the bitstream variant — "VP8 " (lossy:
+    // 14-bit w/h as le2 & 0x3FFF at 27/29 after the 9D012A sync),
+    // "VP8L" (lossless: 0x2F signature then 14+14 bits packed
+    // little-endian across bytes 22-25), "VP8X" (extended: 3-byte LE
+    // canvas-minus-one at 25/28)
+    val isWebp = substring(bin, 1, 4).cast("string") === "RIFF" &&
+      substring(bin, 9, 4).cast("string") === "WEBP"
+    val four = substring(bin, 13, 4).cast("string")
+    val isVp8 = isWebp && four === "VP8 " &&
+      hex(substring(bin, 24, 3)) === "9D012A"
+    val isVp8l = isWebp && four === "VP8L" && byteAt(21) === 0x2F
+    val isVp8x = isWebp && four === "VP8X"
     // PNG: 8-byte signature, 4-byte length, "IHDR", then width/height
     // as 4-byte big-endian at offsets 17/21 (1-based). GIF: logical
     // screen width/height, 2-byte little-endian at 7/9. BMP
@@ -127,6 +143,16 @@ object Multimodal {
       .when(isJpg && jp.isNotNull, struct(lit("jpg").as("fmt"),
         shiftright(jp, 16).bitwiseAND(lit(65535L)).cast("int").as("width"),
         jp.bitwiseAND(lit(65535L)).cast("int").as("height")))
+      .when(isVp8, struct(lit("webp").as("fmt"),
+        le2(27).bitwiseAND(lit(0x3FFF)).as("width"),
+        le2(29).bitwiseAND(lit(0x3FFF)).as("height")))
+      .when(isVp8l, struct(lit("webp").as("fmt"),
+        (byteAt(22) + byteAt(23).bitwiseAND(lit(0x3F)) * 256 + 1)
+          .as("width"),
+        (shiftright(byteAt(23), 6) + byteAt(24) * 4 +
+          byteAt(25).bitwiseAND(lit(0x0F)) * 1024 + 1).as("height")))
+      .when(isVp8x, struct(lit("webp").as("fmt"),
+        (le3(25) + 1).as("width"), (le3(28) + 1).as("height")))
       .otherwise(struct(lit(null).cast("string").as("fmt"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }
@@ -169,9 +195,9 @@ object Multimodal {
     * over it (windows=33 -> 32 bits): the time-domain loudness-shape
     * fingerprint, stable under volume-preserving re-encodes and small
     * edits for the same reason dHash is stable under recompression.
-    * Supports PCM (format 1) at 16-bit LE and 8-bit unsigned, any
-    * channel count; anything else (compressed formats, truncated
-    * chunks, zero samples) yields energy = NULL — the same
+    * Supports PCM (format 1) at 16/24/32-bit LE signed and 8-bit
+    * unsigned, any channel count; anything else (compressed formats,
+    * float PCM, truncated chunks, zero samples) yields energy = NULL — the same
     * null-routing contract as [[grayPixels]] (dHash of NULL is NULL,
     * which joins nothing downstream).
     *
@@ -229,7 +255,7 @@ object Multimodal {
       if (clen < 0 || clen > payload.length) return null
     }
     if (fmtCode != 1 || channels < 1 || dataOff < 0) return null
-    if (bits != 16 && bits != 8) return null
+    if (bits != 16 && bits != 8 && bits != 24 && bits != 32) return null
     val bytesPerFrame = channels * (bits / 8)
     val nFrames = (dataLen / bytesPerFrame).toInt
     if (nFrames < 1) return null
@@ -251,15 +277,24 @@ object Multimodal {
         var c = 0
         while (c < channels) {
           val p = dataOff + f * bytesPerFrame + c * (bits / 8)
-          s += (if (bits == 16) (le2(p) << 16) >> 16 // sign-extend
-          else (payload(p) & 0xff) - 128) // 8-bit WAV is unsigned
+          s += ((bits: @unchecked) match { // sign-extend LE widths
+            case 16 => (le2(p) << 16) >> 16
+            case 24 => (((payload(p) & 0xff) |
+              ((payload(p + 1) & 0xff) << 8) |
+              ((payload(p + 2) & 0xff) << 16)) << 8) >> 8
+            case 32 => le4(p).toInt
+            case 8 => (payload(p) & 0xff) - 128 // 8-bit WAV is unsigned
+          })
           c += 1
         }
         val mono = s.toDouble / channels
         sumSq += mono * mono
         f += 1
       }
-      val fullScale = if (bits == 16) 32768.0 else 128.0
+      val fullScale = (bits: @unchecked) match {
+        case 16 => 32768.0; case 24 => 8388608.0
+        case 32 => 2147483648.0; case 8 => 128.0
+      }
       out(wI) = math.round(
         math.sqrt(sumSq / (f1 - f0)) / fullScale * 255.0).toInt
       wI += 1

@@ -1257,10 +1257,19 @@ object LlmPack extends QueryPack {
         lit("FFFE"), be2(comLen + 2), lit("41" * 7).substr(lit(1), comLen * 2),
         lit("FFC0" + "0011" + "08"), be2(h), be2(w),
         lit("03" + "012200" + "021101" + "031101"))
+      def le3(c: org.apache.spark.sql.Column) =
+        concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2))
+      // WebP VP8X: RIFF..WEBP + VP8X chunk, canvas stored minus-one
+      // as 3-byte LE — the parse must add the 1 back
+      val webpHex = concat(
+        lit("52494646" + "00000000" + "57454250" + "56503858" +
+          "0A000000" + "00000000"),
+        le3(w - 1), le3(h - 1))
       val payload = unhex(
-        when(col("doc_id") % 4 === 0, pngHex)
-          .when(col("doc_id") % 4 === 1, gifHex)
-          .when(col("doc_id") % 4 === 2, bmpHex)
+        when(col("doc_id") % 5 === 0, pngHex)
+          .when(col("doc_id") % 5 === 1, gifHex)
+          .when(col("doc_id") % 5 === 2, bmpHex)
+          .when(col("doc_id") % 5 === 3, webpHex)
           .otherwise(jpgHex))
       val dims = graft.multimodal.Multimodal.imageDims(payload)
       Tables.documents(s, d)
@@ -2223,7 +2232,7 @@ object LlmPack extends QueryPack {
         |ORDER BY media_id, frame_offset""".stripMargin,
     "q_image_dims" ->
       """SELECT doc_id,
-        |  ['png','gif','bmp','jpg'][CAST(doc_id % 4 AS INTEGER) + 1] AS fmt,
+        |  ['png','gif','bmp','webp','jpg'][CAST(doc_id % 5 AS INTEGER) + 1] AS fmt,
         |  CAST(100 + doc_id % 900 AS INTEGER) AS width,
         |  CAST(50 + doc_id % 500 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -61,6 +61,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out("bmp45") == ((Some("bmp"), Some(4), Some(5))))
     assert(out("bmpneg") == ((Some("bmp"), Some(4), Some(5))))
     assert(out("junk") == ((None, None, None)))
+    // WebP, all three bitstream variants (hand-built headers):
+    // VP8 lossy 350x200 with the 2 scale bits SET in both 16-bit
+    // fields (the & 0x3FFF mask must strip them); VP8L lossless
+    // 17x33 (14+14 bits packed across bytes 22-25); VP8X extended
+    // 256x144 (3-byte LE canvas-minus-one); a VP8 chunk MISSING its
+    // 9D012A sync must null, not misparse
+    val webp = Seq(
+      ("vp8", hx("52494646" + "00000000" + "57454250" + "56503820" +
+        "00000000" + "000000" + "9D012A" + "5E41" + "C8C0")),
+      ("vp8l", hx("52494646" + "00000000" + "57454250" + "5650384C" +
+        "00000000" + "2F" + "10" + "00" + "08" + "00")),
+      ("vp8x", hx("52494646" + "00000000" + "57454250" + "56503858" +
+        "00000000" + "00000000" + "FF0000" + "8F0000")),
+      ("vp8bad", hx("52494646" + "00000000" + "57454250" + "56503820" +
+        "00000000" + "000000" + "FFFFFF" + "5E01" + "C800")))
+      .toDF("name", "payload")
+    val wout = webp.select(col("name"),
+        Multimodal.imageDims(col("payload")).as("d"))
+      .select(col("name"), col("d.fmt"), col("d.width"), col("d.height"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(wout("vp8") == ((Some("webp"), Some(350), Some(200))),
+      s"vp8: ${wout("vp8")}")
+    assert(wout("vp8l") == ((Some("webp"), Some(17), Some(33))),
+      s"vp8l: ${wout("vp8l")}")
+    assert(wout("vp8x") == ((Some("webp"), Some(256), Some(144))),
+      s"vp8x: ${wout("vp8x")}")
+    assert(wout("vp8bad") == ((None, None, None)),
+      s"sync-less VP8 must null: ${wout("vp8bad")}")
   }
 
   test("imageDims walks JPEG segment chains to the SOF header: " +
@@ -624,8 +653,11 @@ class MultimodalSpec extends SparkSpec {
         .putInt(8000 * channels * bytesPer).putShort((channels * bytesPer).toShort)
         .putShort(bits.toShort)
         .put("data".getBytes("US-ASCII")).putInt(dataLen)
-      data.foreach(s => if (bits == 16) out.putShort(s.toShort)
-        else out.put(s.toByte))
+      data.foreach(s => bits match {
+        case 16 => out.putShort(s.toShort)
+        case 32 => out.putInt(s)
+        case _ => out.put(s.toByte)
+      })
       out.array()
     }
     val stereo = mono.flatMap(s => Array(s, s))
@@ -637,6 +669,32 @@ class MultimodalSpec extends SparkSpec {
     val got8 = Multimodal.pcmContourOf(wav(1, 8, 1, eight), 33)
     assert(got8.toList == List.fill(33)(math.round(64.0 / 128.0 * 255.0).toInt),
       s"8-bit contour ${got8.toList}")
+    // 24-bit LE signed: alternating +/-(1<<20) of 2^23 full scale
+    // -> every window round(2^20/2^23*255) = 32; build 3-byte LE
+    // samples by hand (the wav() helper above writes 16/8 only)
+    val s24 = Array.tabulate(330)(i => if (i % 2 == 0) 1 << 20 else -(1 << 20))
+    val w24 = {
+      val dataLen = s24.length * 3
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 3).putShort(3).putShort(24)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      s24.foreach { s =>
+        out.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+          .put(((s >> 16) & 0xff).toByte)
+      }
+      out.array()
+    }
+    assert(Multimodal.pcmContourOf(w24, 33).toList == List.fill(33)(32),
+      "24-bit LE sign-extension")
+    // 32-bit LE signed: +/-(1<<28) of 2^31 -> round(255/8) = 32
+    val s32 = Array.tabulate(330)(i => if (i % 2 == 0) 1 << 28 else -(1 << 28))
+    assert(Multimodal.pcmContourOf(wav(1, 32, 1, s32), 33).toList ==
+      List.fill(33)(32), "32-bit LE")
     // refusals -> NULL, and the NULL propagates through the hash
     assert(Multimodal.pcmContourOf("not audio".getBytes("UTF-8"), 33) == null)
     assert(Multimodal.pcmContourOf(wav(1, 16, 3, mono), 33) == null,
