@@ -157,6 +157,23 @@ object Multimodal {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }
 
+  /** Video twin of [[imageDims]]: MP4/ISO-BMFF presentation size via
+    * the codegen'd [[graft.plans.Mp4Dims]] box walk
+    * (moov > trak > tkhd, both tkhd versions, non-video tracks
+    * skipped — see its scaladoc; GIF "video" dims come from
+    * [[imageDims]]'s logical screen). Returns
+    * struct(fmt, width, height), null-fmt when the payload is not an
+    * ISO-BMFF stream with a sized video track. */
+  def videoDims(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mp = graft.plans.Mp4Dims(bin)
+    when(mp.isNotNull, struct(lit("mp4").as("fmt"),
+        shiftright(mp, 16).bitwiseAND(lit(65535L)).cast("int").as("width"),
+        mp.bitwiseAND(lit(65535L)).cast("int").as("height")))
+      .otherwise(struct(lit(null).cast("string").as("fmt"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")))
+  }
+
   /** Audio twin of [[imageDims]]: WAV (RIFF) header metadata at fixed
     * offsets — "RIFF" at 1, "WAVE" at 9, the fmt chunk's channel
     * count (LE2 at 23), sample rate (LE4 at 25), and bits per sample

@@ -1279,6 +1279,45 @@ object LlmPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL MP4 container decode, same closed-form-inversion oracle
+    // shape as q_image_dims: per doc, synthesize an ISO-BMFF stream
+    // (ftyp + moov holding an AUDIO track with zero dims FIRST, then
+    // the video track — the box walk must skip it) whose
+    // presentation size is a closed form of doc_id, alternating tkhd
+    // version 0/1 layouts by parity (field offsets move), then parse
+    // width/height back out with the codegen'd Mp4Dims box walk.
+    "q_video_meta" -> ((s, d) => {
+      val w = (lit(160) + col("doc_id") % 1280).cast("int")
+      val h = (lit(90) + col("doc_id") % 720).cast("int")
+      def be2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def zeros(n: Int) = "00" * n
+      val matrix = "00010000" + zeros(12) + "00010000" + zeros(12) +
+        "40000000"
+      val audioTrak = "00000064" + "7472616B" + // trak(100)
+        "0000005C" + "746B6864" + "00000007" + // tkhd(92) v0
+        zeros(20) + zeros(8) + zeros(8) + matrix + zeros(8) // 0x0 dims
+      val vTkhdV0 = concat(lit("0000005C" + "746B6864" + "00000007" +
+        zeros(20) + zeros(8) + zeros(8) + matrix),
+        be2(w), lit("0000"), be2(h), lit("0000")) // 16.16 fixed
+      val vTkhdV1 = concat(lit("00000068" + "746B6864" + "01000007" +
+        zeros(32) + zeros(8) + zeros(8) + matrix),
+        be2(w), lit("0000"), be2(h), lit("0000"))
+      val mp4Hex = concat(
+        lit("00000010" + "66747970" + "69736F6D" + zeros(4)), // ftyp
+        when(col("doc_id") % 2 === 0,
+          concat(lit("000000D0" + "6D6F6F76" + audioTrak), // moov(208)
+            lit("00000064" + "7472616B"), vTkhdV0))
+          .otherwise(
+            concat(lit("000000DC" + "6D6F6F76" + audioTrak), // moov(220)
+              lit("00000070" + "7472616B"), vTkhdV1)))
+      val dims = graft.multimodal.Multimodal.videoDims(unhex(mp4Hex))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dims.getField("fmt").as("fmt"),
+          dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WAV header decode, same closed-form-inversion oracle shape as
     // q_image_dims: channels/rate/bits derived from doc_id, packed
     // into a canonical RIFF header, parsed back from the binary.
@@ -2235,6 +2274,11 @@ object LlmPack extends QueryPack {
         |  ['png','gif','bmp','webp','jpg'][CAST(doc_id % 5 AS INTEGER) + 1] AS fmt,
         |  CAST(100 + doc_id % 900 AS INTEGER) AS width,
         |  CAST(50 + doc_id % 500 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_video_meta" ->
+      """SELECT doc_id, 'mp4' AS fmt,
+        |  CAST(160 + doc_id % 1280 AS INTEGER) AS width,
+        |  CAST(90 + doc_id % 720 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_audio_meta" ->
       """SELECT doc_id, 'wav' AS fmt,

@@ -141,6 +141,79 @@ class MultimodalSpec extends SparkSpec {
     assert(viaSql.getInt(0) == 640 && viaSql.getInt(1) == 480)
   }
 
+  test("videoDims walks the ISO-BMFF box tree: sibling boxes before " +
+      "moov, a zero-dim audio track skipped, 64-bit largesize and " +
+      "size-0 (to-EOF) boxes handled, hostile declared sizes and " +
+      "truncations null instead of allocating or crashing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      out.array()
+    }
+    def tkhd(version: Int, w: Int, h: Int): Array[Byte] = {
+      val fixed = if (version == 1) 32 else 20
+      val out = java.nio.ByteBuffer.allocate(4 + fixed + 16 + 36 + 8)
+      out.put(version.toByte).put(Array[Byte](0, 0, 7))
+      out.put(new Array[Byte](fixed + 16 + 36))
+      out.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      out.array()
+    }
+    val ftyp = box("ftyp", "isom0000".getBytes("US-ASCII"))
+    val audio = box("trak", box("tkhd", tkhd(0, 0, 0)))
+    val video0 = box("trak", box("tkhd", tkhd(0, 640, 360)))
+    val video1 = box("trak", box("tkhd", tkhd(1, 1920, 1080)))
+    val free = box("free", new Array[Byte](5)) // sibling noise
+    val v0 = ftyp ++ box("moov", free ++ audio ++ video0)
+    val v1 = ftyp ++ box("moov", audio ++ video1)
+    // largesize variant: moov with size=1 + 64-bit length
+    val moovPayload = audio ++ video0
+    val large = {
+      val out = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+      out.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + moovPayload.length).put(moovPayload)
+      ftyp ++ out.array()
+    }
+    // size-0 (extends to EOF) moov as the LAST box
+    val toEof = {
+      val out = java.nio.ByteBuffer.allocate(8 + moovPayload.length)
+      out.putInt(0).put("moov".getBytes("US-ASCII")).put(moovPayload)
+      ftyp ++ out.array()
+    }
+    // hostile: moov declares 2 GB it never backs
+    val bomb = {
+      val out = java.nio.ByteBuffer.allocate(8)
+      out.putInt(Int.MaxValue).put("moov".getBytes("US-ASCII"))
+      ftyp ++ out.array()
+    }
+    val rows = Seq(
+      ("v0", v0), ("v1", v1), ("large", large), ("toEof", toEof),
+      ("bomb", bomb), ("trunc", v0.take(40)),
+      ("audioOnly", ftyp ++ box("moov", audio)),
+      ("junk", "not a video".getBytes("UTF-8")))
+      .toDF("name", "payload")
+    val out = rows.select(col("name"),
+        Multimodal.videoDims(col("payload")).as("d"))
+      .select(col("name"), col("d.fmt"), col("d.width"), col("d.height"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("v0") == ((Some("mp4"), Some(640), Some(360))))
+    assert(out("v1") == ((Some("mp4"), Some(1920), Some(1080))),
+      "version-1 tkhd offsets")
+    assert(out("large") == ((Some("mp4"), Some(640), Some(360))),
+      "64-bit largesize moov")
+    assert(out("toEof") == ((Some("mp4"), Some(640), Some(360))),
+      "size-0 to-EOF moov")
+    assert(out("bomb") == ((None, None, None)),
+      "unbacked 2 GB declared size must null")
+    assert(out("trunc") == ((None, None, None)))
+    assert(out("audioOnly") == ((None, None, None)),
+      "no video track -> null, not 0x0")
+    assert(out("junk") == ((None, None, None)))
+  }
+
   test("audioMeta parses a canonical RIFF/WAVE fmt header and nulls " +
       "everything else") {
     import spark.implicits._
