@@ -17,10 +17,13 @@ import graft.multimodal.Multimodal
   *    [[Multimodal.dHash]], then [[Multimodal.videoNearDupPairs]] —
   *    frame-level banding through the shared pigeonhole kernel plus
   *    the video-pair rollup.
-  *  - `audio`: one REAL mono 16-bit WAV per doc (33 windows x 40
-  *    samples whose per-window amplitude follows the doc's stub
-  *    contour), parsed via [[Multimodal.pcmEnergyContour]]'s RIFF
-  *    walk, hashed by the 32-bit contour dHash, paired at bits=32.
+  *  - `audio`: one REAL mono 16-bit WAV per doc (`audioWindows`
+  *    windows x 40 samples whose per-window amplitude follows the
+  *    doc's stub contour), parsed via
+  *    [[Multimodal.pcmEnergyContour]]'s RIFF walk, hashed by the
+  *    (audioWindows-1)-bit contour dHash and paired at that width —
+  *    33 (32-bit) is the default operating point, 64 (63-bit) the
+  *    corpus-scale one.
   *
   * `codes_wall_s` prices the synth+encode+decode+hash leg (every
   * byte crosses the real container format); `pairs_wall_s` the
@@ -110,7 +113,9 @@ object MediaBenchJob {
       idCodes, maxHamming, maxBucket, bits).count()
 
     println(s"""{"metric":"media_bench","mode":"$mode","docs":$n,""" +
-      s""""units":$nUnits,"frames":$frames,"maxHamming":$maxHamming,""" +
+      s""""units":$nUnits,"frames":$frames,""" +
+      (if (mode == "audio") s""""audio_windows":$audioWindows,""" else "") +
+      s""""maxHamming":$maxHamming,""" +
       s""""maxBucket":$maxBucket,"bits":$bits,"pairs":$pairs,""" +
       s""""oversized_buckets":$oversized,""" +
       s""""codes_wall_s":${f"$codesWall%.2f"},""" +

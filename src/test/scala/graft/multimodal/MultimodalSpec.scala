@@ -743,8 +743,8 @@ class MultimodalSpec extends SparkSpec {
     assert(got8.toList == List.fill(33)(math.round(64.0 / 128.0 * 255.0).toInt),
       s"8-bit contour ${got8.toList}")
     // 24-bit LE signed: alternating +/-(1<<20) of 2^23 full scale
-    // -> every window round(2^20/2^23*255) = 32; build 3-byte LE
-    // samples by hand (the wav() helper above writes 16/8 only)
+    // -> every window round(2^20/2^23*255) = 32; 3-byte LE samples
+    // built by hand (the wav() helper writes 16/32/8-bit only)
     val s24 = Array.tabulate(330)(i => if (i % 2 == 0) 1 << 20 else -(1 << 20))
     val w24 = {
       val dataLen = s24.length * 3
