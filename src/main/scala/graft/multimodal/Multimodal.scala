@@ -108,51 +108,34 @@ object Multimodal {
     def le4(pos: Int) =
       byteAt(pos) + byteAt(pos + 1) * 256 +
         byteAt(pos + 2) * 65536 + byteAt(pos + 3) * 16777216
-    def le3(pos: Int) =
-      byteAt(pos) + byteAt(pos + 1) * 256 + byteAt(pos + 2) * 65536
     val isPng = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
     val isGif = substring(bin, 1, 6).cast("string").isin("GIF87a", "GIF89a")
     val isBmp = substring(bin, 1, 2).cast("string") === "BM"
     val isJpg = hex(substring(bin, 1, 2)) === "FFD8"
-    // WebP: RIFF container ("RIFF" at 1, "WEBP" at 9), first chunk
-    // fourCC at 13 picks the bitstream variant — "VP8 " (lossy:
-    // 14-bit w/h as le2 & 0x3FFF at 27/29 after the 9D012A sync),
-    // "VP8L" (lossless: 0x2F signature then 14+14 bits packed
-    // little-endian across bytes 22-25), "VP8X" (extended: 3-byte LE
-    // canvas-minus-one at 25/28)
-    val isWebp = substring(bin, 1, 4).cast("string") === "RIFF" &&
-      substring(bin, 9, 4).cast("string") === "WEBP"
-    val four = substring(bin, 13, 4).cast("string")
-    val isVp8 = isWebp && four === "VP8 " &&
-      hex(substring(bin, 24, 3)) === "9D012A"
-    val isVp8l = isWebp && four === "VP8L" && byteAt(21) === 0x2F
-    val isVp8x = isWebp && four === "VP8X"
     // PNG: 8-byte signature, 4-byte length, "IHDR", then width/height
     // as 4-byte big-endian at offsets 17/21 (1-based). GIF: logical
     // screen width/height, 2-byte little-endian at 7/9. BMP
     // (BITMAPINFOHEADER): 4-byte little-endian at 19/23, height
     // signed. JPEG needs a segment WALK to its SOF header — the
     // codegen'd graft.plans.JpegDims expression (packed w<<16|h).
+    // WebP (VP8/VP8L/VP8X) is fixed-offset but THREE variants of
+    // byte-math chains pushed this whole when-chain past the codegen
+    // size limit into interpreted evaluation (3x the query, measured
+    // r13) — so it is the compact codegen'd graft.plans.WebpDims.
     val jp = graft.plans.JpegDims(bin)
+    val wp = graft.plans.WebpDims(bin)
+    def unpack(fmt: String, p: org.apache.spark.sql.Column) =
+      struct(lit(fmt).as("fmt"),
+        shiftright(p, 16).bitwiseAND(lit(65535L)).cast("int").as("width"),
+        p.bitwiseAND(lit(65535L)).cast("int").as("height"))
     when(isPng, struct(lit("png").as("fmt"),
         be4(17).as("width"), be4(21).as("height")))
       .when(isGif, struct(lit("gif").as("fmt"),
         le2(7).as("width"), le2(9).as("height")))
       .when(isBmp, struct(lit("bmp").as("fmt"),
         le4(19).as("width"), abs(le4(23)).as("height")))
-      .when(isJpg && jp.isNotNull, struct(lit("jpg").as("fmt"),
-        shiftright(jp, 16).bitwiseAND(lit(65535L)).cast("int").as("width"),
-        jp.bitwiseAND(lit(65535L)).cast("int").as("height")))
-      .when(isVp8, struct(lit("webp").as("fmt"),
-        le2(27).bitwiseAND(lit(0x3FFF)).as("width"),
-        le2(29).bitwiseAND(lit(0x3FFF)).as("height")))
-      .when(isVp8l, struct(lit("webp").as("fmt"),
-        (byteAt(22) + byteAt(23).bitwiseAND(lit(0x3F)) * 256 + 1)
-          .as("width"),
-        (shiftright(byteAt(23), 6) + byteAt(24) * 4 +
-          byteAt(25).bitwiseAND(lit(0x0F)) * 1024 + 1).as("height")))
-      .when(isVp8x, struct(lit("webp").as("fmt"),
-        (le3(25) + 1).as("width"), (le3(28) + 1).as("height")))
+      .when(isJpg && jp.isNotNull, unpack("jpg", jp))
+      .when(wp.isNotNull, unpack("webp", wp))
       .otherwise(struct(lit(null).cast("string").as("fmt"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }

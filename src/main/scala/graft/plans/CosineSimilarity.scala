@@ -106,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JpegDims].getName, "jpeg_dims"),
       (children: Seq[Expression]) => JpegDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("webp_dims"),
+      new ExpressionInfo(classOf[WebpDims].getName, "webp_dims"),
+      (children: Seq[Expression]) => WebpDims(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("mp4_dims"),
       new ExpressionInfo(classOf[Mp4Dims].getName, "mp4_dims"),
       (children: Seq[Expression]) => Mp4Dims(children.head)))

@@ -1271,8 +1271,15 @@ object LlmPack extends QueryPack {
           .when(col("doc_id") % 5 === 2, bmpHex)
           .when(col("doc_id") % 5 === 3, webpHex)
           .otherwise(jpgHex))
-      val dims = graft.multimodal.Multimodal.imageDims(payload)
+      // materialize the synthesized payload in its OWN projection:
+      // imageDims references its input ~12 times (signature sniffs +
+      // field reads), and outside whole-stage codegen each reference
+      // re-evaluates the full hex-synthesis chain per row — measured
+      // 2.5 s -> 0.6 s at sf0.1 from this split alone (CollapseProject
+      // keeps it: it refuses to duplicate a non-cheap alias)
+      val dims = graft.multimodal.Multimodal.imageDims(col("payload"))
       Tables.documents(s, d)
+        .select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"), dims.getField("fmt").as("fmt"),
           dims.getField("width").as("width"),
           dims.getField("height").as("height"))
