@@ -100,6 +100,14 @@ object Multimodal {
     * matches no known signature (then width/height are null too).
     * BMP heights are stored signed (negative = top-down rows); the
     * magnitude is returned.
+    *
+    * REFERENCE-COST NOTE: this expression reads its input ~12 times
+    * (signature sniffs + field extractions). Inside whole-stage
+    * codegen, subexpression elimination makes that free; outside it
+    * (very wide projections), each reference RE-EVALUATES the input
+    * expression — if the payload is itself computed (not a plain
+    * column), materialize it in its own projection first (measured
+    * 4x on q_image_dims, whose payload is a synthesized hex chain).
     */
   def imageDims(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def byteAt(pos: Int) = conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
