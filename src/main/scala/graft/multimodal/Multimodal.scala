@@ -165,12 +165,19 @@ object Multimodal {
         lit(null).cast("int").as("height")))
   }
 
-  /** Audio twin of [[imageDims]]: WAV (RIFF) header metadata at fixed
-    * offsets — "RIFF" at 1, "WAVE" at 9, the fmt chunk's channel
-    * count (LE2 at 23), sample rate (LE4 at 25), and bits per sample
-    * (LE2 at 35). Pure byte math, codegen'd, no audio libs. Returns
-    * struct(fmt, channels, sample_rate, bits); nulls when the payload
-    * is not a canonical RIFF/WAVE header. */
+  /** Audio twin of [[imageDims]]: WAV / FLAC / MP3 stream metadata
+    * without audio libs. WAV ("RIFF" at 1, "WAVE" at 9) and FLAC
+    * ("fLaC" + the mandatory-first STREAMINFO block: sample rate 20
+    * bits, channels-1 3 bits, bits-per-sample-1 5 bits packed at
+    * bytes 19-22) are fixed-offset pure byte math; MP3 needs the
+    * synchsafe ID3v2 skip to its first frame header — the codegen'd
+    * [[graft.plans.Mp3Meta]] walk (packed sample_rate<<8|channels;
+    * MP3 carries no PCM depth, so `bits` is null there). Returns
+    * struct(fmt, channels, sample_rate, bits); nulls when the
+    * payload matches none.
+    *
+    * Same reference-cost note as [[imageDims]]: computed payloads
+    * should be materialized in their own projection first. */
   def audioMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def byteAt(pos: Int) = conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
     def le2(pos: Int) = byteAt(pos) + byteAt(pos + 1) * 256
@@ -180,9 +187,24 @@ object Multimodal {
     val isWav = substring(bin, 1, 4).cast("string") === "RIFF" &&
       substring(bin, 9, 4).cast("string") === "WAVE" &&
       substring(bin, 13, 4).cast("string") === "fmt "
+    // fLaC magic + first block type STREAMINFO (header byte 5, low 7
+    // bits = 0 — the spec makes it mandatory and first)
+    val isFlac = substring(bin, 1, 4).cast("string") === "fLaC" &&
+      byteAt(5).bitwiseAND(lit(0x7F)) === 0
+    val mp = graft.plans.Mp3Meta(bin)
     when(isWav, struct(lit("wav").as("fmt"),
         le2(23).as("channels"), le4(25).as("sample_rate"),
         le2(35).as("bits")))
+      .when(isFlac, struct(lit("flac").as("fmt"),
+        (shiftright(byteAt(21), 1).bitwiseAND(lit(7)) + 1).as("channels"),
+        (byteAt(19) * 4096 + byteAt(20) * 16 + shiftright(byteAt(21), 4))
+          .as("sample_rate"),
+        (byteAt(21).bitwiseAND(lit(1)) * 16 + shiftright(byteAt(22), 4) + 1)
+          .as("bits")))
+      .when(mp.isNotNull, struct(lit("mp3").as("fmt"),
+        mp.bitwiseAND(lit(255L)).cast("int").as("channels"),
+        shiftright(mp, 8).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("bits")))
       .otherwise(struct(lit(null).cast("string").as("fmt"),
         lit(null).cast("int").as("channels"),
         lit(null).cast("int").as("sample_rate"),

@@ -106,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JpegDims].getName, "jpeg_dims"),
       (children: Seq[Expression]) => JpegDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("mp3_meta"),
+      new ExpressionInfo(classOf[Mp3Meta].getName, "mp3_meta"),
+      (children: Seq[Expression]) => Mp3Meta(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("webp_dims"),
       new ExpressionInfo(classOf[WebpDims].getName, "webp_dims"),
       (children: Seq[Expression]) => WebpDims(children.head)))

@@ -1343,8 +1343,39 @@ object LlmPack extends QueryPack {
         lit("52494646" + "24000000" + "57415645" + "666D7420" +
           "10000000" + "0100"),
         le2(ch), le4(rate), le4(rate * ch * 2), le2(ch * 2), le2(bits))
-      val meta = graft.multimodal.Multimodal.audioMeta(unhex(wavHex))
+      // FLAC: fLaC + STREAMINFO (mandatory first, 34 bytes) with the
+      // packed sample-rate(20)/channels-1(3)/bits-1(5) field built
+      // from the same closed forms
+      val flacHex = concat(
+        lit("664C6143" + "00" + "000022" + "1000" + "1000" +
+          "000000" + "000000"),
+        hexByte(shiftright(rate, 12), 0),
+        hexByte(shiftright(rate, 4).bitwiseAND(lit(255)), 0),
+        hexByte(rate.bitwiseAND(lit(15)) * 16 + (ch - 1) * 2 +
+          shiftright(bits - 1, 4), 0),
+        hexByte((bits - 1).bitwiseAND(lit(15)) * 16, 0),
+        lit("00" * 4 + "00" * 16))
+      // MP3: an ID3v2 tag whose SYNCHSAFE length varies with doc_id
+      // (0-4 padding bytes — the parse only succeeds if the skip walk
+      // honors it), then an MPEG1 Layer III frame header with a
+      // doc_id-driven sample-rate index and channel mode
+      val srIdx = pmod(floor(col("doc_id") / 3), lit(3)).cast("int")
+      val tagLen = (col("doc_id") % 5).cast("int")
+      val mp3Hex = concat(
+        lit("494433" + "0400" + "00" + "000000"), hexByte(tagLen, 0),
+        lit("41414141").substr(lit(1), tagLen * 2),
+        lit("FFFB"), hexByte(lit(0x90) + srIdx * 4, 0),
+        when(ch === 1, lit("C0")).otherwise(lit("00")))
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, wavHex)
+          .when(col("doc_id") % 3 === 1, flacHex)
+          .otherwise(mp3Hex))
+      // payload in its OWN projection — audioMeta's reference-cost
+      // contract (see imageDims' scaladoc note / the r13 q_image_dims
+      // regression)
+      val meta = graft.multimodal.Multimodal.audioMeta(col("payload"))
       Tables.documents(s, d)
+        .select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"), meta.getField("fmt").as("fmt"),
           meta.getField("channels").as("channels"),
           meta.getField("sample_rate").as("sample_rate"),
@@ -2288,10 +2319,14 @@ object LlmPack extends QueryPack {
         |  CAST(90 + doc_id % 720 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_audio_meta" ->
-      """SELECT doc_id, 'wav' AS fmt,
+      """SELECT doc_id,
+        |  ['wav','flac','mp3'][CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
         |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
-        |  CAST(8000 + (doc_id % 6) * 8000 AS INTEGER) AS sample_rate,
-        |  CAST((doc_id % 2) * 8 + 16 AS INTEGER) AS bits
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |    THEN [44100,48000,32000][CAST((doc_id // 3) % 3 AS INTEGER) + 1]
+        |    ELSE 8000 + (doc_id % 6) * 8000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE (doc_id % 2) * 8 + 16 END AS INTEGER) AS bits
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, length(text) AS byte_len,

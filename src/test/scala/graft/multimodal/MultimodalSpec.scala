@@ -214,8 +214,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out("junk") == ((None, None, None)))
   }
 
-  test("audioMeta parses a canonical RIFF/WAVE fmt header and nulls " +
-      "everything else") {
+  test("audioMeta parses WAV, FLAC STREAMINFO, and MP3 (incl. the " +
+      "synchsafe ID3v2 skip with a footer) and nulls everything " +
+      "else") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     def hx(s: String): Array[Byte] = s.grouped(2)
@@ -223,7 +224,26 @@ class MultimodalSpec extends SparkSpec {
     // 2ch, 44100 Hz, 16-bit PCM: 44100 = 0xAC44 -> LE 44AC0000
     val wav = hx("52494646" + "24000000" + "57415645" + "666D7420" +
       "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000")
-    val rows = Seq(("wav", wav), ("junk", "RIFFnope".getBytes("UTF-8")))
+    // FLAC: 44100 Hz, 2ch, 16-bit. Packed at bytes 19-22:
+    // sr=0x0AC44 -> b19=0x0A b20=0xC4 b21 = (4<<4)|((2-1)<<1)|((16-1)>>4)
+    // = 0x42, b22 = ((16-1)&0xF)<<4 = 0xF0
+    val flac = hx("664C6143" + "00" + "000022" + "1000" + "1000" +
+      "000000" + "000000" + "0A" + "C4" + "42" + "F0" +
+      "00" * 4 + "00" * 16)
+    // MP3, MPEG1 Layer III 48000 Hz joint-stereo, behind an ID3v2
+    // tag with a FOOTER (flag 0x10) and 3 synchsafe content bytes:
+    // skip = 10 + 3 + 10
+    val mp3Tagged = hx("494433" + "0400" + "10" + "00000003" +
+      "414141" + "00" * 10 + "FFFB" + "94" + "00")
+    // bare MP3, MPEG2 (22050 Hz) mono
+    val mp3Bare = hx("FFF3" + "90" + "C0")
+    val rows = Seq(("wav", wav), ("flac", flac),
+      ("mp3tag", mp3Tagged), ("mp3", mp3Bare),
+      // reserved version bits (01) must refuse, not mis-table
+      ("mp3badver", hx("FFEB" + "90" + "00")),
+      // sample-rate index 3 is reserved
+      ("mp3badsr", hx("FFFB" + "9C" + "00")),
+      ("junk", "RIFFnope".getBytes("UTF-8")))
       .toDF("name", "payload")
     val out = rows.select(col("name"),
         Multimodal.audioMeta(col("payload")).as("a"))
@@ -233,6 +253,14 @@ class MultimodalSpec extends SparkSpec {
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
       .toMap
     assert(out("wav") == ((Some("wav"), Some(2), Some(44100), Some(16))))
+    assert(out("flac") == ((Some("flac"), Some(2), Some(44100), Some(16))),
+      s"flac: ${out("flac")}")
+    assert(out("mp3tag") == ((Some("mp3"), Some(2), Some(48000), None)),
+      s"mp3tag: ${out("mp3tag")}")
+    assert(out("mp3") == ((Some("mp3"), Some(1), Some(22050), None)),
+      s"mp3: ${out("mp3")}")
+    assert(out("mp3badver") == ((None, None, None, None)))
+    assert(out("mp3badsr") == ((None, None, None, None)))
     assert(out("junk") == ((None, None, None, None)))
   }
 
