@@ -64,13 +64,22 @@ object Mp3Meta {
     if (b == null || b.length < 4) return -1L
     var p = 0
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
-      // ID3v2: 10-byte header, synchsafe length, optional 10-byte
-      // footer (flag bit 4) — all skipped without being read
+      // ID3v2: 10-byte header, SYNCHSAFE length (high bit of every
+      // size byte MUST be 0 by spec), optional 10-byte footer (flag
+      // bit 4). A tag violating the synchsafe invariant (a real
+      // corpus hazard — v2.3-era writers emitting plain 32-bit
+      // sizes) would compute a WRONG skip offset, and 0xFF bytes are
+      // common inside embedded cover art — a mis-skip could land on
+      // one and report bogus metadata; refuse malformed tags instead
+      // of trusting their arithmetic (the spec also pins version
+      // bytes != 0xFF)
+      if (b(3) == 0xFF.toByte || b(4) == 0xFF.toByte ||
+        ((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return -1L
       val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
       p = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
     }
-    if (p < 0 || p + 4 > b.length) return -1L
+    if (p + 4 > b.length) return -1L // incl. a tag overshooting EOF
     val h1 = b(p + 1) & 0xff
     if ((b(p) & 0xff) != 0xFF || (h1 & 0xE0) != 0xE0) return -1L
     val ver = (h1 >> 3) & 3

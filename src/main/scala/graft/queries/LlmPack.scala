@@ -1350,7 +1350,7 @@ object LlmPack extends QueryPack {
         lit("664C6143" + "00" + "000022" + "1000" + "1000" +
           "000000" + "000000"),
         hexByte(shiftright(rate, 12), 0),
-        hexByte(shiftright(rate, 4).bitwiseAND(lit(255)), 0),
+        hexByte(shiftright(rate, 4), 0),
         hexByte(rate.bitwiseAND(lit(15)) * 16 + (ch - 1) * 2 +
           shiftright(bits - 1, 4), 0),
         hexByte((bits - 1).bitwiseAND(lit(15)) * 16, 0),

@@ -243,6 +243,20 @@ class MultimodalSpec extends SparkSpec {
       ("mp3badver", hx("FFEB" + "90" + "00")),
       // sample-rate index 3 is reserved
       ("mp3badsr", hx("FFFB" + "9C" + "00")),
+      // NON-SYNCHSAFE tag size (high bit set): a mis-skip could land
+      // on 0xFF bytes inside the tag body (common in embedded cover
+      // art) and report bogus metadata — must refuse, and the 0xFF
+      // here is exactly such a booby trap at the wrong offset
+      ("mp3badtag", hx("494433" + "0400" + "00" + "00000080" +
+        "FFFB9400" + "00" * 4 + "FFFB" + "94" + "00")),
+      // tag size overshooting the payload must refuse, not overread
+      ("mp3overshoot", hx("494433" + "0400" + "00" + "0000007F" +
+        "FFFB" + "94" + "00")),
+      // FLAC whose first block is NOT STREAMINFO (type 4 = VORBIS
+      // _COMMENT): fixed-offset reads would be garbage — refuse
+      ("flacnotsi", hx("664C6143" + "04" + "000022" + "00" * 34)),
+      // FLAC truncated mid-STREAMINFO: fields null, no crash
+      ("flactrunc", hx("664C6143" + "00" + "000022" + "1000")),
       ("junk", "RIFFnope".getBytes("UTF-8")))
       .toDF("name", "payload")
     val out = rows.select(col("name"),
@@ -261,6 +275,17 @@ class MultimodalSpec extends SparkSpec {
       s"mp3: ${out("mp3")}")
     assert(out("mp3badver") == ((None, None, None, None)))
     assert(out("mp3badsr") == ((None, None, None, None)))
+    assert(out("mp3badtag") == ((None, None, None, None)),
+      s"non-synchsafe tag must refuse: ${out("mp3badtag")}")
+    assert(out("mp3overshoot") == ((None, None, None, None)),
+      s"overshooting tag must refuse: ${out("mp3overshoot")}")
+    assert(out("flacnotsi") == ((None, None, None, None)),
+      s"non-STREAMINFO first block must refuse: ${out("flacnotsi")}")
+    // truncated mid-STREAMINFO: the sniff holds (magic + type byte
+    // are present) but every field read runs off the payload and
+    // nulls — fmt-with-null-fields, never garbage, never a crash
+    assert(out("flactrunc") == ((Some("flac"), None, None, None)),
+      s"truncated STREAMINFO: ${out("flactrunc")}")
     assert(out("junk") == ((None, None, None, None)))
   }
 
