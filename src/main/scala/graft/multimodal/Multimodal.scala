@@ -282,7 +282,12 @@ object Multimodal {
         dataLen = math.min(clen, (payload.length - dataOff).toLong)
       }
       pos += 8 + clen.toInt + (clen.toInt & 1) // chunks are word-aligned
-      if (clen < 0 || clen > payload.length) return null
+      if (clen > payload.length) return null
+      // pos is Int arithmetic over attacker-controlled chunk sizes: a
+      // >1 GB payload can wrap it negative once (clen is bounded by
+      // payload.length, so at most one wrap) — null-route, don't read
+      // at a negative offset
+      if (pos < 0) return null
     }
     if (fmtCode != 1 || channels < 1 || dataOff < 0) return null
     if (bits != 16 && bits != 8 && bits != 24 && bits != 32) return null
@@ -439,10 +444,31 @@ object Multimodal {
       System.setProperty("java.awt.headless", "true")
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
+        // header-only plausibility BEFORE the pixel read: a ~100-byte
+        // payload whose IHDR declares 40000x40000 would make
+        // ImageIO.read allocate a multi-GB raster and throw
+        // OutOfMemoryError — an Error the Exception handler never
+        // sees, killing the task instead of null-routing the row
+        // (the same guard gifFrames carries; 64M px = 256 MB ARGB)
         val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  if (reader.getWidth(0).toLong * reader.getHeight(0)
+                      > (1L << 26))
+                    null
+                  else reader.read(0)
+                } finally reader.dispose()
+              }
+            } finally iis.close()
+          } catch { case _: Exception => null }
         if (img == null || img.getWidth < 1 || img.getHeight < 1)
           (r.media_id, null: Seq[Int])
         else (r.media_id, boxGray(img, w, h).toSeq)
@@ -473,6 +499,11 @@ object Multimodal {
     val iw = img.getWidth
     val ih = img.getHeight
     val out = new Array[Int](w * h)
+    // one bulk getRGB per cell ROW, not one call per pixel: per-call
+    // getRGB pays a ColorModel conversion each time, which dominates
+    // the decode seam's wall time on megapixel sources; the bulk read
+    // does the identical ARGB conversion over the span in one call
+    val buf = new Array[Int](iw)
     var cy = 0
     while (cy < h) {
       val y0 = cy * ih / h
@@ -481,19 +512,21 @@ object Multimodal {
       while (cx < w) {
         val x0 = cx * iw / w
         val x1 = math.min(math.max((cx + 1) * iw / w, x0 + 1), iw)
+        val span = x1 - x0
         var sum = 0L
         var n = 0
         var y = y0
         while (y < y1) {
-          var x = x0
-          while (x < x1) {
-            val argb = img.getRGB(x, y)
+          img.getRGB(x0, y, span, 1, buf, 0, span)
+          var i = 0
+          while (i < span) {
+            val argb = buf(i)
             val a = (argb >>> 24) & 0xff
             val lum = (299 * ((argb >> 16) & 0xff) +
               587 * ((argb >> 8) & 0xff) + 114 * (argb & 0xff) + 500) / 1000
             sum += (a * lum + (255 - a) * 255 + 127) / 255
             n += 1
-            x += 1
+            i += 1
           }
           y += 1
         }

@@ -181,6 +181,22 @@ object LlmPack extends QueryPack {
     * q_incremental_clusters: the incremental contract is equality
     * against the full recompute, which only means something if both
     * derive the SAME pair graph. */
+  // Shared hex builders for the closed-form binary-synthesis oracles
+  // (q_image_dims / q_video_meta / q_audio_meta build real container
+  // bytes from doc_id closed forms): ONE definition, so a mask or
+  // padding fix cannot silently leave sibling queries building
+  // different bytes.
+  private def hexByte(c: org.apache.spark.sql.Column, k: Int) =
+    lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0")
+  private def hexLe2(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c, 0), hexByte(c, 1))
+  private def hexLe3(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2))
+  private def hexLe4(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2), hexByte(c, 3))
+  private def hexBe2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+  private def hexBe4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+
   private def neardupPairGraph(
       s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
@@ -1232,20 +1248,12 @@ object LlmPack extends QueryPack {
     "q_image_dims" -> ((s, d) => {
       val w = (lit(100) + col("doc_id") % 900).cast("int")
       val h = (lit(50) + col("doc_id") % 500).cast("int")
-      def hexByte(c: org.apache.spark.sql.Column, k: Int) =
-        lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0")
-      def le2(c: org.apache.spark.sql.Column) =
-        concat(hexByte(c, 0), hexByte(c, 1))
-      def le4(c: org.apache.spark.sql.Column) =
-        concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2), hexByte(c, 3))
-      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
-      def be2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
       val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
-        be4(w), be4(h), lit("0806000000"))
-      val gifHex = concat(lit("474946383961"), le2(w), le2(h), lit("F70000"))
+        hexBe4(w), hexBe4(h), lit("0806000000"))
+      val gifHex = concat(lit("474946383961"), hexLe2(w), hexLe2(h), lit("F70000"))
       val bmpHex = concat(
         lit("424D" + "00000000" + "00000000" + "00000000" + "28000000"),
-        le4(w), le4(h), lit("0100"))
+        hexLe4(w), hexLe4(h), lit("0100"))
       // JPEG: SOI + APP0(JFIF) + a COM segment whose length VARIES
       // with doc_id (0-6 comment bytes) + SOF0 — the parse only
       // succeeds if the segment walk skips variable-length segments
@@ -1254,17 +1262,15 @@ object LlmPack extends QueryPack {
       val jpgHex = concat(
         lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
           "0048" + "0048" + "0000"),
-        lit("FFFE"), be2(comLen + 2), lit("41" * 7).substr(lit(1), comLen * 2),
-        lit("FFC0" + "0011" + "08"), be2(h), be2(w),
+        lit("FFFE"), hexBe2(comLen + 2), lit("41" * 7).substr(lit(1), comLen * 2),
+        lit("FFC0" + "0011" + "08"), hexBe2(h), hexBe2(w),
         lit("03" + "012200" + "021101" + "031101"))
-      def le3(c: org.apache.spark.sql.Column) =
-        concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2))
       // WebP VP8X: RIFF..WEBP + VP8X chunk, canvas stored minus-one
       // as 3-byte LE — the parse must add the 1 back
       val webpHex = concat(
         lit("52494646" + "00000000" + "57454250" + "56503858" +
           "0A000000" + "00000000"),
-        le3(w - 1), le3(h - 1))
+        hexLe3(w - 1), hexLe3(h - 1))
       val payload = unhex(
         when(col("doc_id") % 5 === 0, pngHex)
           .when(col("doc_id") % 5 === 1, gifHex)
@@ -1296,7 +1302,6 @@ object LlmPack extends QueryPack {
     "q_video_meta" -> ((s, d) => {
       val w = (lit(160) + col("doc_id") % 1280).cast("int")
       val h = (lit(90) + col("doc_id") % 720).cast("int")
-      def be2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
       def zeros(n: Int) = "00" * n
       val matrix = "00010000" + zeros(12) + "00010000" + zeros(12) +
         "40000000"
@@ -1305,10 +1310,10 @@ object LlmPack extends QueryPack {
         zeros(20) + zeros(8) + zeros(8) + matrix + zeros(8) // 0x0 dims
       val vTkhdV0 = concat(lit("0000005C" + "746B6864" + "00000007" +
         zeros(20) + zeros(8) + zeros(8) + matrix),
-        be2(w), lit("0000"), be2(h), lit("0000")) // 16.16 fixed
+        hexBe2(w), lit("0000"), hexBe2(h), lit("0000")) // 16.16 fixed
       val vTkhdV1 = concat(lit("00000068" + "746B6864" + "01000007" +
         zeros(32) + zeros(8) + zeros(8) + matrix),
-        be2(w), lit("0000"), be2(h), lit("0000"))
+        hexBe2(w), lit("0000"), hexBe2(h), lit("0000"))
       val mp4Hex = concat(
         lit("00000010" + "66747970" + "69736F6D" + zeros(4)), // ftyp
         when(col("doc_id") % 2 === 0,
@@ -1332,17 +1337,11 @@ object LlmPack extends QueryPack {
       val ch = (col("doc_id") % 2 + 1).cast("int")
       val rate = (lit(8000) + (col("doc_id") % 6) * lit(8000)).cast("int")
       val bits = ((col("doc_id") % 2) * 8 + 16).cast("int")
-      def hexByte(c: org.apache.spark.sql.Column, k: Int) =
-        lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0")
-      def le2(c: org.apache.spark.sql.Column) =
-        concat(hexByte(c, 0), hexByte(c, 1))
-      def le4(c: org.apache.spark.sql.Column) =
-        concat(hexByte(c, 0), hexByte(c, 1), hexByte(c, 2), hexByte(c, 3))
       // RIFF<size>WAVEfmt <16:le4><pcm=1:le2><ch><rate><byterate><align>
       val wavHex = concat(
         lit("52494646" + "24000000" + "57415645" + "666D7420" +
           "10000000" + "0100"),
-        le2(ch), le4(rate), le4(rate * ch * 2), le2(ch * 2), le2(bits))
+        hexLe2(ch), hexLe4(rate), hexLe4(rate * ch * 2), hexLe2(ch * 2), hexLe2(bits))
       // FLAC: fLaC + STREAMINFO (mandatory first, 34 bytes) with the
       // packed sample-rate(20)/channels-1(3)/bits-1(5) field built
       // from the same closed forms

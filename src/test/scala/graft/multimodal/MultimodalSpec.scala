@@ -368,6 +368,19 @@ class MultimodalSpec extends SparkSpec {
         Option(r.get(1)).map(_ => r.getSeq[Int](1).toList)).toMap
     assert(out(1L).contains(blocks.toList))
     assert(out(2L).isEmpty, "undecodable payload must yield NULL px")
+    // a ~100-byte PNG whose IHDR declares 40000x40000 must null-route
+    // via the header-only guard — ImageIO.read would allocate the
+    // multi-GB raster and die with OutOfMemoryError (an Error, past
+    // the handler). Patch the IHDR width/height (bytes 16-23 BE) of a
+    // real PNG.
+    val bomb = Multimodal.pngOfGray(Array.fill(9 * 7)(128), 9, 7)
+    bomb(16) = 0; bomb(17) = 0; bomb(18) = 0x9C.toByte; bomb(19) = 0x40
+    bomb(20) = 0; bomb(21) = 0; bomb(22) = 0x9C.toByte; bomb(23) = 0x40
+    val bombOutPx = Multimodal.grayPixels(
+        Seq(Multimodal.MediaRow(9L, "image", "png", bomb)).toDS(), 9, 7)
+      .collect().map(r => Option(r.get(1)))
+    assert(bombOutPx.toSeq == Seq(None),
+      "declared multi-GB raster must null-route, not allocate")
     // ...and the NULL must PROPAGATE through dHash: without the
     // explicit null guard each bit's when() falls to otherwise(0) and
     // every undecodable image would share code 0 — verbatim fake
