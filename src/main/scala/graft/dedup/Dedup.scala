@@ -1112,13 +1112,23 @@ object Dedup {
     * would falsely collapse every undecodable row into one cluster). */
   def collapseIdenticalCodes(
       coded: DataFrame): (DataFrame, DataFrame) = {
-    val withRep = coded.filter(col("code").isNotNull)
-      .withColumn("__rep",
-        min(col("id")).over(Window.partitionBy(col("code"))))
-      .localCheckpoint()
-    val reps = withRep.filter(col("id") === col("__rep"))
+    val nonNull = coded.filter(col("code").isNotNull)
+    // partial-agg fold, NOT a window: this operator exists precisely
+    // for pathological hot codes (billions of black frames sharing
+    // one code at corpus scale), and min(id).over(partitionBy(code))
+    // would shuffle every row of the hot code into ONE task's window
+    // partition — the straggler in the exact case it was built for.
+    // groupBy gets map-side partial aggregation (one row per code per
+    // map partition reaches the shuffle) and the edge join back is a
+    // plain equi-join AQE's skew-join split can break up — neither of
+    // which a window partition offers. Same output; callers pass
+    // checkpointed inputs so the double consumption is cheap.
+    val reps = nonNull.groupBy(col("code"))
+      .agg(min(col("id")).as("id"))
       .select(col("id"), col("code"))
-    val edges = withRep.filter(col("id") =!= col("__rep"))
+    val edges = nonNull
+      .join(reps.select(col("id").as("__rep"), col("code")), Seq("code"))
+      .filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))
     (reps, edges)
   }

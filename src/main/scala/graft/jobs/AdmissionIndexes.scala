@@ -705,6 +705,29 @@ object AdmissionIndexes {
         hammingKeys, buckets, cap))
   }
 
+  /** [[appendMediaDeltas]]' VIDEO twin — append one video batch's
+    * frame-index delta ([[CorpusPipeline.admitVideoBatch]] -> this):
+    * the delta's struct (media_id, frame_no) keyed rows land in the
+    * same stamped, bucketed hamming-index table shape, with the same
+    * verified-append + auto-compaction contract. (A separate name,
+    * not an overload: Scala forbids two overloads both carrying
+    * default arguments.) */
+  def appendVideoDeltas(adm: CorpusPipeline.VideoAdmission,
+      table: String, buckets: Int = 64,
+      maxFilesPerBucket: Option[Int] = None): Unit = {
+    requirePlainName(table)
+    adm.hammingParams match {
+      case Some((mh, b)) =>
+        saveHammingIndex(adm.newHamming, table, buckets, append = true,
+          maxHamming = mh, bits = b)
+      case None =>
+        saveHammingIndex(adm.newHamming, table, buckets, append = true)
+    }
+    maxFilesPerBucket.foreach(cap =>
+      compactIfFragmented(adm.newHamming.sparkSession, table,
+        hammingKeys, buckets, cap))
+  }
+
   /** Trigger the crash-safe [[compact]] when (and only when) the
     * [[fragmentation]] signal crosses `maxFilesPerBucket` — the
     * threshold face of the README operations recipe ("compact when

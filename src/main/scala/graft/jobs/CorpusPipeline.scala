@@ -206,10 +206,14 @@ object CorpusPipeline {
 
     // 3. near-dup clustering over exact-dedupe survivors (shared
     // min-original-id-keeper kernel — see nearDupFlag)
-    val (nearFlag0, nearDecision) = nearDupFlag(e, idCol, textCol,
-      shingleN, bands, rowsPerBand, threshold, maxBucket, pairSource,
-      skewGuard)
+    val (nearFlag0, nearDecision, nearPins) = nearDupFlag(e, idCol,
+      textCol, shingleN, bands, rowsPerBand, threshold, maxBucket,
+      pairSource, skewGuard)
     val nearFlag = nearFlag0.localCheckpoint()
+    // the checkpoint above materialized the flag — the branch's
+    // persisted intermediates are now redundant; release them so
+    // repeated annotate() calls don't accumulate pinned memory
+    nearPins.foreach(_.unpersist(false))
     mark("near_dup")
     val n = e.join(nearFlag, Seq(idCol)).filter(!col("is_near_dup"))
       .select(id, col(textCol))
@@ -258,7 +262,7 @@ object CorpusPipeline {
       threshold: Double,
       maxBucket: Int,
       pairSource0: PairSource = PairSource.TokenLsh,
-      skewGuard: Boolean = true): (DataFrame, StageDecision) = {
+      skewGuard: Boolean = true): (DataFrame, StageDecision, Seq[DataFrame]) = {
     val id = col(idCol)
     val idIsIntegral = e.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
@@ -307,7 +311,19 @@ object CorpusPipeline {
         StageDecision("near_dup", "precollapse_noop",
           s"skew_monitor_rows=$monitorRows, collapsed=0")
 
-    val (pairs, decision) = pairSource0 match {
+    // Each branch yields (pairs, decision, pinned): `pinned` is the
+    // branch's persist()ed intermediates, still cached when the flag
+    // frame materializes — the CALLER unpersists them right after
+    // materializing the flag (annotate) or counting the verdict
+    // (admitMediaBatch), so repeated calls in a long session never
+    // accumulate pinned memory. persist-vs-localCheckpoint policy:
+    // persist where the cache exists for PLAN STABILITY (shared
+    // materialization across consumers) — blocks recompute from
+    // lineage on executor loss, where a lost checkpoint block kills
+    // the job; localCheckpoint where lineage TRUNCATION is the point
+    // (connectedComponents' iterative fold, whose per-round plans
+    // would otherwise grow without bound).
+    val (pairs, decision, pinned) = pairSource0 match {
       case PairSource.ExactTokens => {
         // Exact path: the prefix join pipelines its own checkpointed
         // token stream, so the guard's monitor costs one extra prefix
@@ -343,7 +359,7 @@ object CorpusPipeline {
             joinSource, sidCol, textCol, shingleN, threshold)
           .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
-          decide(monitorRows, collapsed))
+          decide(monitorRows, collapsed), Seq.empty[DataFrame])
       }
 
       case emb: PairSource.Embeddings => {
@@ -423,7 +439,8 @@ object CorpusPipeline {
               maxBucket = maxBucket)
             .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
-          decide(monitorRows, collapsed, "vector_precollapse"))
+          decide(monitorRows, collapsed, "vector_precollapse"),
+          Seq.empty[DataFrame])
       }
 
       case fp: PairSource.Fingerprint => {
@@ -436,13 +453,20 @@ object CorpusPipeline {
         // edge independently.
         val sidKeyed =
           if (idIsIntegral) keyed.select(id) else keyed.select(id, col(sidCol))
+        // persist, not localCheckpoint: this frame exists so the
+        // monitor / pre-collapse / banding share one materialization
+        // (plan stability) — persisted blocks recompute from lineage
+        // on executor loss, where a lost checkpoint block would kill
+        // a long-running admission job mid-batch (the streaming
+        // faces' documented policy). The caller unpersists via the
+        // returned pin list once the flag frame is materialized.
         val codes = sidKeyed
           .join(fp.codes
             .filter(col(fp.codeCol).isNotNull)
             .select(col(fp.codeIdCol).as(idCol), col(fp.codeCol).as("code")),
             Seq(idCol))
           .select(col(sidCol).as("id"), col("code"))
-          .localCheckpoint()
+          .persist()
         val monitorRows: Long =
           if (!skewGuard) 0L
           else Dedup.oversizedHammingBuckets(codes, fp.maxHamming,
@@ -458,14 +482,15 @@ object CorpusPipeline {
           if (monitorRows == 0L) (codes, None, 0L)
           else {
             val (reps, edges0) = Dedup.collapseIdenticalCodes(codes)
-            val edges = edges0.localCheckpoint()
+            val edges = edges0.persist()
             (reps, Some(edges), edges.count())
           }
         val gen = Dedup.hammingBandedPairs(joinCodes, fp.maxHamming,
             maxBucket, fp.bits)
           .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
-          decide(monitorRows, collapsed, "code_precollapse"))
+          decide(monitorRows, collapsed, "code_precollapse"),
+          codes +: preEdges.toSeq)
       }
 
       case PairSource.TokenLsh => {
@@ -504,7 +529,7 @@ object CorpusPipeline {
             threshold, maxBucket)
           .select(col("id_a"), col("id_b"))
         (preEdges.map(gen.unionByName(_)).getOrElse(gen),
-          decide(monitorRows, collapsed))
+          decide(monitorRows, collapsed), Seq.empty[DataFrame])
       }
     }
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -528,7 +553,7 @@ object CorpusPipeline {
           .select(id, coalesce(col("is_near_dup"), lit(false))
             .as("is_near_dup"))
       }
-    (flags, decision)
+    (flags, decision, pinned)
   }
 
   /** Run the full pipeline. `benchmark` must carry the same id/text
@@ -784,10 +809,11 @@ object CorpusPipeline {
       afterCorpusNear.join(eIds.select(id), Seq(idCol), "left_anti"))
 
     // batch-internal near-dup among what's left (min-id keeper)
-    val (batchNearFlag0, batchNearDecision) = nearDupFlag(
+    val (batchNearFlag0, batchNearDecision, batchNearPins) = nearDupFlag(
       afterEmbed.select(id, col(textCol)), idCol, textCol,
       shingleN, bands, rowsPerBand, threshold, maxBucket)
     val batchNearFlag = batchNearFlag0.localCheckpoint()
+    batchNearPins.foreach(_.unpersist(false))
 
     val joined0 = batch
       .join(exactFlags, Seq(idCol), "left")
@@ -915,7 +941,15 @@ object CorpusPipeline {
       admitted: DataFrame,
       newHamming: DataFrame,
       decisions: Seq[StageDecision] = Nil,
-      hammingParams: Option[(Int, Int)] = None)
+      hammingParams: Option[(Int, Int)] = None,
+      pinned: Seq[DataFrame] = Nil) {
+    /** Unpersist the cached verdict frames backing annotated /
+      * admitted / newHamming. Call after consuming the results
+      * (writing admitted rows, appending newHamming); the frames
+      * stay valid afterwards — everything here is deterministic —
+      * they just recompute from lineage on re-use. Idempotent. */
+    def release(): Unit = pinned.foreach(_.unpersist(false))
+  }
 
   def admitMediaBatch(
       corpusHamming: DataFrame,
@@ -932,17 +966,26 @@ object CorpusPipeline {
     // probe, admitted below)
     val probe = batchCodes.filter(col(codeCol).isNotNull)
       .select(id.as("id"), col(codeCol).as("code"))
+    // persist + eager count, NOT localCheckpoint: the verdict frame
+    // is shared by the anti-join below and the final annotate join
+    // (plan stability), and on a long-running cluster an executor
+    // death mid-admission must recompute the verdict from lineage —
+    // checkpoint blocks die with their executor and would kill the
+    // job instead (the streaming faces' documented persist policy).
+    // MediaAdmission.release() unpersists once the caller has
+    // consumed the results.
     val corpusIds = Dedup.incrementalHammingPairs(corpusHamming, probe,
         maxHamming, maxBucket, bits)
       .select(col("id_new").as(idCol)).distinct()
       .withColumn("__cnear", lit(true))
-      .localCheckpoint()
+      .persist()
+    corpusIds.count()
     val afterCorpus = batchCodes.join(corpusIds.select(id), Seq(idCol),
       "left_anti")
     // batch-internal verdict: the shared surrogate/CC/keeper kernel
     // via the Fingerprint pair source (codeCol stands in for textCol
     // — the fingerprint arm never reads text)
-    val (batchFlag0, decision) = nearDupFlag(
+    val (batchFlag0, decision, batchPins) = nearDupFlag(
       afterCorpus.select(id, col(codeCol)), idCol, codeCol,
       shingleN = 0, bands = 0, rowsPerBand = 0, threshold = 0.0,
       maxBucket,
@@ -950,7 +993,13 @@ object CorpusPipeline {
         afterCorpus.select(id.as("id"), col(codeCol).as("code")),
         maxHamming, bits),
       skewGuard)
-    val batchFlag = batchFlag0.localCheckpoint()
+    // same policy as corpusIds: persist + eager count, then the
+    // Fingerprint branch's own intermediates are redundant — release
+    // them here so only the two verdict frames stay pinned until the
+    // caller's MediaAdmission.release()
+    val batchFlag = batchFlag0.persist()
+    batchFlag.count()
+    batchPins.foreach(_.unpersist(false))
     val annotated = batchCodes
       .join(corpusIds, Seq(idCol), "left")
       .join(batchFlag.withColumnRenamed("is_near_dup", "__bnear"),
@@ -971,7 +1020,172 @@ object CorpusPipeline {
           .select(id.as("id"), col(codeCol).as("code")),
         maxHamming, bits),
       Seq(decision),
-      hammingParams = Some((maxHamming, bits)))
+      hammingParams = Some((maxHamming, bits)),
+      pinned = Seq(corpusIds, batchFlag))
+  }
+
+  /** [[admitMediaBatch]] at VIDEO granularity — the last cell of the
+    * media admission matrix (video already had batch pairs
+    * ([[graft.multimodal.Multimodal.videoNearDupPairs]]), incremental
+    * pairs ([[graft.multimodal.Multimodal.incrementalVideoPairs]])
+    * and a streaming verdict ([[graft.streaming.EventStream
+    * .streamingVideoAdmission]]); this is the batch ADMISSION face
+    * that previously needed hand-rolled glue between them).
+    * `annotated` carries one row per batch video:
+    *
+    *   - frames_seen: distinct frames with a non-null code;
+    *   - matched_frames / min_hamming: distinct frames within
+    *     `maxHamming` of an INDEXED corpus frame (same-video matches
+    *     dropped — overlapping reprocessing must not self-report) and
+    *     the best such distance — the streaming face's columns, so a
+    *     batch replay of a stream window reads identically;
+    *   - is_corpus_dup: SOME corpus video shares >= `minMatchedPairs`
+    *     verified frame pairs — the pairwise verdict of
+    *     videoNearDupPairs/incrementalVideoPairs (at
+    *     minMatchedPairs=1 it coincides with the streaming face's
+    *     matched_frames >= 1);
+    *   - batch_matched_frames / is_batch_dup (null when the corpus
+    *     verdict already fired): among corpus survivors, distinct
+    *     frames in ANY verified cross-video batch match, and the
+    *     min-id-keeper verdict over the video near-dup graph
+    *     (videoNearDupPairs' rollup -> connected components — the
+    *     text faces' CC discipline at video granularity; media_id
+    *     must be integral, connectedComponents refuses otherwise).
+    *
+    * Videos whose frames are ALL null-code have no fingerprint
+    * evidence and ADMIT (frames_seen=0) — admitMediaBatch's policy.
+    * `admitted` = the admitted videos' frame-code rows; `newHamming`
+    * their banded frame-index delta over struct (media_id, frame_no)
+    * keys — append via [[AdmissionIndexes.appendVideoDeltas]] and the
+    * next batch dedupes against this one too.
+    *
+    * NO identical-code pre-collapse here, deliberately: the rollup
+    * counts PAIRS per video pair, and folding verbatim frame codes to
+    * rep edges would change matched_pairs (collapseIdenticalCodes
+    * preserves CLUSTERS, not counts). Hot frame mass (flat/black
+    * frames) is priced by `maxBucket` instead, and the skew monitor
+    * reports it in the decision — drop code 0 upstream if black
+    * frames should not count as evidence at all.
+    *
+    * SCALE: only the batch is banded; the corpus index is read
+    * pre-bucketed on (seg, sb); both persisted intermediates are
+    * verified SURVIVORS (matches, cross-video frame pairs), never
+    * candidates. persist-with-lineage policy as [[admitMediaBatch]];
+    * call [[VideoAdmission.release]] after consuming the results. */
+  final case class VideoAdmission(
+      annotated: DataFrame,
+      admitted: DataFrame,
+      newHamming: DataFrame,
+      decisions: Seq[StageDecision] = Nil,
+      hammingParams: Option[(Int, Int)] = None,
+      pinned: Seq[DataFrame] = Nil) {
+    /** [[MediaAdmission.release]]'s contract: unpersist the cached
+      * match frames; results stay valid, recompute from lineage. */
+    def release(): Unit = pinned.foreach(_.unpersist(false))
+  }
+
+  def admitVideoBatch(
+      corpusIndex: DataFrame, // (id:(media_id,frame_no), code, seg, sb)
+      batchFrameCodes: DataFrame, // (media_id, frame_no, code)
+      maxHamming: Int = 6,
+      maxBucket: Int = 5000,
+      bits: Int = 56,
+      minMatchedPairs: Long = 1L,
+      skewGuard: Boolean = true): VideoAdmission = {
+    import graft.multimodal.Multimodal
+    val probe = batchFrameCodes.filter(col("code").isNotNull)
+    // corpus frame matches: shared by three rollups below (frame
+    // stats, pairwise verdict, survivor anti-join) — persist + eager
+    // count per the admission persist policy
+    val matches = Dedup.incrementalHammingPairs(corpusIndex,
+        probe.select(struct(col("media_id"), col("frame_no")).as("id"),
+          col("code")),
+        maxHamming, maxBucket, bits)
+      .filter(col("id_new.media_id") =!= col("id_old.media_id"))
+      .persist()
+    matches.count()
+    val corpusFrameStats = matches
+      .groupBy(col("id_new.media_id").as("media_id"))
+      .agg(countDistinct(col("id_new.frame_no")).as("matched_frames"),
+        min(col("hamming")).as("min_hamming"))
+    val corpusDup = matches
+      .groupBy(col("id_new.media_id").as("media_id"),
+        col("id_old.media_id").as("video_old"))
+      .agg(count(lit(1)).as("mp"))
+      .groupBy(col("media_id"))
+      .agg(max(col("mp")).as("best_mp"))
+      .filter(col("best_mp") >= minMatchedPairs)
+      .select(col("media_id"), lit(true).as("__cdup"))
+    // batch-internal verdict over corpus survivors: the SAME
+    // frame-pair kernel as videoNearDupPairs (one shared definition)
+    val survFrames = probe.join(corpusDup.select(col("media_id")),
+      Seq("media_id"), "left_anti")
+    // cap disabled -> the monitor is provably empty; skip its job
+    // (exact-oracle operating points pass Int.MaxValue)
+    val monitorRows: Long =
+      if (!skewGuard || maxBucket == Int.MaxValue) 0L
+      else Dedup.oversizedHammingBuckets(
+        survFrames.select(struct(col("media_id"), col("frame_no"))
+          .as("id"), col("code")),
+        maxHamming, maxBucket, bits).count()
+    val framePairs = Multimodal.videoFramePairs(survFrames, maxHamming,
+        maxBucket, bits)
+      .persist()
+    framePairs.count()
+    val videoPairs = framePairs
+      .groupBy(col("id_a.media_id").as("id_a"),
+        col("id_b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("matched_pairs"))
+      .filter(col("matched_pairs") >= minMatchedPairs)
+    val batchFlag = Dedup.connectedComponents(
+        videoPairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("id").as("media_id"),
+        (col("id") =!= col("cluster")).as("__bdup"))
+    val batchMatched = framePairs
+      .select(col("id_a.media_id").as("media_id"),
+        col("id_a.frame_no").as("f"))
+      .unionByName(framePairs.select(col("id_b.media_id").as("media_id"),
+        col("id_b.frame_no").as("f")))
+      .groupBy(col("media_id"))
+      .agg(countDistinct(col("f")).as("batch_matched_frames"))
+    val framesSeen = probe.groupBy(col("media_id"))
+      .agg(countDistinct(col("frame_no")).as("frames_seen"))
+    val annotated = batchFrameCodes.select(col("media_id")).distinct()
+      .join(framesSeen, Seq("media_id"), "left")
+      .join(corpusFrameStats, Seq("media_id"), "left")
+      .join(corpusDup, Seq("media_id"), "left")
+      .join(batchMatched, Seq("media_id"), "left")
+      .join(batchFlag, Seq("media_id"), "left")
+      .withColumn("is_corpus_dup", coalesce(col("__cdup"), lit(false)))
+      .select(col("media_id"),
+        coalesce(col("frames_seen"), lit(0L)).as("frames_seen"),
+        coalesce(col("matched_frames"), lit(0L)).as("matched_frames"),
+        col("min_hamming"),
+        col("is_corpus_dup"),
+        when(col("is_corpus_dup"), lit(null).cast("long"))
+          .otherwise(coalesce(col("batch_matched_frames"), lit(0L)))
+          .as("batch_matched_frames"),
+        when(col("is_corpus_dup"), lit(null).cast("boolean"))
+          .otherwise(coalesce(col("__bdup"), lit(false)))
+          .as("is_batch_dup"))
+    val admitted = batchFrameCodes.join(
+      annotated.filter(!col("is_corpus_dup") &&
+          !coalesce(col("is_batch_dup"), lit(false)))
+        .select(col("media_id")),
+      Seq("media_id"), "left_semi")
+    VideoAdmission(
+      annotated,
+      admitted,
+      Dedup.hammingBandRows(
+        admitted.filter(col("code").isNotNull)
+          .select(struct(col("media_id"), col("frame_no")).as("id"),
+            col("code")),
+        maxHamming, bits),
+      Seq(StageDecision("video_near_dup",
+        if (monitorRows == 0L) "direct" else "capped_hot_frames",
+        s"skew_monitor_rows=$monitorRows")),
+      hammingParams = Some((maxHamming, bits)),
+      pinned = Seq(matches, framePairs))
   }
 
   /** Write the pipeline's cleaned output in training-read order:

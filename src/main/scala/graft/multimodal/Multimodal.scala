@@ -273,7 +273,10 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val cid = new String(payload, pos, 4, "US-ASCII")
       val clen = le4(pos + 4)
-      if (cid == "fmt " && pos + 8 + 16 <= payload.length) {
+      // clen >= 16: a malformed fmt chunk declaring fewer bytes than
+      // the PCM header must null-route (fmtCode stays -1), not read
+      // its fields from the FOLLOWING chunk's bytes
+      if (cid == "fmt " && clen >= 16 && pos + 8 + 16 <= payload.length) {
         fmtCode = le2(pos + 8)
         channels = le2(pos + 10)
         bits = le2(pos + 22)
@@ -870,17 +873,29 @@ object Multimodal {
     * frame). */
   def videoNearDupPairs(frameCodes: DataFrame, maxHamming: Int = 6,
       maxBucket: Int = 5000, bits: Int = 56,
-      minMatchedPairs: Long = 1L): DataFrame = {
-    val coded = frameCodes.select(
-      struct(col("media_id"), col("frame_no")).as("id"), col("code"))
-    graft.dedup.Dedup.hammingBandedPairs(coded, maxHamming, maxBucket,
-        bits)
-      .filter(col("id_a.media_id") =!= col("id_b.media_id"))
+      minMatchedPairs: Long = 1L): DataFrame =
+    videoFramePairs(frameCodes, maxHamming, maxBucket, bits)
       .groupBy(col("id_a.media_id").as("video_a"),
         col("id_b.media_id").as("video_b"))
       .agg(count(lit(1)).as("matched_pairs"),
         min(col("hamming")).as("min_hamming"))
       .filter(col("matched_pairs") >= minMatchedPairs)
+
+  /** The frame-level half of [[videoNearDupPairs]] — verified
+    * cross-video frame pairs (id_a, id_b, hamming) over struct
+    * (media_id, frame_no) keys, shared by the batch rollup above and
+    * [[graft.jobs.CorpusPipeline.admitVideoBatch]]'s batch-internal
+    * verdict (which also needs the per-FRAME matches for its
+    * batch_matched_frames column — the rollup discards them). One
+    * kernel call ([[graft.dedup.Dedup.hammingBandedPairs]], verify
+    * pipelined in the bucket join), same same-video drop. */
+  def videoFramePairs(frameCodes: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = 5000, bits: Int = 56): DataFrame = {
+    val coded = frameCodes.select(
+      struct(col("media_id"), col("frame_no")).as("id"), col("code"))
+    graft.dedup.Dedup.hammingBandedPairs(coded, maxHamming, maxBucket,
+        bits)
+      .filter(col("id_a.media_id") =!= col("id_b.media_id"))
   }
 
   /** Incremental video near-dup: [[videoNearDupPairs]]' steady-state

@@ -1322,8 +1322,12 @@ object LlmPack extends QueryPack {
           .otherwise(
             concat(lit("000000DC" + "6D6F6F76" + audioTrak), // moov(220)
               lit("00000070" + "7472616B"), vTkhdV1)))
-      val dims = graft.multimodal.Multimodal.videoDims(unhex(mp4Hex))
+      // payload in its OWN projection — videoDims references it 3
+      // times (isNotNull + width + height), the same reference-cost
+      // contract as q_image_dims / q_audio_meta
+      val dims = graft.multimodal.Multimodal.videoDims(col("payload"))
       Tables.documents(s, d)
+        .select(col("doc_id"), unhex(mp4Hex).as("payload"))
         .select(col("doc_id"), dims.getField("fmt").as("fmt"),
           dims.getField("width").as("width"),
           dims.getField("height").as("height"))
@@ -1562,6 +1566,37 @@ object LlmPack extends QueryPack {
           codesOf(docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)),
           maxHamming = 14, maxBucket = Int.MaxValue, bits = 56)
         .orderBy(col("video_new"), col("video_old"))
+    }),
+
+    // Video-level batch ADMISSION under the hard oracle — the last
+    // cell of the media admission matrix: per batch video, frames
+    // seen / distinct frames matched vs the persisted corpus frame
+    // index / best hamming / the pairwise corpus verdict, then the
+    // min-id-keeper batch verdict over the survivor video near-dup
+    // graph (CC recomputed in DuckDB via the recursive
+    // transitive-closure CTE, q_semantic_dedup_exact's pattern). Cap
+    // disabled on the bounded fixture so pigeonhole banding makes
+    // every count exact. Same 250-split bounds as
+    // q_video_incremental.
+    "q_video_admission" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, d)
+      def codesOf(f: org.apache.spark.sql.DataFrame) =
+        Multimodal.frameGridsStub(Multimodal.fromDocuments(f),
+            frames = 4)
+          .select(col("media_id"), col("frame_no"),
+            Multimodal.dHash(col("px")).as("code"))
+      val index = Dedup.hammingBandRows(
+        codesOf(docs.filter(col("doc_id") < 250))
+          .select(struct(col("media_id"), col("frame_no")).as("id"),
+            col("code")),
+        maxHamming = 14, bits = 56)
+      val adm = graft.jobs.CorpusPipeline.admitVideoBatch(index,
+        codesOf(docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)),
+        maxHamming = 14, maxBucket = Int.MaxValue, bits = 56,
+        minMatchedPairs = 1L)
+      val out = adm.annotated.orderBy(col("media_id"))
+      out.localCheckpoint() // release() recomputes otherwise
     }),
 
     // AUDIO fingerprint through the honest decode seam: an energy
@@ -2442,6 +2477,77 @@ object LlmPack extends QueryPack {
         |FROM codes a JOIN codes b ON a.doc_id < 250 AND b.doc_id >= 250
         |WHERE bit_count(xor(a.code, b.code)) <= 14
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Full video-admission verdict recompute: corpus frame matches ->
+    // per-video stats + pairwise corpus verdict; survivor frame pairs
+    // -> per-pair rollup -> connected components via the recursive
+    // transitive-closure CTE (q_semantic_dedup_exact's pattern) ->
+    // min-id keeper.
+    "q_video_admission" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT doc_id, f, list_transform(range(63), i ->
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 1 AS INTEGER), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text || '#' || CAST(f AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), CAST(2*(i % 16) + 2 AS INTEGER), 1)) - 1)) AS p
+        |  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f) fs
+        |  WHERE doc_id < 500),
+        |codes AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+        |        < p[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+        |      THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS code
+        |  FROM px CROSS JOIN (SELECT unnest(range(56)) AS k) ks
+        |  GROUP BY doc_id, f),
+        |corpus AS (SELECT * FROM codes WHERE doc_id < 250),
+        |batch AS (SELECT * FROM codes WHERE doc_id >= 250),
+        |m AS (
+        |  SELECT b.doc_id AS media_id, b.f AS bf, a.doc_id AS old_id,
+        |    bit_count(xor(a.code, b.code)) AS ham
+        |  FROM batch b JOIN corpus a
+        |    ON bit_count(xor(a.code, b.code)) <= 14),
+        |cstats AS (
+        |  SELECT media_id, COUNT(DISTINCT bf) AS matched_frames,
+        |    CAST(MIN(ham) AS INTEGER) AS min_hamming
+        |  FROM m GROUP BY media_id),
+        |cdup AS (
+        |  SELECT media_id FROM (
+        |    SELECT media_id, old_id, COUNT(*) AS mp FROM m GROUP BY 1, 2) t
+        |  GROUP BY media_id HAVING MAX(mp) >= 1),
+        |surv AS (SELECT * FROM batch
+        |  WHERE doc_id NOT IN (SELECT media_id FROM cdup)),
+        |fp AS (
+        |  SELECT a.doc_id AS va, a.f AS fa, b.doc_id AS vb, b.f AS fb
+        |  FROM surv a JOIN surv b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.code, b.code)) <= 14),
+        |bmf AS (
+        |  SELECT media_id, COUNT(DISTINCT f) AS batch_matched_frames
+        |  FROM (SELECT va AS media_id, fa AS f FROM fp
+        |    UNION ALL SELECT vb, fb FROM fp) t GROUP BY media_id),
+        |vp AS (SELECT va, vb FROM fp GROUP BY va, vb HAVING COUNT(*) >= 1),
+        |edges AS (SELECT va AS src, vb AS dst FROM vp
+        |  UNION SELECT vb, va FROM vp),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |cc AS (SELECT src AS id, least(src, MIN(dst)) AS cluster
+        |  FROM reach GROUP BY src),
+        |fs2 AS (SELECT doc_id AS media_id, COUNT(DISTINCT f) AS frames_seen
+        |  FROM batch GROUP BY 1)
+        |SELECT fs2.media_id, fs2.frames_seen,
+        |  COALESCE(cs.matched_frames, CAST(0 AS BIGINT)) AS matched_frames,
+        |  cs.min_hamming,
+        |  (cd.media_id IS NOT NULL) AS is_corpus_dup,
+        |  CASE WHEN cd.media_id IS NOT NULL THEN NULL
+        |    ELSE COALESCE(bmf.batch_matched_frames, CAST(0 AS BIGINT))
+        |    END AS batch_matched_frames,
+        |  CASE WHEN cd.media_id IS NOT NULL THEN NULL
+        |    ELSE (cc.id IS NOT NULL AND cc.id != cc.cluster)
+        |    END AS is_batch_dup
+        |FROM fs2
+        |LEFT JOIN cstats cs ON cs.media_id = fs2.media_id
+        |LEFT JOIN cdup cd ON cd.media_id = fs2.media_id
+        |LEFT JOIN bmf ON bmf.media_id = fs2.media_id
+        |LEFT JOIN cc ON cc.id = fs2.media_id
+        |ORDER BY 1""".stripMargin,
     // Audio contour-hash oracle: the 33-value 1-row "grid" from the
     // same md5 pixel formula (chunks 0..2), 32 gradient bits
     // (h=1: bit k compares p[k] to p[k+1]).

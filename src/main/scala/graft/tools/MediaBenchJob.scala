@@ -72,14 +72,19 @@ object MediaBenchJob {
         (frameCodes, 56, frameCodes.count())
       case "audio" =>
         // real payloads: a WAV whose window amplitudes follow the
-        // doc's stub contour (amplitude = contour value * 128, i.e.
-        // RMS read-back = value within rounding), 40 samples/window
+        // doc's stub contour. amplitude = round(value*32768/255)
+        // clamped to 16-bit, so the RMS read-back round(a*255/32768)
+        // is EXACTLY the stub value for every v in 0..255 (error
+        // <= 0.004 before rounding; v=255 clamps to 32767 which still
+        // reads back 255) — near-dup structure matches the stub run
+        // bit-for-bit, not just approximately. 40 samples/window.
         val w = audioWindows
         val encoded = Multimodal.grayPixelsStub(media, w = w, h = 1)
           .as[(Long, Seq[Int])]
           .map { case (id, contour) =>
             val samples = Array.tabulate(w * 40) { i =>
-              val a = contour(i / 40) * 128
+              val a = math.min(32767,
+                math.round(contour(i / 40) * 32768.0 / 255.0).toInt)
               if (i % 2 == 0) a else -a
             }
             Multimodal.MediaRow(id, "audio", "wav",

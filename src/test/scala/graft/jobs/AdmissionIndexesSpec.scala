@@ -788,6 +788,82 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE audio_idx")
   }
 
+  test("video frame index: admitVideoBatch -> appendVideoDeltas closes " +
+      "the video admission loop — a video sharing frames with an " +
+      "indexed corpus video drops at VIDEO granularity, batch " +
+      "near-dups keep min-id, and round 2 dedupes against round 1's " +
+      "appended frame delta") {
+    def codeOf(i: Int): Long = (i.toLong * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    // corpus: 50 videos x 4 frames, struct (media_id, frame_no) keys
+    val corpusFrames = (0 until 50).flatMap(v => (0 until 4).map(f =>
+        (v.toLong, f, codeOf(v * 4 + f))))
+      .toDF("media_id", "frame_no", "code")
+    AdmissionIndexes.saveHammingIndex(
+      Dedup.hammingBandRows(
+        corpusFrames.select(
+          struct(col("media_id"), col("frame_no")).as("id"), col("code")),
+        maxHamming = 3, bits = 56),
+      "video_idx", buckets = 8, maxHamming = 3, bits = 56)
+    val index = AdmissionIndexes.loadHammingIndex(spark, "video_idx",
+      maxHamming = 3, bits = 56)
+    // batch: video 1000 shares two near frames with corpus video 2
+    // (frames 8, 9 of the flat corpus numbering); 1001 and 1002 share
+    // one near frame pair with EACH OTHER only; 1003 is fresh
+    val batch = Seq(
+        (1000L, 0, codeOf(8) ^ 3L), (1000L, 1, codeOf(9) ^ 1L),
+        (1001L, 0, codeOf(7001)), (1001L, 1, codeOf(7002)),
+        (1002L, 0, codeOf(7001) ^ 3L), (1002L, 1, codeOf(7003)),
+        (1003L, 0, codeOf(7004)))
+      .toDF("media_id", "frame_no", "code")
+    val adm = CorpusPipeline.admitVideoBatch(index, batch,
+      maxHamming = 3, maxBucket = 5000, bits = 56, minMatchedPairs = 1L)
+    val rows = adm.annotated.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4),
+        Option(r.get(5)), Option(r.get(6))))).toMap
+    // (frames_seen, matched_frames, min_hamming, is_corpus_dup,
+    //  batch_matched_frames, is_batch_dup)
+    assert(rows(1000L) == ((2L, 2L, Some(1), true, None, None)),
+      s"video 1000: ${rows(1000L)}")
+    assert(rows(1001L) == ((2L, 0L, None, false, Some(1L), Some(false))),
+      s"video 1001 must keep (min-id): ${rows(1001L)}")
+    assert(rows(1002L) == ((2L, 0L, None, false, Some(1L), Some(true))),
+      s"video 1002 must flag as batch dup: ${rows(1002L)}")
+    assert(rows(1003L) == ((1L, 0L, None, false, Some(0L), Some(false))),
+      s"video 1003 must admit clean: ${rows(1003L)}")
+    // admitted = videos 1001 + 1003's frame rows; delta = their bands
+    assert(adm.admitted.select("media_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1001L, 1003L))
+    assert(adm.admitted.count() == 3)
+    assert(adm.newHamming.count() == 3 * 4,
+      "3 admitted frames x (maxHamming+1) segments")
+    assert(adm.hammingParams.contains((3, 56)))
+
+    // append the delta: round 2 must dedupe against round 1's
+    // admitted frames at video granularity
+    AdmissionIndexes.appendVideoDeltas(adm, "video_idx", buckets = 8)
+    adm.release()
+    val batch2 = Seq((3000L, 0, codeOf(7001) ^ 1L))
+      .toDF("media_id", "frame_no", "code")
+    val adm2 = CorpusPipeline.admitVideoBatch(
+      AdmissionIndexes.loadHammingIndex(spark, "video_idx", 3, 56),
+      batch2, maxHamming = 3, bits = 56)
+    val r2 = adm2.annotated.collect()
+    assert(r2.length == 1 && r2(0).getBoolean(4),
+      s"round 2 must flag 3000 against round 1's appended delta: " +
+        s"${r2.mkString(",")}")
+    assert(adm2.admitted.count() == 0)
+    adm2.release()
+
+    // a mismatched delta refuses at append (disjoint segment spaces)
+    val badAdm = adm.copy(hammingParams = Some((5, 56)))
+    val e2 = intercept[IllegalArgumentException] {
+      AdmissionIndexes.appendVideoDeltas(badAdm, "video_idx", buckets = 8)
+    }
+    assert(e2.getMessage.contains("mismatch"))
+    spark.sql("DROP TABLE video_idx")
+  }
+
   test("registerFromSpec heal QUARANTINES a non-part-file shell " +
       "instead of deleting it, and refuses any non-empty live dir") {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

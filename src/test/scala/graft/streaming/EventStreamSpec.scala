@@ -405,6 +405,82 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("admitVideoBatch parity: the batch admission face replays a " +
+      "stream window's verdicts identically — frames_seen / " +
+      "matched_frames / min_hamming / is_corpus_dup equal " +
+      "streamingVideoAdmission's on a shared fixture and index, and " +
+      "the batch-only keeper columns fill the streaming face's gap") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.FrameDoc
+    import graft.dedup.Dedup
+    import graft.jobs.CorpusPipeline
+    import org.apache.spark.sql.functions.{col, struct}
+    val fA = 0x00a5a5a5a5a5a5L
+    val fB = 0x003c3c3c3c3c3cL
+    val c1 = 0x000f0f0f0f0f0fL
+    // far fillers: pairwise hamming ~24 from everything above
+    val d100 = 0x00111111111111L
+    val d101 = 0x00222222222222L
+    val d103 = 0x00444444444444L
+    // ONE corpus frame index (video 1's frames, struct keys), served
+    // unchanged to both faces
+    val index = Dedup.hammingBandRows(
+      Seq((1L, 0, fA), (1L, 1, fB)).toDF("media_id", "frame_no", "code")
+        .select(struct(col("media_id"), col("frame_no")).as("id"),
+          col("code")),
+      maxHamming = 3, bits = 56)
+    // fixture: 100 near the corpus; 101/102 near EACH OTHER only;
+    // 103 clean; 102's second frame undecodable
+    val frames = Seq(
+      (100L, 0, Some(fA ^ 1L)), (100L, 1, Some(d100)),
+      (101L, 0, Some(c1)), (101L, 1, Some(d101)),
+      (102L, 0, Some(c1 ^ 3L)), (102L, 1, None),
+      (103L, 0, Some(d103)))
+    val in = MemoryStream[FrameDoc]
+    val q = EventStream.streamingVideoAdmission(
+        in.toDF(), index, maxHamming = 3, bits = 56,
+        minMatchedFrames = 1, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("video_parity_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(frames.zipWithIndex.map { case ((v, f, c), i) =>
+      FrameDoc(v, f, ts(s"2024-01-01 00:00:${10 + i}"), c) }: _*)
+    q.processAllAvailable()
+    in.addData(FrameDoc(999L, 0, ts("2024-01-01 02:00:00"), Some(1L)))
+    q.processAllAvailable()
+    val streamV = spark.table("video_parity_out")
+      .filter(col("video_id") < 999L).collect()
+      .map(r => r.getAs[Long]("video_id") ->
+        ((r.getAs[Int]("frames_seen").toLong,
+          r.getAs[Int]("matched_frames").toLong,
+          Option(r.get(r.fieldIndex("min_hamming"))),
+          r.getAs[Boolean]("is_corpus_dup")))).toMap
+    q.stop()
+    // batch face on the SAME frames + index
+    val adm = CorpusPipeline.admitVideoBatch(index,
+      frames.toDF("media_id", "frame_no", "code"),
+      maxHamming = 3, bits = 56, minMatchedPairs = 1L)
+    val ann = adm.annotated.collect()
+    val batchV = ann.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), Option(r.get(3)),
+        r.getBoolean(4)))).toMap
+    assert(batchV == streamV,
+      s"batch verdicts $batchV != streaming $streamV")
+    // the batch-only keeper columns (streaming cannot compare within
+    // the batch): 101 keeps (min-id), 102 flags, 103 admits clean,
+    // 100's batch verdict is null (the corpus verdict already fired)
+    val extra = ann.map(r => r.getLong(0) ->
+      ((Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(extra(100L) == ((None, None)), s"100: ${extra(100L)}")
+    assert(extra(101L) == ((Some(1L), Some(false))), s"101: ${extra(101L)}")
+    assert(extra(102L) == ((Some(1L), Some(true))), s"102: ${extra(102L)}")
+    assert(extra(103L) == ((Some(0L), Some(false))), s"103: ${extra(103L)}")
+    assert(adm.admitted.select("media_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(101L, 103L))
+    adm.release()
+    }
+  }
+
   test("streaming passage strip: indexed windows are cut from arriving " +
       "docs once the watermark closes their verdict window; fresh and " +
       "sub-window docs pass through whole") {
