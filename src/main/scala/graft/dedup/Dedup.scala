@@ -1122,10 +1122,12 @@ object Dedup {
     // map partition reaches the shuffle) and the edge join back is a
     // plain equi-join AQE's skew-join split can break up — neither of
     // which a window partition offers. Same output; callers pass
-    // checkpointed inputs so the double consumption is cheap.
-    val reps = nonNull.groupBy(col("code"))
+    // checkpointed inputs so the double consumption is cheap. reps is
+    // itself consumed twice (returned + the edge join) — checkpoint
+    // it so the fold shuffle runs once, like the old window form's.
+    val reps = graft.Checkpoints.iter(nonNull.groupBy(col("code"))
       .agg(min(col("id")).as("id"))
-      .select(col("id"), col("code"))
+      .select(col("id"), col("code")))
     val edges = nonNull
       .join(reps.select(col("id").as("__rep"), col("code")), Seq("code"))
       .filter(col("id") =!= col("__rep"))

@@ -1595,8 +1595,7 @@ object LlmPack extends QueryPack {
         codesOf(docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)),
         maxHamming = 14, maxBucket = Int.MaxValue, bits = 56,
         minMatchedPairs = 1L)
-      val out = adm.annotated.orderBy(col("media_id"))
-      out.localCheckpoint() // release() recomputes otherwise
+      adm.annotated.orderBy(col("media_id"))
     }),
 
     // AUDIO fingerprint through the honest decode seam: an energy

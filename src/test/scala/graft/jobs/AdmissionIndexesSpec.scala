@@ -842,7 +842,6 @@ class AdmissionIndexesSpec extends SparkSpec {
     // append the delta: round 2 must dedupe against round 1's
     // admitted frames at video granularity
     AdmissionIndexes.appendVideoDeltas(adm, "video_idx", buckets = 8)
-    adm.release()
     val batch2 = Seq((3000L, 0, codeOf(7001) ^ 1L))
       .toDF("media_id", "frame_no", "code")
     val adm2 = CorpusPipeline.admitVideoBatch(
@@ -853,7 +852,6 @@ class AdmissionIndexesSpec extends SparkSpec {
       s"round 2 must flag 3000 against round 1's appended delta: " +
         s"${r2.mkString(",")}")
     assert(adm2.admitted.count() == 0)
-    adm2.release()
 
     // a mismatched delta refuses at append (disjoint segment spaces)
     val badAdm = adm.copy(hammingParams = Some((5, 56)))

@@ -477,7 +477,55 @@ class EventStreamSpec extends SparkSpec {
     assert(extra(103L) == ((Some(0L), Some(false))), s"103: ${extra(103L)}")
     assert(adm.admitted.select("media_id").distinct().collect()
       .map(_.getLong(0)).toSet == Set(101L, 103L))
-    adm.release()
+    }
+  }
+
+  test("streamingVideoAdmission state is BOUNDED by the watermark " +
+      "horizon: one state row per (window, video) still open under " +
+      "the watermark, never tracking stream length — the bound " +
+      "StreamBenchJob's 1M-frame run measured, pinned so a watermark " +
+      "change cannot silently unbound the store") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.FrameDoc
+    import graft.dedup.Dedup
+    val index = Dedup.hammingBandRows(
+      Seq((1L, 0x00a5a5a5a5a5a5L)).toDF("id", "code"),
+      maxHamming = 3, bits = 56)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val nVideos = 5
+    // one chunk = one minute of event time; every video lands 3
+    // frames in every 1-minute window, watermark 2 minutes
+    def run(nChunks: Int): Long = {
+      val in = MemoryStream[FrameDoc]
+      val q = EventStream.streamingVideoAdmission(in.toDF(), index,
+          maxHamming = 3, bits = 56, minMatchedFrames = 1,
+          watermark = "2 minutes", windowLen = Some("1 minute"))
+        .writeStream.format("noop").start()
+      (0 until nChunks).foreach { c =>
+        in.addData((0 until nVideos).flatMap(v => (0 until 3).map(f =>
+          FrameDoc(v.toLong, c * 3 + f,
+            new Timestamp(base + c * 60000L + f * 15000L),
+            Some(0x00111111111111L ^ (v * 16L))))): _*)
+        q.processAllAvailable()
+      }
+      val maxState = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).max
+      q.stop()
+      maxState
+    }
+    val short = run(6)
+    val long = run(18) // 3x the stream length
+    // horizon: windows whose end the 2-minute watermark has not yet
+    // passed = ceil(watermark/windowLen) + the currently-filling one,
+    // +1 boundary slack; one state row per (open window, video)
+    val bound = nVideos.toLong * (2 + 1 + 1)
+    assert(long <= bound,
+      s"max state rows $long exceed the horizon bound $bound")
+    assert(long <= short + nVideos,
+      s"state grew with stream length: $short -> $long")
+    assert(long >= nVideos,
+      s"state ($long) must at least hold the open window's videos")
     }
   }
 
