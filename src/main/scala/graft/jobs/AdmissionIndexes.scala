@@ -691,17 +691,27 @@ object AdmissionIndexes {
     * `maxFilesPerBucket` closes the same auto-compaction loop. */
   def appendMediaDeltas(adm: CorpusPipeline.MediaAdmission,
       table: String, buckets: Int = 64,
-      maxFilesPerBucket: Option[Int] = None): Unit = {
+      maxFilesPerBucket: Option[Int] = None): Unit =
+    appendHammingDelta(adm.newHamming, adm.hammingParams, table,
+      buckets, maxFilesPerBucket)
+
+  /** The shared append half behind [[appendMediaDeltas]] and
+    * [[appendVideoDeltas]] — one body, so a change to the
+    * verify/append/compact sequence cannot drift between the two
+    * public faces. */
+  private def appendHammingDelta(newHamming: DataFrame,
+      hammingParams: Option[(Int, Int)], table: String, buckets: Int,
+      maxFilesPerBucket: Option[Int]): Unit = {
     requirePlainName(table)
-    adm.hammingParams match {
+    hammingParams match {
       case Some((mh, b)) =>
-        saveHammingIndex(adm.newHamming, table, buckets, append = true,
+        saveHammingIndex(newHamming, table, buckets, append = true,
           maxHamming = mh, bits = b)
       case None =>
-        saveHammingIndex(adm.newHamming, table, buckets, append = true)
+        saveHammingIndex(newHamming, table, buckets, append = true)
     }
     maxFilesPerBucket.foreach(cap =>
-      compactIfFragmented(adm.newHamming.sparkSession, table,
+      compactIfFragmented(newHamming.sparkSession, table,
         hammingKeys, buckets, cap))
   }
 
@@ -714,19 +724,9 @@ object AdmissionIndexes {
     * default arguments.) */
   def appendVideoDeltas(adm: CorpusPipeline.VideoAdmission,
       table: String, buckets: Int = 64,
-      maxFilesPerBucket: Option[Int] = None): Unit = {
-    requirePlainName(table)
-    adm.hammingParams match {
-      case Some((mh, b)) =>
-        saveHammingIndex(adm.newHamming, table, buckets, append = true,
-          maxHamming = mh, bits = b)
-      case None =>
-        saveHammingIndex(adm.newHamming, table, buckets, append = true)
-    }
-    maxFilesPerBucket.foreach(cap =>
-      compactIfFragmented(adm.newHamming.sparkSession, table,
-        hammingKeys, buckets, cap))
-  }
+      maxFilesPerBucket: Option[Int] = None): Unit =
+    appendHammingDelta(adm.newHamming, adm.hammingParams, table,
+      buckets, maxFilesPerBucket)
 
   /** Trigger the crash-safe [[compact]] when (and only when) the
     * [[fragmentation]] signal crosses `maxFilesPerBucket` — the

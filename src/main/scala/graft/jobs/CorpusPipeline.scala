@@ -1004,10 +1004,14 @@ object CorpusPipeline {
     *
     *   - frames_seen: distinct frames with a non-null code;
     *   - matched_frames / min_hamming: distinct frames within
-    *     `maxHamming` of an INDEXED corpus frame (same-video matches
-    *     dropped — overlapping reprocessing must not self-report) and
-    *     the best such distance — the streaming face's columns, so a
-    *     batch replay of a stream window reads identically;
+    *     `maxHamming` of an INDEXED corpus frame — INCLUDING the
+    *     video's own rows if it is already indexed: a replayed batch
+    *     (retry, overlapping reprocessing window) must be REFUSED,
+    *     not silently re-admitted with its index rows duplicated
+    *     (the pair faces drop self-matches; an admission face must
+    *     not) — and the best such distance: the streaming face's
+    *     columns, so a batch replay of a stream window reads
+    *     identically;
     *   - is_corpus_dup: SOME corpus video shares >= `minMatchedPairs`
     *     verified frame pairs — the pairwise verdict of
     *     videoNearDupPairs/incrementalVideoPairs (at
@@ -1061,12 +1065,22 @@ object CorpusPipeline {
     // corpus frame matches: shared by three rollups below (frame
     // stats, pairwise verdict, survivor anti-join) — one
     // materialization, admitMediaBatch's measured checkpoint policy
+    // NO same-video drop here, deliberately — the opposite of
+    // incrementalVideoPairs: that face reports near-dup PAIRS, where
+    // (v, v) from overlapping reprocessing is a false edge, but an
+    // ADMISSION face must treat a video matching its OWN indexed
+    // frames as the strongest possible "already in the corpus"
+    // evidence. Dropping self-matches would let a replayed batch
+    // (retry after partial failure) re-admit every already-indexed
+    // video and append duplicate index rows on every replay —
+    // admitMediaBatch refuses replays via hamming-0 self-matches and
+    // streamingVideoAdmission never compares ids, so this is also
+    // what the documented stream/batch verdict parity requires.
     val matches = graft.Checkpoints.iter(
       Dedup.incrementalHammingPairs(corpusIndex,
           probe.select(struct(col("media_id"), col("frame_no")).as("id"),
             col("code")),
-          maxHamming, maxBucket, bits)
-        .filter(col("id_new.media_id") =!= col("id_old.media_id")))
+          maxHamming, maxBucket, bits))
     val corpusFrameStats = matches
       .groupBy(col("id_new.media_id").as("media_id"))
       .agg(countDistinct(col("id_new.frame_no")).as("matched_frames"),
@@ -1080,9 +1094,15 @@ object CorpusPipeline {
       .filter(col("best_mp") >= minMatchedPairs)
       .select(col("media_id"), lit(true).as("__cdup"))
     // batch-internal verdict over corpus survivors: the SAME
-    // frame-pair kernel as videoNearDupPairs (one shared definition)
-    val survFrames = probe.join(corpusDup.select(col("media_id")),
-      Seq("media_id"), "left_anti")
+    // frame-pair kernel as videoNearDupPairs (one shared definition).
+    // lazyCheckpoint: the frame is referenced ~4x downstream (monitor,
+    // capBuckets size aggregate, both sides of the banding self-join)
+    // and each reference would otherwise re-run the anti-join AND the
+    // caller's batchFrameCodes derivation (q_video_admission's is a
+    // mapPartitions md5 stub the caller cannot pre-materialize here)
+    val survFrames = graft.Checkpoints.lazyCheckpoint(
+      probe.join(corpusDup.select(col("media_id")),
+        Seq("media_id"), "left_anti"))
     // cap disabled -> the monitor is provably empty; skip its job
     // (exact-oracle operating points pass Int.MaxValue)
     val monitorRows: Long =

@@ -81,7 +81,9 @@ object PhashBenchJob {
       if (!route) (codes, 0L)
       else {
         val (reps, edges) = Dedup.collapseIdenticalCodes(codes)
-        (reps.localCheckpoint(), edges.count())
+        // reps is already eager-checkpointed inside the fold — a
+        // second copy here would land INSIDE the timed window
+        (reps, edges.count())
       }
     val nPairs = Dedup.hammingBandedPairs(bandSource, maxHamming,
       maxBucket, bits = 56).count() + foldEdges

@@ -81,7 +81,9 @@ object SimhashScaleJob {
         // is measurement overhead and runs OUTSIDE the window
         val t3 = System.nanoTime()
         val (r, e0) = Dedup.collapseIdenticalCodes(codes)
-        val rCk = r.localCheckpoint()
+        // r is already eager-checkpointed inside the fold — a second
+        // copy would land inside routed_wall_s
+        val rCk = r
         val e = e0.localCheckpoint()
         val routedPairs = Dedup.hammingBandedPairs(rCk, maxHamming,
             maxBucket, bits)

@@ -853,6 +853,23 @@ class AdmissionIndexesSpec extends SparkSpec {
         s"${r2.mkString(",")}")
     assert(adm2.admitted.count() == 0)
 
+    // REPLAY of an already-indexed video (retry after a partial
+    // failure): its own hamming-0 self-matches must REFUSE
+    // re-admission — a same-video drop here would re-admit it and
+    // append duplicate index rows on every replay
+    val replay = Seq((1001L, 0, codeOf(7001)), (1001L, 1, codeOf(7002)))
+      .toDF("media_id", "frame_no", "code")
+    val admR = CorpusPipeline.admitVideoBatch(
+      AdmissionIndexes.loadHammingIndex(spark, "video_idx", 3, 56),
+      replay, maxHamming = 3, bits = 56)
+    val rr = admR.annotated.collect()
+    assert(rr.length == 1 && rr(0).getBoolean(4) &&
+      rr(0).getLong(2) == 2L && rr(0).getInt(3) == 0,
+      s"replayed video must read as a corpus dup via its own rows: " +
+        s"${rr.mkString(",")}")
+    assert(admR.admitted.count() == 0 && admR.newHamming.count() == 0,
+      "a replay must append NOTHING")
+
     // a mismatched delta refuses at append (disjoint segment spaces)
     val badAdm = adm.copy(hammingParams = Some((5, 56)))
     val e2 = intercept[IllegalArgumentException] {
