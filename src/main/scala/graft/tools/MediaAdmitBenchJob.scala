@@ -22,18 +22,112 @@ import graft.jobs.CorpusPipeline
   * CC, annotate joins, admitted count, delta band rows — then
   * release()s (or lets checkpoint blocks GC in the old policy).
   *
-  * Usage: runMain graft.tools.MediaAdmitBenchJob [n] [maxHamming]
-  * Prints one JSON line.
+  * `video` mode prices admitVideoBatch the same way at FRAME
+  * granularity: an nV-video x 8-frame corpus frame index, a
+  * batch of nV/5 videos where 10% are near-copies of corpus videos
+  * (every frame hamming 2 of the original — the rollup sees 8
+  * matched pairs), 2.5% near-dup PAIRS within the batch (keeper =
+  * min id), rest fresh; minMatchedPairs = 2 so the pairwise gate is
+  * exercised, cap 2000 so the monitor prices hot frames.
+  *
+  * Usage: runMain graft.tools.MediaAdmitBenchJob [media|video] [n]
+  * [maxHamming] — `n` is codes (media) or VIDEOS (video). Prints one
+  * JSON line.
   */
 object MediaAdmitBenchJob {
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.filterNot(a => a.forall(_.isDigit))
+      .getOrElse("media")
+    val numArgs = args.dropWhile(a => !a.forall(_.isDigit))
+    val spark = Sessions.local("graft-media-admit-bench")
+    if (mode == "video") runVideo(spark, numArgs)
+    else runMedia(spark, numArgs)
+    spark.stop()
+  }
+
+  private def codeOf(c: org.apache.spark.sql.Column) =
+    abs(xxhash64(c)).bitwiseAND(lit((1L << 56) - 1))
+
+  private def lapper(): Long => (Long, Double) = { prev =>
+    val now = System.nanoTime(); (now, (now - prev) / 1e9)
+  }
+
+  private def runVideo(spark: org.apache.spark.sql.SparkSession,
+      args: Array[String]): Unit = {
+    val nV = args.headOption.map(_.toInt).getOrElse(200000)
+    val maxHamming = args.lift(1).map(_.toInt).getOrElse(3)
+    val frames = 8
+
+    val corpusFrames = spark.range(nV.toLong * frames).select(
+        (col("id") / frames).cast("long").as("media_id"),
+        (col("id") % frames).cast("int").as("frame_no"),
+        codeOf(col("id")).as("code"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val index = Dedup.hammingBandRows(
+        corpusFrames.select(
+          struct(col("media_id"), col("frame_no")).as("id"), col("code")),
+        maxHamming, bits = 56)
+      .localCheckpoint()
+    val indexRows = index.count()
+    val indexWall = (System.nanoTime() - t0) / 1e9
+
+    // batch videos (ids offset by nV): v%10==0 a near-copy of corpus
+    // video v%nV (each frame hamming 2); (v%40==1, v%40==21) internal
+    // near pairs (21's frames hamming 1 of 1's); rest fresh
+    val bV = nV / 5
+    val big = 1000L * 1000 * 1000
+    val batch = spark.range(bV.toLong * frames).select(
+        ((col("id") / frames).cast("long") + nV).as("media_id"),
+        (col("id") % frames).cast("int").as("frame_no"),
+        (col("id") / frames).cast("long").as("__v"),
+        col("id").as("__g"))
+      .select(col("media_id"), col("frame_no"),
+        when(col("__v") % 10 === 0,
+            codeOf((col("__v") % nV) * frames + col("frame_no"))
+              .bitwiseXOR(lit(3L)))
+          .when(col("__v") % 40 === 1,
+            codeOf(lit(9L) * big + col("__g")))
+          .when(col("__v") % 40 === 21,
+            codeOf(lit(9L) * big + (col("__v") - 20) * frames +
+              col("frame_no")).bitwiseXOR(lit(1L)))
+          .otherwise(codeOf(lit(7L) * big + col("__g"))).as("code"))
+      .localCheckpoint()
+    batch.count()
+
+    val t1 = System.nanoTime()
+    val lap = lapper()
+    val adm = CorpusPipeline.admitVideoBatch(index, batch,
+      maxHamming = maxHamming, maxBucket = 2000, bits = 56,
+      minMatchedPairs = 2L)
+    val (t2, constructS) = lap(t1)
+    val corpusDups = adm.annotated.filter(col("is_corpus_dup")).count()
+    val (t3, cdupS) = lap(t2)
+    val batchDups = adm.annotated.filter(col("is_batch_dup")).count()
+    val (t4, bdupS) = lap(t3)
+    val admitted = adm.admitted.select(col("media_id")).distinct().count()
+    val (t5, admS) = lap(t4)
+    val deltaRows = adm.newHamming.count()
+    val (_, deltaS) = lap(t5)
+    System.err.println(f"[video-admit] construct=$constructS%.1f " +
+      f"cdup=$cdupS%.1f bdup=$bdupS%.1f admitted=$admS%.1f " +
+      f"delta=$deltaS%.1f")
+    val admitWall = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"video_admit_bench","corpus_videos":$nV,""" +
+      s""""frames_per_video":$frames,"batch_videos":$bV,""" +
+      s""""maxHamming":$maxHamming,"index_rows":$indexRows,""" +
+      s""""index_wall_s":${f"$indexWall%.2f"},""" +
+      s""""corpus_dups":$corpusDups,"batch_dups":$batchDups,""" +
+      s""""admitted":$admitted,"delta_rows":$deltaRows,""" +
+      s""""admit_wall_s":${f"$admitWall%.2f"}}""")
+  }
+
+  private def runMedia(spark: org.apache.spark.sql.SparkSession,
+      args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500000)
     val maxHamming = args.lift(1).map(_.toInt).getOrElse(3)
-    val spark = Sessions.local("graft-media-admit-bench")
     import spark.implicits._
-
-    def codeOf(c: org.apache.spark.sql.Column) =
-      abs(xxhash64(c)).bitwiseAND(lit((1L << 56) - 1))
     val corpus = spark.range(n)
       .select(col("id"), codeOf(col("id")).as("code"))
       .localCheckpoint()
@@ -58,9 +152,7 @@ object MediaAdmitBenchJob {
     batch.count()
 
     val t1 = System.nanoTime()
-    def lap(prev: Long): (Long, Double) = {
-      val now = System.nanoTime(); (now, (now - prev) / 1e9)
-    }
+    val lap = lapper()
     val adm = CorpusPipeline.admitMediaBatch(index, batch,
       maxHamming = maxHamming, maxBucket = 2000, bits = 56)
     val (t2, constructS) = lap(t1)
@@ -85,6 +177,5 @@ object MediaAdmitBenchJob {
       s""""corpus_dups":$corpusDups,"batch_dups":$batchDups,""" +
       s""""admitted":$admitted,"delta_rows":$deltaRows,""" +
       s""""admit_wall_s":${f"$admitWall%.2f"}}""")
-    spark.stop()
   }
 }
