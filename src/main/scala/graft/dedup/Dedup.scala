@@ -28,13 +28,20 @@ object Dedup {
     * Null text is an upstream-extraction question for the quality
     * gate, never this operator's to answer by data loss. */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = contentDigestOf(col(textCol))
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    df.withColumn("__h", h)
-      .withColumn("__rn",
-        when(col("__h").isNull, lit(1)).otherwise(row_number().over(w)))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+    // groupBy-min + join, NOT a keeper window: a verbatim-duplicated
+    // boilerplate page with millions of copies is the NORMAL case in
+    // a web corpus, and row_number().over(partitionBy(__h)) funnels
+    // every copy into one task. The fold reaches the exchange as one
+    // row per digest per map partition (partial agg) and the join
+    // back is AQE-skew-splittable — collapseIdenticalCodes' rewrite,
+    // applied to the keeper face (ids are unique by contract, so
+    // id == min(id) is exactly rank 1).
+    val digested = df.withColumn("__h", contentDigestOf(col(textCol)))
+    val minh = digested.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__min"))
+    digested.join(minh, Seq("__h"), "left")
+      .filter(col("__h").isNull || col(idCol) === col("__min"))
+      .drop("__h", "__min")
   }
 
   /** THE content digest — one definition for every exact-dedup face
@@ -68,12 +75,13 @@ object Dedup {
       indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
     // null digests (null text) pass through like exactByContent —
     // they survive the anti-join (null never equals) and must not
-    // collapse into one row in the keeper window
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    fresh.withColumn("__rn",
-        when(col("__h").isNull, lit(1)).otherwise(row_number().over(w)))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+    // collapse into one row. groupBy-min keeper, not a window: see
+    // exactByContent's hot-digest note.
+    val minh = fresh.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__min"))
+    fresh.join(minh, Seq("__h"), "left")
+      .filter(col("__h").isNull || col(idCol) === col("__min"))
+      .drop("__h", "__min")
   }
 
   /** Word n-gram shingles of a token array. `toks` is referenced from

@@ -185,15 +185,26 @@ object CorpusPipeline {
       .join(qualFlag.filter(col("pass_quality")).select(id),
         Seq(idCol), "left_semi")
 
-    // 2. exact dedupe on whitespace-normalized content digest
-    val exactFlag = q
+    // 2. exact dedupe on whitespace-normalized content digest.
+    // groupBy-min + null-safe join, not a window: a hot verbatim
+    // digest (boilerplate duplicated millions of times — the normal
+    // web-corpus case) would funnel every copy into one window task;
+    // the fold gets map-side partial aggregation and the join back
+    // is AQE-skew-splittable. <=> preserves the window's
+    // null-grouping semantics bit-for-bit (a custom quality rule may
+    // admit null text; those rows grouped together before and still
+    // do).
+    val digested = q
       .withColumn("__h", Dedup.contentDigestOf(col(textCol)))
-      .select(id,
-        (id =!= min(id).over(Window.partitionBy(col("__h"))))
-          .as("is_exact_dup"))
+      .select(id, col("__h"))
+    val exactFlag = digested
+      .join(digested.groupBy(col("__h")).agg(min(id).as("__min"))
+          .withColumnRenamed("__h", "__h2"),
+        col("__h") <=> col("__h2"))
+      .select(id, (id =!= col("__min")).as("is_exact_dup"))
       // each flag frame is consumed TWICE (the next stage's filter +
       // the final assembly joins): materialize the tiny id+bool frame
-      // so the md5 window / LSH pipeline / decontaminate scan behind
+      // so the digest fold / LSH pipeline / decontaminate scan behind
       // it runs once, not once per consumer. localCheckpoint (not
       // persist) because CacheManager pins persisted plans until an
       // explicit unpersist nobody here can safely issue — checkpoint
@@ -337,12 +348,17 @@ object CorpusPipeline {
             // joined by single spaces, so a newline can never occur
             // inside one — the join is collision-free by construction
             // (a space separator would conflate {"a b","c"}/{"a","b c"})
-            val withRep = pairSource.withColumn("__sd",
+            // groupBy-min + join, not a window: this branch runs
+            // precisely when the monitor saw HOT clone groups, and a
+            // window would funnel each group into one task (the
+            // collapseIdenticalCodes rewrite, applied here)
+            val keyed2 = pairSource.withColumn("__sd",
                 md5(concat_ws("\n", array_sort(array_distinct(
                   Dedup.shingles(split(trim(col(textCol)), "\\s+"),
                     shingleN))))))
-              .withColumn("__rep",
-                min(sid).over(Window.partitionBy(col("__sd"))))
+            val withRep = keyed2
+              .join(keyed2.groupBy(col("__sd")).agg(min(sid).as("__rep")),
+                Seq("__sd"))
               .localCheckpoint()
             val edges = withRep.filter(sid =!= col("__rep"))
               .select(col("__rep").as("id_a"), sid.as("id_b"))
@@ -416,8 +432,11 @@ object CorpusPipeline {
         val (joinVecs, preEdges, collapsed) =
           if (monitorRows == 0L) (vecs, None, 0L)
           else {
-            val withRep = vecs.withColumn("__rep",
-                min(col("id")).over(Window.partitionBy(col("vec"))))
+            // groupBy-min + join on the vector value itself, not a
+            // window — same hot-group reasoning as the token-set arm
+            val withRep = vecs
+              .join(vecs.groupBy(col("vec")).agg(min(col("id")).as("__rep")),
+                Seq("vec"))
               .localCheckpoint()
             val edges = withRep.filter(col("id") =!= col("__rep"))
               .select(col("__rep").as("id_a"), col("id").as("id_b"))
@@ -499,10 +518,14 @@ object CorpusPipeline {
           else {
             // collapse key straight from the checkpointed shingle
             // arrays — no re-tokenization ("\n" separator: see above)
-            val withRep = sh.withColumn("__sd",
+            // groupBy-min + join, not a window: see the ExactTokens
+            // arm's hot-clone-group note
+            val keyed3 = sh.withColumn("__sd",
                 md5(concat_ws("\n", array_sort(col("sh")))))
-              .withColumn("__rep",
-                min(col("id")).over(Window.partitionBy(col("__sd"))))
+            val withRep = keyed3
+              .join(keyed3.groupBy(col("__sd"))
+                  .agg(min(col("id")).as("__rep")),
+                Seq("__sd"))
               .localCheckpoint()
             val reps = withRep.filter(col("id") === col("__rep"))
               .select(col("id"), col("sh"))
@@ -756,13 +779,19 @@ object CorpusPipeline {
     val corpusHits = digested
       .join(corpusDigests.select(col("digest")), Seq("digest"), "left_semi")
       .select(id, lit(true).as("__chit"))
-    val wDigest = Window.partitionBy(col("digest")).orderBy(id)
+    // keeper verdict via groupBy-min + null-safe join, not a
+    // row_number window (hot verbatim digests — exactByContent's
+    // note; ids unique so id != min(id) is exactly rank != 1, and
+    // <=> keeps the window's null-digest grouping bit-for-bit)
     val exactFlags = digested
       .join(corpusHits, Seq(idCol), "left")
+      .join(digested.groupBy(col("digest")).agg(min(id).as("__dmin"))
+          .withColumnRenamed("digest", "__d2"),
+        col("digest") <=> col("__d2"))
       .withColumn("is_corpus_exact_dup", coalesce(col("__chit"), lit(false)))
       .withColumn("is_batch_exact_dup",
         when(col("is_corpus_exact_dup"), lit(null))
-          .otherwise(row_number().over(wDigest) =!= 1))
+          .otherwise(id =!= col("__dmin")))
       .select(id, col("is_corpus_exact_dup"), col("is_batch_exact_dup"))
       .localCheckpoint()
     val afterExact = batch.join(
