@@ -28,20 +28,34 @@ object Dedup {
     * Null text is an upstream-extraction question for the quality
     * gate, never this operator's to answer by data loss. */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // groupBy-min + join, NOT a keeper window: a verbatim-duplicated
-    // boilerplate page with millions of copies is the NORMAL case in
-    // a web corpus, and row_number().over(partitionBy(__h)) funnels
-    // every copy into one task. The fold reaches the exchange as one
-    // row per digest per map partition (partial agg) and the join
-    // back is AQE-skew-splittable — collapseIdenticalCodes' rewrite,
-    // applied to the keeper face (ids are unique by contract, so
-    // id == min(id) is exactly rank 1).
-    val digested = df.withColumn("__h", contentDigestOf(col(textCol)))
-    val minh = digested.filter(col("__h").isNotNull)
-      .groupBy(col("__h")).agg(min(col(idCol)).as("__min"))
-    digested.join(minh, Seq("__h"), "left")
-      .filter(col("__h").isNull || col(idCol) === col("__min"))
-      .drop("__h", "__min")
+    // keep-list + id-semi-join, NOT a keeper window and NOT a min_by
+    // row fold — all three were MEASURED (HotKeyBenchJob, 20M docs
+    // with a 5M-copy verbatim boilerplate page):
+    //  - the window funnels every hot copy into ONE task's sort —
+    //    fastest locally while the hot partition fits a task (8.2 s),
+    //    a guaranteed straggler/spill-bomb when it doesn't (billions
+    //    of copies of one template at corpus scale);
+    //  - min_by(struct(row), id) has the perfect shuffle shape (<=
+    //    one candidate row per digest per map partition) but its
+    //    struct-typed aggregation buffer CANNOT SPILL —
+    //    AGGREGATE_OUT_OF_MEMORY at 40M rows where both other forms
+    //    survive, which disqualifies it outright;
+    //  - this form is the one where EVERY operator spills and NO
+    //    shuffle is keyed by a skewable value: the keep-list side
+    //    moves (id, 16-byte digest) rows that map-side partial
+    //    aggregation collapses per digest per partition, and the only
+    //    full-row shuffle is the semi join on ID — uniformly
+    //    distributed, duplication cannot skew it. ~2x the window's
+    //    local constant on a sub-second query; immune to the corpus
+    //    that kills the window. (ids unique by contract: id ==
+    //    min(id) is exactly rank 1.)
+    val digested = df.select(col(idCol),
+      contentDigestOf(col(textCol)).as("__h"))
+    val keepIds = digested.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+      .unionByName(digested.filter(col("__h").isNull).select(col(idCol)))
+    df.join(keepIds, Seq(idCol), "left_semi")
   }
 
   /** THE content digest — one definition for every exact-dedup face
@@ -75,13 +89,14 @@ object Dedup {
       indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
     // null digests (null text) pass through like exactByContent —
     // they survive the anti-join (null never equals) and must not
-    // collapse into one row. groupBy-min keeper, not a window: see
-    // exactByContent's hot-digest note.
-    val minh = fresh.filter(col("__h").isNotNull)
-      .groupBy(col("__h")).agg(min(col(idCol)).as("__min"))
-    fresh.join(minh, Seq("__h"), "left")
-      .filter(col("__h").isNull || col(idCol) === col("__min"))
-      .drop("__h", "__min")
+    // collapse into one row. Keep-list + id-semi-join keeper, not a
+    // window and not min_by: see exactByContent's measured trichotomy.
+    val keepIds = fresh.filter(col("__h").isNotNull)
+      .select(col(idCol), col("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+      .unionByName(fresh.filter(col("__h").isNull).select(col(idCol)))
+    fresh.join(keepIds, Seq(idCol), "left_semi").drop("__h")
   }
 
   /** Word n-gram shingles of a token array. `toks` is referenced from
