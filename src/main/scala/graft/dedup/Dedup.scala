@@ -49,8 +49,14 @@ object Dedup {
     //    local constant on a sub-second query; immune to the corpus
     //    that kills the window. (ids unique by contract: id ==
     //    min(id) is exactly rank 1.)
-    val digested = df.select(col(idCol),
-      contentDigestOf(col(textCol)).as("__h"))
+    // lazyCheckpoint pins ONE digest snapshot for the keep-list's
+    // three references (two filter branches + indirectly the semi
+    // join): without it the digest pass runs thrice and a
+    // non-deterministic input could hand the branches different row
+    // sets — keepIds missing ids the outer scan has, silently
+    // deleting unique rows (connectedComponents' snapshot rule).
+    val digested = graft.Checkpoints.lazyCheckpoint(
+      df.select(col(idCol), contentDigestOf(col(textCol)).as("__h")))
     val keepIds = digested.filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
@@ -85,8 +91,11 @@ object Dedup {
       idCol: String,
       textCol: String): DataFrame = {
     val digested = batch.withColumn("__h", contentDigestOf(col(textCol)))
-    val fresh = digested.join(
-      indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
+    // lazyCheckpoint: `fresh` is referenced by both keep-list
+    // branches AND the semi join — one corpus-index probe, one
+    // snapshot (see exactByContent's note)
+    val fresh = graft.Checkpoints.lazyCheckpoint(digested.join(
+      indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti"))
     // null digests (null text) pass through like exactByContent —
     // they survive the anti-join (null never equals) and must not
     // collapse into one row. Keep-list + id-semi-join keeper, not a

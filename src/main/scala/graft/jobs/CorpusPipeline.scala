@@ -186,22 +186,26 @@ object CorpusPipeline {
         Seq(idCol), "left_semi")
 
     // 2. exact dedupe on whitespace-normalized content digest.
-    // groupBy-min + null-safe join, not a window: a hot verbatim
-    // digest (boilerplate duplicated millions of times — the normal
+    // groupBy-min + join, not a window: a hot verbatim digest
+    // (boilerplate duplicated millions of times — the normal
     // web-corpus case) would funnel every copy into one window task;
     // the fold gets map-side partial aggregation and the join back
-    // is AQE-skew-splittable. <=> preserves the window's
-    // null-grouping semantics bit-for-bit (a custom quality rule may
-    // admit null text; those rows grouped together before and still
-    // do).
-    val digested = q
+    // is AQE-skew-splittable.
+    val digested = graft.Checkpoints.lazyCheckpoint(q
       .withColumn("__h", Dedup.contentDigestOf(col(textCol)))
-      .select(id, col("__h"))
+      .select(id, col("__h")))
     val exactFlag = digested
-      .join(digested.groupBy(col("__h")).agg(min(id).as("__min"))
+      .join(digested.filter(col("__h").isNotNull)
+          .groupBy(col("__h")).agg(min(id).as("__min"))
           .withColumnRenamed("__h", "__h2"),
-        col("__h") <=> col("__h2"))
-      .select(id, (id =!= col("__min")).as("is_exact_dup"))
+        col("__h") === col("__h2"), "left")
+      // null digest (null text a custom quality rule admitted) ->
+      // NOT a dup: two empty extractions are not copies of each
+      // other — Dedup.exactByContent's documented policy, now ONE
+      // policy across the digest family (the pre-r14 window grouped
+      // nulls and silently flagged all but one)
+      .select(id, coalesce(id =!= col("__min"), lit(false))
+        .as("is_exact_dup"))
       // each flag frame is consumed TWICE (the next stage's filter +
       // the final assembly joins): materialize the tiny id+bool frame
       // so the digest fold / LSH pipeline / decontaminate scan behind
@@ -352,10 +356,15 @@ object CorpusPipeline {
             // precisely when the monitor saw HOT clone groups, and a
             // window would funnel each group into one task (the
             // collapseIdenticalCodes rewrite, applied here)
-            val keyed2 = pairSource.withColumn("__sd",
+            // lazyCheckpoint keyed2: the shingle digest (the most
+            // expensive row-local expression in the branch) must
+            // compute once, not on both join sides — the sh-frame
+            // discipline of the TokenLsh arm
+            val keyed2 = graft.Checkpoints.lazyCheckpoint(
+              pairSource.withColumn("__sd",
                 md5(concat_ws("\n", array_sort(array_distinct(
                   Dedup.shingles(split(trim(col(textCol)), "\\s+"),
-                    shingleN))))))
+                    shingleN)))))))
             val withRep = keyed2
               .join(keyed2.groupBy(col("__sd")).agg(min(sid).as("__rep")),
                 Seq("__sd"))
@@ -773,25 +782,30 @@ object CorpusPipeline {
       withPostings: Boolean = false): Admission = {
     val id = col(idCol)
 
-    // exact stage: one digest pass over the batch serves both verdicts
-    val digested = Dedup.contentDigests(batch, idCol, textCol)
-      .withColumnRenamed("id", idCol)
+    // exact stage: one digest pass over the batch serves both
+    // verdicts — lazyCheckpoint pins it (corpusHits + the flag join's
+    // two sides would otherwise re-digest the batch thrice)
+    val digested = graft.Checkpoints.lazyCheckpoint(
+      Dedup.contentDigests(batch, idCol, textCol)
+        .withColumnRenamed("id", idCol))
     val corpusHits = digested
       .join(corpusDigests.select(col("digest")), Seq("digest"), "left_semi")
       .select(id, lit(true).as("__chit"))
-    // keeper verdict via groupBy-min + null-safe join, not a
-    // row_number window (hot verbatim digests — exactByContent's
-    // note; ids unique so id != min(id) is exactly rank != 1, and
-    // <=> keeps the window's null-digest grouping bit-for-bit)
+    // keeper verdict via groupBy-min + join, not a row_number window
+    // (hot verbatim digests — exactByContent's note; ids unique so
+    // id != min(id) is exactly rank != 1). Null digests are NOT
+    // grouped: two null-text docs are not copies of each other —
+    // exactByContent's policy, one policy across the digest family.
     val exactFlags = digested
       .join(corpusHits, Seq(idCol), "left")
-      .join(digested.groupBy(col("digest")).agg(min(id).as("__dmin"))
+      .join(digested.filter(col("digest").isNotNull)
+          .groupBy(col("digest")).agg(min(id).as("__dmin"))
           .withColumnRenamed("digest", "__d2"),
-        col("digest") <=> col("__d2"))
+        col("digest") === col("__d2"), "left")
       .withColumn("is_corpus_exact_dup", coalesce(col("__chit"), lit(false)))
       .withColumn("is_batch_exact_dup",
         when(col("is_corpus_exact_dup"), lit(null))
-          .otherwise(id =!= col("__dmin")))
+          .otherwise(coalesce(id =!= col("__dmin"), lit(false))))
       .select(id, col("is_corpus_exact_dup"), col("is_batch_exact_dup"))
       .localCheckpoint()
     val afterExact = batch.join(

@@ -38,6 +38,8 @@ object MediaAdmitBenchJob {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filterNot(a => a.forall(_.isDigit))
       .getOrElse("media")
+    require(mode == "media" || mode == "video",
+      s"mode must be media|video, got '$mode'")
     val numArgs = args.dropWhile(a => !a.forall(_.isDigit))
     val spark = Sessions.local("graft-media-admit-bench")
     if (mode == "video") runVideo(spark, numArgs)

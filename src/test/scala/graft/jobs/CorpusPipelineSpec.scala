@@ -62,6 +62,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(m(7L) == ((T, F, F, F)))
   }
 
+  test("null-text docs admitted by a custom quality rule are NOT exact " +
+      "dups of each other: one null policy across the digest family " +
+      "(exactByContent's contract, pinned here for annotate)") {
+    val withNulls = Seq(
+        (1L, cleanText("alpha")),
+        (2L, null.asInstanceOf[String]),
+        (3L, null.asInstanceOf[String]),
+        (4L, cleanText("alpha"))) // genuine verbatim dup of 1
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, cleanText("bench"))).toDF("doc_id", "text")
+    val ann = CorpusPipeline.annotate(withNulls, "doc_id", "text",
+        bench, quality = _ => lit(true)) // admit everything, nulls too
+      .select(col("doc_id"), col("is_exact_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!ann(2L) && !ann(3L),
+      s"two empty extractions are not copies of each other: $ann")
+    assert(!ann(1L) && ann(4L),
+      s"the genuine verbatim pair must still keep min-id: $ann")
+  }
+
   test("PairSource.ExactTokens routes pair generation through the prefix " +
       "similarity join and reproduces every planted verdict") {
     val exact = CorpusPipeline.annotate(
