@@ -26,7 +26,18 @@ object Dedup {
     * guard, every null-text row but one would be silently deleted as
     * a "duplicate" of rows whose content is not equal to anything.
     * Null text is an upstream-extraction question for the quality
-    * gate, never this operator's to answer by data loss. */
+    * gate, never this operator's to answer by data loss.
+    *
+    * PRECONDITION — `idCol` non-null and unique. The keeper is a
+    * keep-list joined back BY ID, so a null id would never match the
+    * semi join (the row silently vanishes) and a repeated id keeps
+    * EVERY row sharing the keeper's id, where the pre-r14 window kept
+    * exactly one row per partition regardless. Null ids are refused
+    * loudly at execution time (the guard rides the digest pass, no
+    * extra job — connectedComponents' pattern); uniqueness is not
+    * cheaply checkable and stays the caller's contract — the
+    * pipeline's hash-surrogate ids and the testdata's generated keys
+    * both satisfy it by construction. */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // keep-list + id-semi-join, NOT a keeper window and NOT a min_by
     // row fold — all three were MEASURED (HotKeyBenchJob, 20M docs
@@ -56,13 +67,26 @@ object Dedup {
     // sets — keepIds missing ids the outer scan has, silently
     // deleting unique rows (connectedComponents' snapshot rule).
     val digested = graft.Checkpoints.lazyCheckpoint(
-      df.select(col(idCol), contentDigestOf(col(textCol)).as("__h")))
+      df.select(nonNullId(col(idCol), idCol).as(idCol),
+        contentDigestOf(col(textCol)).as("__h")))
     val keepIds = digested.filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
       .unionByName(digested.filter(col("__h").isNull).select(col(idCol)))
     df.join(keepIds, Seq(idCol), "left_semi")
   }
+
+  /** Execution-time null-id refusal for the exact-dedup keeper faces:
+    * the keep-list joins back BY ID, so a null id would silently
+    * vanish in the semi join — the same lossy failure class
+    * connectedComponents refuses. Rides the digest projection, no
+    * extra job. */
+  private def nonNullId(c: Column, name: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"exact dedup: null id in '$name' — a null id never matches " +
+        "the keeper semi-join and its row would silently vanish; " +
+        "repair or surrogate the id column upstream")))
+      .otherwise(c)
 
   /** THE content digest — one definition for every exact-dedup face
     * (keeper window, persisted index, incremental batch probe): the
@@ -84,28 +108,38 @@ object Dedup {
     * corpus), then keep one row per digest WITHIN the batch (smallest
     * id). Only digests shuffle — 32 bytes/row, never text; the index
     * side is already digest-only, so a 100 TB corpus's exact-dedup
-    * state is a few GB of digests, not the corpus. */
+    * state is a few GB of digests, not the corpus.
+    *
+    * Same id precondition as [[exactByContent]] (non-null refused
+    * loudly; unique by caller contract). */
   def incrementalExactDedup(
       indexDigests: DataFrame,
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val digested = batch.withColumn("__h", contentDigestOf(col(textCol)))
-    // lazyCheckpoint: `fresh` is referenced by both keep-list
-    // branches AND the semi join — one corpus-index probe, one
-    // snapshot (see exactByContent's note)
-    val fresh = graft.Checkpoints.lazyCheckpoint(digested.join(
-      indexDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti"))
+    // NARROW snapshot — (id, 16-byte digest) only, exactByContent's
+    // discipline: the snapshot is shared by both keep-list branches,
+    // so checkpointing the full batch rows would land every
+    // surviving document's TEXT in executor storage per call (the
+    // r14 advice finding). The output side instead re-reads the raw
+    // batch once through the id semi join — the same second scan
+    // exactByContent pays, and the only full-row work in the plan.
+    // One corpus-index probe total: the anti-join runs inside the
+    // snapshot, never on the output side.
+    val fresh = graft.Checkpoints.lazyCheckpoint(
+      batch.select(nonNullId(col(idCol), idCol).as(idCol),
+          contentDigestOf(col(textCol)).as("__h"))
+        .join(indexDigests.select(col("digest").as("__h")),
+          Seq("__h"), "left_anti"))
     // null digests (null text) pass through like exactByContent —
     // they survive the anti-join (null never equals) and must not
     // collapse into one row. Keep-list + id-semi-join keeper, not a
     // window and not min_by: see exactByContent's measured trichotomy.
     val keepIds = fresh.filter(col("__h").isNotNull)
-      .select(col(idCol), col("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
       .unionByName(fresh.filter(col("__h").isNull).select(col(idCol)))
-    fresh.join(keepIds, Seq(idCol), "left_semi").drop("__h")
+    batch.join(keepIds, Seq(idCol), "left_semi")
   }
 
   /** Word n-gram shingles of a token array. `toks` is referenced from

@@ -728,6 +728,98 @@ object AdmissionIndexes {
     appendHammingDelta(adm.newHamming, adm.hammingParams, table,
       buckets, maxFilesPerBucket)
 
+  /** ONE CALL per staged multimodal batch — the persisted-estate face
+    * of [[CorpusPipeline.admitMultimodalBatch]], gluing the whole
+    * lifecycle the reference runs per batch (§3.3): load every index
+    * the `prefix` estate has, run the fused media-first/text-last
+    * admission, append every delta, return the verdicts.
+    *
+    * Index convention under `prefix` (the text half is
+    * [[bootstrap]]'s): `{prefix}_digests` + `{prefix}_bands`
+    * (required), `{prefix}_windows` / `{prefix}_postings` +
+    * `{prefix}_stats` (optional — probed and maintained when
+    * present), and per-modality hamming indexes `{prefix}_image` /
+    * `{prefix}_audio` / `{prefix}_video` — each optional: a modality
+    * whose code frame arrives with NO existing table probes an empty
+    * index (nothing to collide with) and the append CREATES the
+    * table stamped at this call's operating point, so the first
+    * media-carrying batch bootstraps its own index and the second
+    * batch dedupes against the first.
+    *
+    * A postings append leaves `{prefix}_bounds` stale-by-stamp unless
+    * `rebuildBounds` — [[appendDeltas]]' contract, unchanged. */
+  def runMultimodalBatch(
+      corpus: DataFrame,
+      batch: CorpusPipeline.MultimodalBatch,
+      prefix: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000,
+      imageParams: (Int, Int) = (3, 56),
+      audioParams: (Int, Int) = (6, 32),
+      videoParams: (Int, Int) = (6, 56),
+      videoMinMatchedPairs: Long = 1L,
+      skewGuard: Boolean = true,
+      embedding: Option[CorpusPipeline.EmbeddingAdmission] = None,
+      stripWinLen: Int = 10,
+      rebuildBounds: Boolean = false,
+      maxFilesPerBucket: Option[Int] = None)
+      : CorpusPipeline.MultimodalAdmission = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import graft.dedup.Dedup
+    requirePlainName(prefix)
+    val spark = batch.docs.sparkSession
+    val corpusDigests = load(spark, s"${prefix}_digests")
+    val corpusBands = loadBandIndex(spark, s"${prefix}_bands",
+      shingleN, bands, rowsPerBand)
+    // per-modality face: the stored index when it exists (stamp
+    // verified), else an EMPTY index at the face's operating point —
+    // schema derived from the batch's own code frame so the probe
+    // join types line up (the append then creates + stamps the table)
+    def face(table: String, codes: DataFrame, keyed: DataFrame => DataFrame,
+        params: (Int, Int)): CorpusPipeline.HammingFace = {
+      val (mh, b) = params
+      val idx =
+        if (spark.catalog.tableExists(table))
+          loadHammingIndex(spark, table, mh, b)
+        else Dedup.hammingBandRows(keyed(codes).filter(lit(false)), mh, b)
+      CorpusPipeline.HammingFace(idx, mh, b)
+    }
+    val imageFace = batch.imageCodes.map(c => face(s"${prefix}_image", c,
+      _.select(col(idCol).as("id"), col("code")), imageParams))
+    val audioFace = batch.audioCodes.map(c => face(s"${prefix}_audio", c,
+      _.select(col(idCol).as("id"), col("code")), audioParams))
+    val videoFace = batch.videoFrames.map(v => face(s"${prefix}_video", v,
+      _.select(struct(col("media_id"), col("frame_no")).as("id"),
+        col("code")), videoParams))
+    val stripWindows =
+      if (spark.catalog.tableExists(s"${prefix}_windows"))
+        Some(load(spark, s"${prefix}_windows"))
+      else None
+    val withPostings = spark.catalog.tableExists(s"${prefix}_postings")
+
+    val adm = CorpusPipeline.admitMultimodalBatch(
+      corpus, corpusDigests, corpusBands, batch, idCol, textCol,
+      imageFace, audioFace, videoFace, videoMinMatchedPairs,
+      shingleN, bands, rowsPerBand, threshold, maxBucket, skewGuard,
+      embedding, stripWindows, stripWinLen, withPostings)
+
+    appendDeltas(adm.text, prefix, buckets, rebuildBounds,
+      maxFilesPerBucket)
+    adm.image.foreach(m => appendMediaDeltas(m, s"${prefix}_image",
+      buckets, maxFilesPerBucket))
+    adm.audio.foreach(m => appendMediaDeltas(m, s"${prefix}_audio",
+      buckets, maxFilesPerBucket))
+    adm.video.foreach(v => appendVideoDeltas(v, s"${prefix}_video",
+      buckets, maxFilesPerBucket))
+    adm
+  }
+
   /** Trigger the crash-safe [[compact]] when (and only when) the
     * [[fragmentation]] signal crosses `maxFilesPerBucket` — the
     * threshold face of the README operations recipe ("compact when

@@ -983,10 +983,20 @@ object CorpusPipeline {
       bits: Int = 56,
       skewGuard: Boolean = true): MediaAdmission = {
     val id = col(idCol)
+    // Pin ONE snapshot of the batch input: the frame is consumed by
+    // four independent plans (probe, the corpus anti-join, annotate,
+    // admitted), and a caller's code column carries REAL DECODE
+    // lineage (ImageIO / GIF frame walk / PCM contour mapPartitions)
+    // — unpinned, every consumer re-decodes the whole batch, and a
+    // non-deterministic batch source could hand the verdict joins a
+    // different row set than the probe froze (the dc2196f divergence
+    // class). Pass (id, code) — the verdict never needs payload
+    // bytes, and whatever columns ride along are stored per consumer.
+    val batch = graft.Checkpoints.lazyCheckpoint(batchCodes)
     // corpus verdict: probe the persisted index with the batch's
     // bands only (null codes can never verify — excluded from the
     // probe, admitted below)
-    val probe = batchCodes.filter(col(codeCol).isNotNull)
+    val probe = batch.filter(col(codeCol).isNotNull)
       .select(id.as("id"), col(codeCol).as("code"))
     // Checkpoints.iter, NOT persist: the verdict frame is shared by
     // the anti-join below and the final annotate join; the measured
@@ -999,7 +1009,7 @@ object CorpusPipeline {
           maxHamming, maxBucket, bits)
         .select(col("id_new").as(idCol)).distinct()
         .withColumn("__cnear", lit(true)))
-    val afterCorpus = batchCodes.join(corpusIds.select(id), Seq(idCol),
+    val afterCorpus = batch.join(corpusIds.select(id), Seq(idCol),
       "left_anti")
     // batch-internal verdict: the shared surrogate/CC/keeper kernel
     // via the Fingerprint pair source (codeCol stands in for textCol
@@ -1013,7 +1023,7 @@ object CorpusPipeline {
         maxHamming, bits),
       skewGuard)
     val batchFlag = graft.Checkpoints.iter(batchFlag0)
-    val annotated = batchCodes
+    val annotated = batch
       .join(corpusIds, Seq(idCol), "left")
       .join(batchFlag.withColumnRenamed("is_near_dup", "__bnear"),
         Seq(idCol), "left")
@@ -1024,7 +1034,7 @@ object CorpusPipeline {
       .drop("__cnear", "__bnear")
     val admitted = annotated
       .filter(!col("is_corpus_phash_dup") && !col("is_batch_phash_dup"))
-      .select(batchCodes.columns.map(col): _*)
+      .select(batch.columns.map(col): _*)
     MediaAdmission(
       annotated,
       admitted,
@@ -1059,7 +1069,13 @@ object CorpusPipeline {
     *     verified frame pairs — the pairwise verdict of
     *     videoNearDupPairs/incrementalVideoPairs (at
     *     minMatchedPairs=1 it coincides with the streaming face's
-    *     matched_frames >= 1);
+    *     matched_frames >= 1) — OR the video has a hamming-0
+    *     self-match (its own frames are already indexed). The replay
+    *     gate is deliberately INDEPENDENT of `minMatchedPairs`: the
+    *     pairwise threshold alone would re-admit a replayed video
+    *     with fewer frames than `minMatchedPairs` and append
+    *     duplicate index rows per retry (at minMatchedPairs=1 the
+    *     gate is a no-op — a self-match already clears it);
     *   - batch_matched_frames / is_batch_dup (null when the corpus
     *     verdict already fired): among corpus survivors, distinct
     *     frames in ANY verified cross-video batch match, and the
@@ -1104,7 +1120,17 @@ object CorpusPipeline {
       minMatchedPairs: Long = 1L,
       skewGuard: Boolean = true): VideoAdmission = {
     import graft.multimodal.Multimodal
-    val probe = batchFrameCodes.filter(col("code").isNotNull)
+    // Pin ONE snapshot of the batch frame codes — admitMediaBatch's
+    // discipline: the frame feeds five independent plans (probe ->
+    // matches, survFrames' anti-join, frames_seen, annotate's
+    // distinct, the admitted semi join), and a real caller's code
+    // column carries GIF-decode mapPartitions lineage that would
+    // otherwise re-decode the whole batch per consumer; a
+    // non-deterministic source could also hand frames_seen/admitted
+    // a different row set than the verdict joins froze (the dc2196f
+    // divergence class).
+    val batch = graft.Checkpoints.lazyCheckpoint(batchFrameCodes)
+    val probe = batch.filter(col("code").isNotNull)
     // corpus frame matches: shared by three rollups below (frame
     // stats, pairwise verdict, survivor anti-join) — one
     // materialization, admitMediaBatch's measured checkpoint policy
@@ -1128,6 +1154,14 @@ object CorpusPipeline {
       .groupBy(col("id_new.media_id").as("media_id"))
       .agg(countDistinct(col("id_new.frame_no")).as("matched_frames"),
         min(col("hamming")).as("min_hamming"))
+    // replay gate INDEPENDENT of minMatchedPairs: a hamming-0
+    // self-match (this video's own frames already indexed) refuses
+    // unconditionally — with only the pairwise threshold, a video
+    // with fewer frames than minMatchedPairs could be re-admitted on
+    // replay and append duplicate index rows every retry, the exact
+    // hole the no-same-video-drop note above exists to close. At
+    // minMatchedPairs=1 (the oracle point) this is a no-op: any
+    // self-match already clears the threshold.
     val corpusDup = matches
       .groupBy(col("id_new.media_id").as("media_id"),
         col("id_old.media_id").as("video_old"))
@@ -1135,14 +1169,19 @@ object CorpusPipeline {
       .groupBy(col("media_id"))
       .agg(max(col("mp")).as("best_mp"))
       .filter(col("best_mp") >= minMatchedPairs)
+      .select(col("media_id"))
+      .unionByName(matches
+        .filter(col("id_new.media_id") === col("id_old.media_id") &&
+          col("hamming") === 0)
+        .select(col("id_new.media_id").as("media_id")))
+      .distinct()
       .select(col("media_id"), lit(true).as("__cdup"))
     // batch-internal verdict over corpus survivors: the SAME
     // frame-pair kernel as videoNearDupPairs (one shared definition).
     // lazyCheckpoint: the frame is referenced ~4x downstream (monitor,
     // capBuckets size aggregate, both sides of the banding self-join)
-    // and each reference would otherwise re-run the anti-join AND the
-    // caller's batchFrameCodes derivation (q_video_admission's is a
-    // mapPartitions md5 stub the caller cannot pre-materialize here)
+    // and each reference would otherwise re-run the anti-join (the
+    // batch snapshot above already stops the decode re-run)
     val survFrames = graft.Checkpoints.lazyCheckpoint(
       probe.join(corpusDup.select(col("media_id")),
         Seq("media_id"), "left_anti"))
@@ -1175,7 +1214,7 @@ object CorpusPipeline {
       .agg(countDistinct(col("f")).as("batch_matched_frames"))
     val framesSeen = probe.groupBy(col("media_id"))
       .agg(countDistinct(col("frame_no")).as("frames_seen"))
-    val annotated = batchFrameCodes.select(col("media_id")).distinct()
+    val annotated = batch.select(col("media_id")).distinct()
       .join(framesSeen, Seq("media_id"), "left")
       .join(corpusFrameStats, Seq("media_id"), "left")
       .join(corpusDup, Seq("media_id"), "left")
@@ -1193,7 +1232,7 @@ object CorpusPipeline {
         when(col("is_corpus_dup"), lit(null).cast("boolean"))
           .otherwise(coalesce(col("__bdup"), lit(false)))
           .as("is_batch_dup"))
-    val admitted = batchFrameCodes.join(
+    val admitted = batch.join(
       annotated.filter(!col("is_corpus_dup") &&
           !coalesce(col("is_batch_dup"), lit(false)))
         .select(col("media_id")),
@@ -1210,6 +1249,155 @@ object CorpusPipeline {
         if (monitorRows == 0L) "direct" else "capped_hot_frames",
         s"skew_monitor_rows=$monitorRows")),
       hammingParams = Some((maxHamming, bits)))
+  }
+
+  /** One multimodal batch: the doc rows plus whatever per-modality
+    * CODE frames the caller's decoders produced. Image/audio code
+    * frames carry (idCol, code); video frames carry
+    * (media_id, frame_no, code) with media_id in the doc-id space
+    * (integral — the video verdict's connected components refuses
+    * otherwise). Docs absent from a code frame skip that face's
+    * verdict (no fingerprint evidence — the standing media policy). */
+  final case class MultimodalBatch(
+      docs: DataFrame,
+      imageCodes: Option[DataFrame] = None,
+      audioCodes: Option[DataFrame] = None,
+      videoFrames: Option[DataFrame] = None)
+
+  /** One persisted hamming index + the (maxHamming, bits) operating
+    * point it was built at (the stamp [[AdmissionIndexes
+    * .loadHammingIndex]] verifies). */
+  final case class HammingFace(
+      index: DataFrame, maxHamming: Int = 3, bits: Int = 56)
+
+  /** [[admitMultimodalBatch]]'s result: the per-face verdict frames
+    * (media faces annotated over the FULL batch; `text.annotated`
+    * over media-survivors — media-refused docs never reach the text
+    * stage, the same null-means-not-reached staging semantics as
+    * [[annotate]]), the COMBINED keep set (`admitted` — text's
+    * admitted rows, which by construction already passed every media
+    * face), and one decisions list across all faces. Media deltas
+    * (`image/audio/video .newHamming`) are GATED on the combined
+    * verdict — see [[admitMultimodalBatch]]. */
+  final case class MultimodalAdmission(
+      text: Admission,
+      image: Option[MediaAdmission],
+      audio: Option[MediaAdmission],
+      video: Option[VideoAdmission],
+      admitted: DataFrame,
+      decisions: Seq[StageDecision])
+
+  /** One-call MULTIMODAL batch admission — the fused lifecycle pass
+    * the reference schedules once per staged batch (SURVEY §3.3):
+    * image/audio fingerprint verdicts + the video frame verdict +
+    * text admission + every index delta, one decisions list, one
+    * combined keep set. A 100 TB multimodal corpus schedules ONE job
+    * per arriving batch, not four.
+    *
+    * Ordering is media-first, text-last, and it is load-bearing:
+    *
+    *   - the media faces run over CODE frames (a few dozen bytes per
+    *     row) on the FULL batch — cheap, and their annotated frames
+    *     keep full per-face evidence;
+    *   - text admission (the heavyweight: shingling, minhash, the
+    *     banded self-join) runs on MEDIA-SURVIVORS only, so a batch
+    *     heavy with re-posted media never pays text hashing for rows
+    *     that already lost;
+    *   - because text runs LAST, its admitted set IS the combined
+    *     verdict, so every text-derived delta (digests/bands/windows/
+    *     postings/stats/codes) is final-correct exactly as
+    *     [[admitBatch]] built it, and the media deltas are gated on
+    *     the final admitted ids HERE: a doc that admitted on pixels
+    *     but lost on text must not land its fingerprint in the corpus
+    *     index, or the index describes a corpus the doc is not in —
+    *     the next batch would read its near-dups as already-present
+    *     and silently drop them.
+    *
+    * Each face pair (codes + index) must arrive together — a code
+    * frame without its index is refused loudly rather than silently
+    * skipping dedup evidence. The per-face internals keep their own
+    * measured checkpoint discipline (each face pins its batch input
+    * once; admitBatch pins its digest pass), so the fused pass decodes
+    * and hashes each modality exactly once. */
+  def admitMultimodalBatch(
+      corpus: DataFrame,
+      corpusDigests: DataFrame,
+      corpusBands: DataFrame,
+      batch: MultimodalBatch,
+      idCol: String,
+      textCol: String,
+      imageFace: Option[HammingFace] = None,
+      audioFace: Option[HammingFace] = None,
+      videoFace: Option[HammingFace] = None,
+      videoMinMatchedPairs: Long = 1L,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000,
+      skewGuard: Boolean = true,
+      embedding: Option[EmbeddingAdmission] = None,
+      stripWindows: Option[DataFrame] = None,
+      stripWinLen: Int = 10,
+      withPostings: Boolean = false): MultimodalAdmission = {
+    require(batch.imageCodes.isDefined == imageFace.isDefined,
+      "image codes and the image index must arrive together")
+    require(batch.audioCodes.isDefined == audioFace.isDefined,
+      "audio codes and the audio index must arrive together")
+    require(batch.videoFrames.isDefined == videoFace.isDefined,
+      "video frames and the video frame index must arrive together")
+    val id = col(idCol)
+
+    val image = for (f <- imageFace; c <- batch.imageCodes) yield
+      admitMediaBatch(f.index, c, idCol, "code", f.maxHamming,
+        maxBucket, f.bits, skewGuard)
+    val audio = for (f <- audioFace; c <- batch.audioCodes) yield
+      admitMediaBatch(f.index, c, idCol, "code", f.maxHamming,
+        maxBucket, f.bits, skewGuard)
+    val video = for (f <- videoFace; vf <- batch.videoFrames) yield
+      admitVideoBatch(f.index, vf, f.maxHamming, maxBucket, f.bits,
+        videoMinMatchedPairs, skewGuard)
+
+    def mediaRefused(m: MediaAdmission): DataFrame =
+      m.annotated.filter(col("is_corpus_phash_dup") ||
+          coalesce(col("is_batch_phash_dup"), lit(false)))
+        .select(id)
+    val refused: Seq[DataFrame] =
+      image.map(mediaRefused).toSeq ++ audio.map(mediaRefused).toSeq ++
+        video.map(v => v.annotated.filter(col("is_corpus_dup") ||
+            coalesce(col("is_batch_dup"), lit(false)))
+          .select(col("media_id").as(idCol))).toSeq
+    val textBatch = refused.reduceOption(_ unionByName _) match {
+      case Some(r) => batch.docs.join(r.distinct(), Seq(idCol), "left_anti")
+      case None => batch.docs
+    }
+    val textAdm = admitBatch(corpus, corpusDigests, corpusBands,
+      textBatch, idCol, textCol, shingleN, bands, rowsPerBand,
+      threshold, maxBucket, embedding, stripWindows, stripWinLen,
+      withPostings)
+
+    // the combined keep set, shared by up to three delta gates below
+    val admittedIds = graft.Checkpoints.lazyCheckpoint(
+      textAdm.admitted.select(id.as("__keep_id")))
+    def gate(m: MediaAdmission): MediaAdmission = m.copy(
+      newHamming = m.newHamming.join(admittedIds,
+        col("id") === col("__keep_id"), "left_semi"))
+    def gateVideo(v: VideoAdmission): VideoAdmission = v.copy(
+      newHamming = v.newHamming.join(admittedIds,
+        col("id").getField("media_id") === col("__keep_id"), "left_semi"))
+    def tag(face: String, ds: Seq[StageDecision]): Seq[StageDecision] =
+      ds.map(d => d.copy(stage = s"${face}_${d.stage}"))
+
+    MultimodalAdmission(
+      textAdm,
+      image.map(gate),
+      audio.map(gate),
+      video.map(gateVideo),
+      textAdm.admitted,
+      tag("image", image.map(_.decisions).getOrElse(Nil)) ++
+        tag("audio", audio.map(_.decisions).getOrElse(Nil)) ++
+        video.map(_.decisions).getOrElse(Nil) ++
+        textAdm.decisions)
   }
 
   /** Write the pipeline's cleaned output in training-read order:

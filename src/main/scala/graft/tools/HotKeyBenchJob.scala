@@ -19,9 +19,12 @@ import graft.dedup.Dedup
   * copy into ONE task's sort; the fold reaches the exchange as one
   * row per digest per map partition.
   *
-  * Usage: runMain graft.tools.HotKeyBenchJob [n] [hotMod] — every
-  * id % hotMod == 0 row is a copy (default 4 -> 25%). Prints one
-  * JSON line.
+  * Usage: runMain graft.tools.HotKeyBenchJob [n] [hotMod]
+  * [fold|window|both] — every id % hotMod == 0 row is a copy
+  * (default 4 -> 25%); the third arg picks which arm(s) run and is
+  * how the matrix's single-arm failure points were measured (the
+  * window arm must run ALONE to attribute its OOM). Prints one JSON
+  * line per arm run.
   */
 object HotKeyBenchJob {
   def main(args: Array[String]): Unit = {

@@ -36,6 +36,25 @@ class DedupSpec extends SparkSpec {
       s"index hit dropped, null-text rows all kept, got $inc")
   }
 
+  test("exact-dedup faces refuse null ids loudly: a null id would " +
+      "never match the keeper semi-join and its row would silently " +
+      "vanish") {
+    val df = Seq((Some(1L), "a doc"), (None, "b doc"))
+      .toDF("id", "text")
+    val e = intercept[Exception] {
+      Dedup.exactByContent(df, "id", "text").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null id"),
+      s"expected the null-id refusal, got: ${e.getMessage}")
+    val idx = Dedup.contentDigests(
+      Seq((0L, "corpus doc")).toDF("id", "text"), "id", "text")
+    val e2 = intercept[Exception] {
+      Dedup.incrementalExactDedup(idx, df, "id", "text").collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("null id"),
+      s"expected the null-id refusal, got: ${e2.getMessage}")
+  }
+
   test("connectedComponents refuses null id VALUES loudly instead of " +
       "silently splitting clusters") {
     val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)))

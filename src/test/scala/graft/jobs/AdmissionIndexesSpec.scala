@@ -869,6 +869,20 @@ class AdmissionIndexesSpec extends SparkSpec {
         s"${rr.mkString(",")}")
     assert(admR.admitted.count() == 0 && admR.newHamming.count() == 0,
       "a replay must append NOTHING")
+    // ... and the refusal is INDEPENDENT of minMatchedPairs: with a
+    // pairwise threshold larger than the video's own frame count the
+    // pair verdict alone could never fire, but the hamming-0
+    // self-match gate still must (otherwise a replayed short video
+    // re-admits and appends duplicate index rows per retry)
+    val admR2 = CorpusPipeline.admitVideoBatch(
+      AdmissionIndexes.loadHammingIndex(spark, "video_idx", 3, 56),
+      replay, maxHamming = 3, bits = 56, minMatchedPairs = 10L)
+    val rr2 = admR2.annotated.collect()
+    assert(rr2.length == 1 && rr2(0).getBoolean(4),
+      s"replay must refuse even at minMatchedPairs > frame count: " +
+        s"${rr2.mkString(",")}")
+    assert(admR2.admitted.count() == 0 && admR2.newHamming.count() == 0,
+      "a replay at a high pair threshold must still append NOTHING")
 
     // a mismatched delta refuses at append (disjoint segment spaces)
     val badAdm = adm.copy(hammingParams = Some((5, 56)))

@@ -556,6 +556,48 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(annOff.filter(col("is_near_dup")).count() == 0)
   }
 
+  test("media admission decodes the batch EXACTLY ONCE: the pinned " +
+      "input snapshot feeds every consumer (probe, anti-join, " +
+      "annotate, admitted, delta) instead of re-running the decode " +
+      "lineage per plan") {
+    import graft.dedup.Dedup
+    def codeOf(i: Long): Long = (i * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    // stand-in decode seam: mapPartitions with a per-row counter —
+    // the same lineage shape as the real ImageIO/GIF/PCM decoders,
+    // whose cost is exactly what the snapshot exists to pay once
+    val imgDecodes = spark.sparkContext.longAccumulator("img_decodes")
+    val imgBatch = spark.range(40).as[Long].mapPartitions(_.map { i =>
+      imgDecodes.add(1L); (i, codeOf(i)) }).toDF("id", "code")
+    val imgIndex = Dedup.hammingBandRows(
+      Seq((500L, codeOf(3))).toDF("id", "code"), maxHamming = 3, bits = 56)
+    val adm = CorpusPipeline.admitMediaBatch(imgIndex, imgBatch,
+      maxHamming = 3, bits = 56)
+    assert(adm.annotated.count() == 40)
+    assert(adm.admitted.count() == 39) // row 3 is corpus-near
+    assert(adm.newHamming.count() == 39 * 4)
+    assert(imgDecodes.value == 40,
+      s"image batch decoded ${imgDecodes.value} row-passes for 40 " +
+        "rows — the admission must decode exactly once")
+
+    val vidDecodes = spark.sparkContext.longAccumulator("vid_decodes")
+    val vidBatch = spark.range(20).as[Long].mapPartitions(_.map { i =>
+      vidDecodes.add(1L); (i / 2, (i % 2).toInt, codeOf(100 + i)) })
+      .toDF("media_id", "frame_no", "code")
+    val vidIndex = Dedup.hammingBandRows(
+      Seq((900L, 0, codeOf(101))).toDF("media_id", "frame_no", "code")
+        .select(struct(col("media_id"), col("frame_no")).as("id"),
+          col("code")),
+      maxHamming = 3, bits = 56)
+    val vadm = CorpusPipeline.admitVideoBatch(vidIndex, vidBatch,
+      maxHamming = 3, bits = 56)
+    assert(vadm.annotated.count() == 10)
+    assert(vadm.admitted.count() == 18) // video 0 (frames 100,101) drops
+    assert(vadm.newHamming.count() > 0)
+    assert(vidDecodes.value == 20,
+      s"video batch decoded ${vidDecodes.value} row-passes for 20 " +
+        "frame rows — the admission must decode exactly once")
+  }
+
   test("stats aggregates every stage's drop count in one row") {
     val s = CorpusPipeline.stats(result.annotated).collect().head
     assert(s.getAs[Long]("input") == 7)

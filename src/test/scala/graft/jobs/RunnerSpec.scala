@@ -382,4 +382,109 @@ class RunnerSpec extends SparkSpec {
     assert(plain == Map("K1" -> "winner", "K2" -> "last"))
     assert(perturbed == plain)
   }
+
+  test("one-call multimodal admission: runMultimodalBatch runs every " +
+      "face off ONE staged batch, media indexes bootstrap on first " +
+      "append, deltas are gated on the COMBINED verdict, the next " +
+      "batch dedupes against every modality, and a full replay is " +
+      "refused wholesale with zero index growth") {
+    def code56(i: Long): Long = (i * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    def code32(i: Long): Long = (i * 0x9E3779B9L) & 0xFFFFFFFFL
+    def text(stem: String): String =
+      (0 until 12).map(w => s"$stem$w").mkString(" ")
+    val corpus = (1L to 4L).map(i => (i, text(s"corp$i")))
+      .toDF("doc_id", "text").localCheckpoint()
+    AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "mm_idx",
+      buckets = 2)
+
+    // batch 1 — every modality carries a planted story:
+    //   100: text EXACT dup of corpus doc 1 (and carries an image —
+    //        its code must be GATED out of the image index);
+    //   101: clean text + image code A (keeper);
+    //   102: clean text + image near A (batch-internal image dup);
+    //   103: clean text + audio code B;
+    //   104: clean text + a 2-frame video;
+    //   105: clean text, no media.
+    val codeA = code56(7)
+    val b1 = CorpusPipeline.MultimodalBatch(
+      docs = Seq((100L, text("corp1")), (101L, text("img")),
+        (102L, text("imgtwin")), (103L, text("aud")),
+        (104L, text("vid")), (105L, text("plain")))
+        .toDF("doc_id", "text"),
+      imageCodes = Some(Seq((100L, code56(50)), (101L, codeA),
+        (102L, codeA ^ 1L)).toDF("doc_id", "code")),
+      audioCodes = Some(Seq((103L, code32(9))).toDF("doc_id", "code")),
+      videoFrames = Some(Seq((104L, 0, code56(301)), (104L, 1, code56(302)))
+        .toDF("media_id", "frame_no", "code")))
+    val adm1 = AdmissionIndexes.runMultimodalBatch(corpus, b1, "mm_idx",
+      "doc_id", "text", buckets = 2)
+    assert(adm1.admitted.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(101L, 103L, 104L, 105L),
+      "100 must lose on text, 102 on its image; the rest admit")
+    val img1 = adm1.image.get.annotated.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Boolean]("is_corpus_phash_dup"),
+        Option(r.getAs[Any]("is_batch_phash_dup")))).toMap
+    assert(img1(102L)._2.contains(true), s"102 must flag batch dup: $img1")
+    assert(adm1.decisions.map(_.stage).toSet ==
+      Set("image_near_dup", "audio_near_dup", "video_near_dup", "near_dup"),
+      s"one decisions list across all faces: ${adm1.decisions}")
+    // media indexes bootstrapped by the append, GATED on the combined
+    // verdict: 100's image admitted on pixels but lost on text — its
+    // code must NOT be in the index (index drift)
+    val imgIds = AdmissionIndexes.load(spark, "mm_idx_image")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(imgIds == Set(101L),
+      s"image index must hold exactly the COMBINED-admitted code: $imgIds")
+    assert(AdmissionIndexes.load(spark, "mm_idx_audio")
+      .select("id").distinct().as[Long].collect().toSet == Set(103L))
+    assert(AdmissionIndexes.load(spark, "mm_idx_video")
+      .select(col("id.media_id")).distinct().as[Long].collect().toSet ==
+      Set(104L))
+
+    // batch 2 — dedupes against batch 1's appends in every modality:
+    //   200: image re-post of 101's indexed code;
+    //   201: text exact dup of 105 (landed via batch 1's digest delta);
+    //   202: video re-upload sharing 104's indexed frames;
+    //   203: clean text + fresh audio -> the only admit.
+    val b2 = CorpusPipeline.MultimodalBatch(
+      docs = Seq((200L, text("repost")), (201L, text("plain")),
+        (202L, text("vidtwin")), (203L, text("fresh")))
+        .toDF("doc_id", "text"),
+      imageCodes = Some(Seq((200L, codeA)).toDF("doc_id", "code")),
+      audioCodes = Some(Seq((203L, code32(77))).toDF("doc_id", "code")),
+      videoFrames = Some(Seq((202L, 0, code56(301)), (202L, 1, code56(302)))
+        .toDF("media_id", "frame_no", "code")))
+    val adm2 = AdmissionIndexes.runMultimodalBatch(corpus, b2, "mm_idx",
+      "doc_id", "text", buckets = 2)
+    assert(adm2.admitted.select("doc_id").as[Long].collect().toSeq ==
+      Seq(203L), "only 203 is fresh across every modality")
+    assert(adm2.image.get.annotated.filter(col("doc_id") === 200L)
+      .select("is_corpus_phash_dup").as[Boolean].head(),
+      "200 must read as an image corpus dup against batch 1's delta")
+    assert(adm2.video.get.annotated.filter(col("media_id") === 202L)
+      .select("is_corpus_dup").as[Boolean].head(),
+      "202 must read as a video corpus dup against batch 1's frames")
+    assert(adm2.text.annotated.filter(col("doc_id") === 201L)
+      .select("is_corpus_exact_dup").as[Boolean].head(),
+      "201 must read as a text corpus dup against batch 1's digest delta")
+
+    // full REPLAY of batch 1: every doc must refuse (each now lost or
+    // landed), and no index may grow a single row
+    def indexRows(): Map[String, Long] =
+      Seq("mm_idx_digests", "mm_idx_bands", "mm_idx_image",
+        "mm_idx_audio", "mm_idx_video")
+        .map(t => t -> AdmissionIndexes.load(spark, t).count()).toMap
+    val before = indexRows()
+    val admR = AdmissionIndexes.runMultimodalBatch(corpus, b1, "mm_idx",
+      "doc_id", "text", buckets = 2)
+    assert(admR.admitted.count() == 0,
+      "a wholesale replay must admit NOTHING")
+    assert(indexRows() == before,
+      "a wholesale replay must append NOTHING to any index")
+
+    Seq("mm_idx_digests", "mm_idx_bands", "mm_idx_windows",
+      "mm_idx_postings", "mm_idx_stats", "mm_idx_bounds",
+      "mm_idx_image", "mm_idx_audio", "mm_idx_video")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
