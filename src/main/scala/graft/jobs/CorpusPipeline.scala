@@ -1367,8 +1367,16 @@ object CorpusPipeline {
         video.map(v => v.annotated.filter(col("is_corpus_dup") ||
             coalesce(col("is_batch_dup"), lit(false)))
           .select(col("media_id").as(idCol))).toSeq
+    // pin the survivor frame ONCE: admitBatch references its batch
+    // input several times (digest pass, verdict joins, admitted
+    // projection), and each reference would otherwise re-run this
+    // anti-join AND the media faces' annotated join plans feeding it
+    // (measured 1.26x vs sum-of-parts unpinned; at-parts pinned) —
+    // plus the usual snapshot rule: the verdict joins must see the
+    // same survivor set the keep-list froze
     val textBatch = refused.reduceOption(_ unionByName _) match {
-      case Some(r) => batch.docs.join(r.distinct(), Seq(idCol), "left_anti")
+      case Some(r) => graft.Checkpoints.lazyCheckpoint(
+        batch.docs.join(r.distinct(), Seq(idCol), "left_anti"))
       case None => batch.docs
     }
     val textAdm = admitBatch(corpus, corpusDigests, corpusBands,

@@ -893,6 +893,78 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE video_idx")
   }
 
+  test("video frame index lifecycle parity: appended deltas fragment " +
+      "the struct-keyed index, compactIfFragmented rewrites it with an " +
+      "IDENTICAL re-probe, a mid-compact crash heals through " +
+      "recoverAll, and a catalog-loss crash re-registers from the " +
+      "sidecar with the stamp intact") {
+    def codeOf(i: Long): Long = (i * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    def frames(v: Long) = (0 until 4).map(f => (v, f, codeOf(v * 4 + f)))
+    def framesDf(v: Long) = frames(v).toDF("media_id", "frame_no", "code")
+    def structed(df: org.apache.spark.sql.DataFrame) =
+      df.select(struct(col("media_id"), col("frame_no")).as("id"),
+        col("code"))
+    AdmissionIndexes.saveHammingIndex(
+      Dedup.hammingBandRows(
+        structed((0L until 10L).flatMap(frames)
+          .toDF("media_id", "frame_no", "code")),
+        maxHamming = 3, bits = 56),
+      "vlife_idx", buckets = 2, maxHamming = 3, bits = 56)
+
+    // fragment it the way steady state does: one admission append per
+    // arriving batch
+    (1 to 5).foreach { k =>
+      val adm = CorpusPipeline.admitVideoBatch(
+        AdmissionIndexes.loadHammingIndex(spark, "vlife_idx", 3, 56),
+        framesDf(100L + k), maxHamming = 3, bits = 56)
+      assert(adm.admitted.count() == 4, s"batch $k is fresh")
+      AdmissionIndexes.appendVideoDeltas(adm, "vlife_idx", buckets = 2)
+    }
+    val frag = AdmissionIndexes.fragmentation(spark, "vlife_idx").get
+    assert(frag.maxFilesPerBucket > 2, s"appends must fragment: $frag")
+
+    // the probe truth the lifecycle ops must preserve: a replay of an
+    // appended video reads as a corpus dup on all 4 frames
+    def probeVerdict() = CorpusPipeline.admitVideoBatch(
+        AdmissionIndexes.loadHammingIndex(spark, "vlife_idx", 3, 56),
+        framesDf(103L), maxHamming = 3, bits = 56)
+      .annotated.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(4))).toSeq
+    val before = probeVerdict()
+    assert(before == Seq((103L, 4L, 4L, true)), s"got $before")
+
+    assert(AdmissionIndexes.compactIfFragmented(spark, "vlife_idx",
+      AdmissionIndexes.hammingKeys, buckets = 2, maxFilesPerBucket = 2))
+    assert(AdmissionIndexes.fragmentation(spark, "vlife_idx")
+      .get.maxFilesPerBucket <= 2, "compaction must defragment")
+    assert(probeVerdict() == before,
+      "identical re-probe across compaction")
+
+    // mid-compact crash (swap-rename 1 died): live renamed away, the
+    // verified copy dangling as __compacting — recoverAll swaps it
+    // forward
+    spark.sql("ALTER TABLE vlife_idx RENAME TO vlife_idx__compacting")
+    val healed = AdmissionIndexes.recoverAll(spark)
+    assert(healed.exists(_.contains("vlife_idx")), s"got $healed")
+    assert(probeVerdict() == before,
+      "identical re-probe across the mid-compact heal")
+
+    // catalog-loss crash: the data dir (with its sidecar) survives, the
+    // catalog forgets — recoverAll re-registers, and the STAMP rides
+    // the sidecar (loadHammingIndex verifies it inside probeVerdict)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "vlife_idx")
+    val park = new java.io.File(wh, "vlife_idx.parked")
+    assert(dir.renameTo(park))
+    spark.sql("DROP TABLE vlife_idx")
+    assert(park.renameTo(dir))
+    AdmissionIndexes.recoverAll(spark)
+    assert(spark.catalog.tableExists("vlife_idx"))
+    assert(probeVerdict() == before,
+      "identical re-probe across the sidecar re-registration")
+    spark.sql("DROP TABLE vlife_idx")
+  }
+
   test("registerFromSpec heal QUARANTINES a non-part-file shell " +
       "instead of deleting it, and refuses any non-empty live dir") {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
