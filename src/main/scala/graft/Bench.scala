@@ -300,10 +300,16 @@ object Bench {
     // queries that fail (or aren't in this run's arg subset's
     // universe — they're always in the full registry) are simply
     // absent; hostProfileRatio needs two to report.
-    hostProfileQueries.foreach { name =>
-      val runs = (1 to 3).map(_ => once(name)).filter(_._3).map(_._1)
-      if (runs.nonEmpty) hostProfile(name) = runs.min
-    }
+    // ...and only when the committed baseline covers this sfDir: with
+    // no comparable baseline the ratio is null by construction, and
+    // on a scaled directory the probe would burn minutes re-running
+    // q_a2 against hundreds of millions of rows for a field that
+    // cannot compute.
+    if (baseTimes.nonEmpty)
+      hostProfileQueries.foreach { name =>
+        val runs = (1 to 3).map(_ => once(name)).filter(_._3).map(_._1)
+        if (runs.nonEmpty) hostProfile(name) = runs.min
+      }
     emit(partial = false)
     spark.stop()
     if (okFlags.values.exists(!_)) sys.exit(1)

@@ -23,14 +23,23 @@ import graft.{Sessions, Tables}
   *    only distinct (suppkey, key) pairs.
   *
   * Both arms must produce the IDENTICAL top-100 frame before their
-  * walls print. Arms alternate, min-of-2 each. Usage:
-  * runMain graft.tools.DistinctAggBenchJob <sfDir|scaledDir> — the
-  * dir needs only lineitem.parquet. Prints one JSON line.
+  * walls print (single-JVM mode). Usage:
+  * runMain graft.tools.DistinctAggBenchJob <dir> [expand|twolevel|both]
+  * — the dir needs only lineitem.parquet. `both` (default) alternates
+  * the arms min-of-2 in one JVM; a single-arm run exists so a
+  * heap-death in one arm can be ATTRIBUTED (HotKeyBenchJob's
+  * failure-matrix discipline — at 600M rows the expand arm's fate is
+  * part of the measurement), printing the arm's wall plus an
+  * order-free fingerprint of its top-100 so cross-JVM parity can
+  * still be checked. Prints one JSON line per run.
   */
 object DistinctAggBenchJob {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: DistinctAggBenchJob <dir>")
+    require(args.nonEmpty, "usage: DistinctAggBenchJob <dir> [expand|twolevel|both]")
     val dir = args(0)
+    val arm = args.lift(1).getOrElse("both")
+    require(Set("expand", "twolevel", "both")(arm),
+      s"arm must be expand|twolevel|both, got '$arm'")
     val spark = Sessions.local("graft-distinctagg-bench")
 
     def expand(): DataFrame = Tables.lineitem(spark, dir)
@@ -62,19 +71,33 @@ object DistinctAggBenchJob {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
-    val (e1, rowsE) = time(expand _)
-    val (t1, rowsT) = time(twolevel _)
-    require(rowsE == rowsT,
-      s"arms disagree: expand head ${rowsE.take(2)} vs twolevel ${rowsT.take(2)}")
-    val (e2, _) = time(expand _)
-    val (t2, _) = time(twolevel _)
-    val expandS = math.min(e1, e2)
-    val twoS = math.min(t1, t2)
-    println(s"""{"dir":"$dir","expand_s":${f"$expandS%.2f"},""" +
-      s""""twolevel_s":${f"$twoS%.2f"},""" +
-      s""""twolevel_over_expand":${f"${twoS / expandS}%.3f"},""" +
-      s""""passes":[${f"$e1%.2f"},${f"$t1%.2f"},${f"$e2%.2f"},${f"$t2%.2f"}],""" +
-      s""""rows":${rowsE.size}}""")
+    def fingerprint(rows: Seq[(Long, Long, Long, Long)]): Long =
+      rows.map { case (a, b, c, d) =>
+        java.util.Objects.hash(a, b, c, d).toLong }.sum
+
+    if (arm == "both") {
+      val (e1, rowsE) = time(expand _)
+      val (t1, rowsT) = time(twolevel _)
+      require(rowsE == rowsT,
+        s"arms disagree: expand head ${rowsE.take(2)} vs twolevel ${rowsT.take(2)}")
+      val (e2, _) = time(expand _)
+      val (t2, _) = time(twolevel _)
+      val expandS = math.min(e1, e2)
+      val twoS = math.min(t1, t2)
+      println(s"""{"dir":"$dir","expand_s":${f"$expandS%.2f"},""" +
+        s""""twolevel_s":${f"$twoS%.2f"},""" +
+        s""""twolevel_over_expand":${f"${twoS / expandS}%.3f"},""" +
+        s""""passes":[${f"$e1%.2f"},${f"$t1%.2f"},${f"$e2%.2f"},${f"$t2%.2f"}],""" +
+        s""""rows":${rowsE.size}}""")
+    } else {
+      val f = if (arm == "expand") expand _ else twolevel _
+      val (w1, rows) = time(f)
+      val (w2, _) = time(f)
+      println(s"""{"dir":"$dir","arm":"$arm",""" +
+        s""""wall_s":${f"${math.min(w1, w2)}%.2f"},""" +
+        s""""passes":[${f"$w1%.2f"},${f"$w2%.2f"}],""" +
+        s""""rows":${rows.size},"fingerprint":${fingerprint(rows)}}""")
+    }
     spark.stop()
   }
 }

@@ -74,9 +74,22 @@ import graft.{Sessions, Tables}
   */
 object ScaleUp {
 
-  /** explode a 0..n-1 copy index onto every row */
-  private def fanOut(df: DataFrame, n: Int): DataFrame =
-    df.withColumn("__i", explode(array((0 until n).map(lit): _*)))
+  /** Explode a 0..n-1 copy index onto every row, spreading the
+    * source first. Shuffle the SOURCE, never the product: the pre-r15 shape
+    * repartitioned AFTER the explode, moving factor x the source rows
+    * through one shuffle — at factor 1000 the lineitem run had
+    * spilled 29+ GB of shuffle (heading past the disk) before the
+    * write could begin. Spreading the source FIRST buys the same
+    * write parallelism for 1/factor the shuffle: each task explodes
+    * its slice locally and streams straight to parquet, so the
+    * scaled data is never shuffled at all — the generator now obeys
+    * the same rule it exists to test operators against. */
+  private def fanOut(df: DataFrame, n: Int): DataFrame = {
+    val parts = math.max(
+      df.sparkSession.sparkContext.defaultParallelism, n)
+    df.repartition(parts)
+      .withColumn("__i", explode(array((0 until n).map(lit): _*)))
+  }
 
   /** key + copy x stride, preserving the column's position/name */
   private def shifted(keyCol: String, stride: Long): Column =
@@ -154,9 +167,10 @@ object ScaleUp {
     }
 
     def write(name: String, df: => DataFrame): Unit = if (wanted(name)) {
-      val parts = math.max(spark.sparkContext.defaultParallelism, n)
+      // no repartition here: fanOut already spread the SOURCE, so the
+      // exploded frame writes with that parallelism and the scaled
+      // rows never shuffle (dims are tiny and write as-is)
       df.drop("__i")
-        .repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name -> $out/$name.parquet")
     }
