@@ -305,10 +305,25 @@ object Bench {
     // on a scaled directory the probe would burn minutes re-running
     // q_a2 against hundreds of millions of rows for a field that
     // cannot compute.
+    // Guarded like passes 2-3 (budget) and harder (registry check +
+    // catch-all): the probe sits between a COMPLETED sweep and its
+    // only non-partial emit, so a probe that overruns the driver's
+    // hard timeout or throws (a renamed probe query would hit the
+    // registry apply outside once()'s try) must never leave the
+    // artifact 'partial' — that would disarm both regression guards
+    // for a sweep that actually finished, the exact survivability
+    // hole the header documents.
     if (baseTimes.nonEmpty)
-      hostProfileQueries.foreach { name =>
-        val runs = (1 to 3).map(_ => once(name)).filter(_._3).map(_._1)
-        if (runs.nonEmpty) hostProfile(name) = runs.min
+      try hostProfileQueries.foreach { name =>
+        if (SparkEntry.queries.contains(name)) {
+          val runs = (1 to 3)
+            .filter(_ => elapsedS < budgetS)
+            .map(_ => once(name)).filter(_._3).map(_._1)
+          if (runs.nonEmpty) hostProfile(name) = runs.min
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] host profile probe failed: $e")
       }
     emit(partial = false)
     spark.stop()

@@ -122,32 +122,21 @@ object WatExtract {
   /** A2/O1: the top-domains summary the reference asserts on
     * (tests/test_ExtractCCLinks.py:236).
     *
-    * Two-level distinct counts, NOT countDistinct-in-one-agg: two
-    * countDistincts plan an Expand x3 whose partial aggregate died at
-    * 600M rows on an 8 GB heap (DistinctAggBenchJob's r15 matrix on
-    * the q_a2 stand-in — this is the query that actually runs over a
-    * 100-crawl link history, so it gets the same measured shape:
-    * each distinct count as its own (domain, key) pre-aggregate,
-    * 1x rows per partial aggregate, no Expand). Null-faithful to
-    * countDistinct: non-null keys only, all-null groups keep their
-    * total with 0 (RelationalPackSpec pins the semantics on the
-    * shared shape). */
-  def topDomains(links: DataFrame, limit: Int = 100): DataFrame = {
-    def distinctCount(key: String, as: String) =
-      links.filter(col(key).isNotNull)
-        .select(col("provider_domain"), col(key)).distinct()
-        .groupBy(col("provider_domain")).agg(count(lit(1)).as(as))
-    links.groupBy(col("provider_domain")).agg(count(lit(1)).as("total"))
-      .join(distinctCount("content_path", "distinct_paths"),
-        Seq("provider_domain"), "left")
-      .join(distinctCount("content_query_string", "distinct_queries"),
-        Seq("provider_domain"), "left")
-      .select(col("provider_domain"), col("total"),
-        coalesce(col("distinct_paths"), lit(0L)).as("distinct_paths"),
-        coalesce(col("distinct_queries"), lit(0L)).as("distinct_queries"))
+    * Distinct counts via the shared
+    * [[graft.Aggregates.withDistinctCounts]] — the two-level shape
+    * whose rationale (the Expand plan's measured 600M-row heap death)
+    * and null semantics (null keys don't count; a null DOMAIN is a
+    * real group, preserved by the helper's null-safe join — WAT
+    * records with host-less target URIs land there) live with the
+    * one definition. This is the query that actually runs over a
+    * multi-crawl link history, the scale the matrix was measured
+    * for. */
+  def topDomains(links: DataFrame, limit: Int = 100): DataFrame =
+    graft.Aggregates.withDistinctCounts(links, "provider_domain",
+        "total", Seq("content_path" -> "distinct_paths",
+          "content_query_string" -> "distinct_queries"))
       .orderBy(desc("total"), asc("provider_domain"))
       .limit(limit)
-  }
 
   /** P5/P6/D1: the provider-slice read-back over the phase-A parquet
     * (Provider.py:256-264): suffix-match the provider domain, rebuild

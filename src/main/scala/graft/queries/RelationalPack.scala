@@ -24,38 +24,19 @@ object RelationalPack extends QueryPack {
     // A2/O1/D4: the reference's flagship summary query
     // (tests/test_ExtractCCLinks.py:236): counts + distinct counts per
     // group, top-k by total. Hash aggregate + TakeOrderedAndProject.
-    // Two-level distinct aggregates, NOT countDistinct-in-one-agg:
-    // Catalyst plans multiple countDistincts as an Expand x3 (one row
-    // replica per aggregate group), and at 600M rows the expanded
-    // partial aggregate DIES on an 8 GB heap (OOM in the spill
-    // reader's read-ahead — DistinctAggBenchJob's measured matrix,
-    // r15: expand dead at 8g/600M and 262 s at 32g, two-level 205 s
-    // AT 8g with identical top-100 fingerprints). Each distinct
-    // count as its own (suppkey, key) pre-aggregate is 3
-    // column-pruned scans and more exchanges, but every partial
-    // aggregate sees 1x rows and spills like any hash aggregate:
-    // faster at EVERY measured scale (0.73x at sf0.1) and alive
-    // where expand is dead. NULL-faithful to countDistinct (which
-    // counts non-null values only): keys filter non-null before the
-    // distinct, and the joins are LEFT + coalesce(0) so an all-null
-    // group keeps its total with a 0 distinct count instead of
-    // vanishing — the testdata has no null keys, but the operator
-    // shape must not depend on that.
-    "q_a2_top_domains" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      def distinctCount(key: String, as: String) =
-        li.filter(col(key).isNotNull)
-          .select(col("l_suppkey"), col(key)).distinct()
-          .groupBy(col("l_suppkey")).agg(count(lit(1)).as(as))
-      li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("total"))
-        .join(distinctCount("l_partkey", "parts"), Seq("l_suppkey"), "left")
-        .join(distinctCount("l_orderkey", "orders_d"), Seq("l_suppkey"), "left")
-        .select(col("l_suppkey"), col("total"),
-          coalesce(col("parts"), lit(0L)).as("parts"),
-          coalesce(col("orders_d"), lit(0L)).as("orders_d"))
+    // Two-level distinct aggregates via the SHARED
+    // graft.Aggregates.withDistinctCounts (one definition for this
+    // query, WatExtract.topDomains, the spec, and the bench arm —
+    // the shape cannot drift between its copies): the single-agg
+    // double countDistinct plans an Expand x3 that is measured DEAD
+    // at 600M rows on an 8 GB heap; full matrix + null semantics in
+    // the helper's scaladoc and PERF.md item 10.
+    "q_a2_top_domains" -> ((s, d) =>
+      graft.Aggregates.withDistinctCounts(Tables.lineitem(s, d),
+          "l_suppkey", "total",
+          Seq("l_partkey" -> "parts", "l_orderkey" -> "orders_d"))
         .orderBy(desc("total"), asc("l_suppkey"))
-        .limit(100)
-    }),
+        .limit(100)),
 
     // A10-style global aggregation with decimal-routed money sums.
     "q_q1_pricing" -> ((s, d) => {

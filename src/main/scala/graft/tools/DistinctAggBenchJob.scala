@@ -8,19 +8,21 @@ import graft.{Sessions, Tables}
 /** A/B of the two physical shapes for q_a2's double-distinct
   * aggregate, at the scale where they diverge:
   *
-  *  - `expand` (the shipped query): one `groupBy(suppkey).agg(count,
+  *  - `expand` (the pre-r15 shape, kept as the comparison arm): one
+  *    `groupBy(suppkey).agg(count,
   *    countDistinct(part), countDistinct(order))` — Catalyst plans an
   *    Expand x3 (one replica per aggregate "group"), a partial
   *    aggregate on (suppkey, part|order|null, gid) that dedups
   *    map-side, one exchange on suppkey, final aggregate. 2 exchanges
   *    total but 3x rows enter the partial aggregate.
   *
-  *  - `twolevel`: each distinct count as its own pre-aggregate
-  *    (`groupBy(suppkey, part).count` -> `groupBy(suppkey).count`),
-  *    joined back to the plain total. 3 scans (column-pruned to 2
-  *    cols each) and more exchanges, but no Expand: every partial
-  *    aggregate sees 1x rows and the first-level exchange carries
-  *    only distinct (suppkey, key) pairs.
+  *  - `twolevel`: THE production q_a2 (graft.Aggregates
+  *    .withDistinctCounts through the SparkEntry registry) — each
+  *    distinct count as its own pre-aggregate joined back
+  *    null-safely. 3 scans (column-pruned to 2 cols each) and more
+  *    exchanges, but no Expand: every partial aggregate sees 1x rows
+  *    and the first-level exchange carries only distinct
+  *    (suppkey, key) pairs.
   *
   * Both arms must produce the IDENTICAL top-100 frame before their
   * walls print (single-JVM mode). Usage:
@@ -50,19 +52,12 @@ object DistinctAggBenchJob {
       .orderBy(desc("total"), asc("l_suppkey"))
       .limit(100)
 
-    def twolevel(): DataFrame = {
-      val li = Tables.lineitem(spark, dir)
-      def distinctCount(key: String, as: String) =
-        li.select(col("l_suppkey"), col(key)).distinct()
-          .groupBy(col("l_suppkey")).agg(count(lit(1)).as(as))
-      li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("total"))
-        .join(distinctCount("l_partkey", "parts"), Seq("l_suppkey"))
-        .join(distinctCount("l_orderkey", "orders_d"), Seq("l_suppkey"))
-        .select(col("l_suppkey"), col("total"), col("parts"),
-          col("orders_d"))
-        .orderBy(desc("total"), asc("l_suppkey"))
-        .limit(100)
-    }
+    // the twolevel arm IS the production query, invoked through the
+    // driver registry — the measurement and the shipped plan cannot
+    // drift (a review pass caught an earlier hand copy that had
+    // already lost the null filter and the outer joins)
+    def twolevel(): DataFrame =
+      graft.SparkEntry.queries("q_a2_top_domains")(spark, dir)
 
     def time(f: () => DataFrame): (Double, Seq[(Long, Long, Long, Long)]) = {
       val t0 = System.nanoTime()

@@ -113,7 +113,7 @@ object MultimodalBenchJob {
     // bench's contention discipline applied to an A/B.
     final case class FusedRun(wall: Double, admitted: Long, imgAnn: Long,
       audAnn: Long, vidAnn: Long, dImg: Long, dAud: Long, dVid: Long,
-      dDig: Long)
+      dDig: Long, keepIds: Set[Long] = Set.empty)
     def runFused(): FusedRun = {
       val t0 = System.nanoTime()
       val fused = CorpusPipeline.admitMultimodalBatch(
@@ -124,17 +124,21 @@ object MultimodalBenchJob {
         imageFace = Some(CorpusPipeline.HammingFace(imageIdx, maxHamming, 56)),
         audioFace = Some(CorpusPipeline.HammingFace(audioIdx, maxHamming, 32)),
         videoFace = Some(CorpusPipeline.HammingFace(videoIdx, maxHamming, 56)))
-      FusedRun(0.0, fused.admitted.count(),
+      val r = FusedRun(0.0, fused.admitted.count(),
         fused.image.get.annotated.count(), fused.audio.get.annotated.count(),
         fused.video.get.annotated.count(), fused.image.get.newHamming.count(),
         fused.audio.get.newHamming.count(), fused.video.get.newHamming.count(),
         fused.text.newDigests.count()).copy(wall = lap(t0))
+      // OUTSIDE the timed region: the keep-id SET for the parity check
+      r.copy(keepIds = fused.admitted.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet)
     }
     final case class PartsRun(imageS: Double, audioS: Double,
       videoS: Double, textS: Double, imgRefused: Long, audRefused: Long,
       vidRefused: Long, txtRefused: Long, imgDelta: Long, audDelta: Long,
-      vidDelta: Long, txtDelta: Long, refusedUnion: Long) {
+      vidDelta: Long, txtDelta: Long, refusedIds: Set[Long]) {
       def wall: Double = imageS + audioS + videoS + textS
+      def refusedUnion: Long = refusedIds.size.toLong
     }
     def runParts(): PartsRun = {
       val t1 = System.nanoTime()
@@ -171,16 +175,16 @@ object MultimodalBenchJob {
       val txtRefused = txtRefusedF.count()
       val txtDelta = txtAdm.newDigests.count()
       val textS = lap(t4)
-      // OUTSIDE the timed region: the composed keep set for the
+      // OUTSIDE the timed region: the composed refusal id SET for the
       // parity check below
-      val refusedUnion = mediaRefused(imgAdm.annotated).select(col("doc_id"))
+      val refusedIds = mediaRefused(imgAdm.annotated).select(col("doc_id"))
         .unionByName(mediaRefused(audAdm.annotated).select(col("doc_id")))
         .unionByName(vidRefusedF.select(col("media_id").as("doc_id")))
         .unionByName(txtRefusedF.select(col("doc_id")))
-        .distinct().count()
+        .distinct().collect().map(_.getLong(0)).toSet
       PartsRun(imageS, audioS, videoS, textS, imgRefused, audRefused,
         vidRefused, txtRefused, imgDelta, audDelta, vidDelta, txtDelta,
-        refusedUnion)
+        refusedIds)
     }
 
     val f1 = runFused(); val p1 = runParts()
@@ -215,6 +219,17 @@ object MultimodalBenchJob {
     require(fusedAdmitted == expectAdmitted,
       s"fused admitted $fusedAdmitted != parts-composed $expectAdmitted " +
         s"(txt=$txtRefused img=$imgRefused aud=$audRefused vid=$vidRefused)")
+    // ...and the SETS, not just the counts: a verdict-swapping bug
+    // (fused wrongly admits a media-refused doc while wrongly
+    // refusing a clean one) is count-preserving — the id-level check
+    // is what actually makes a wrong answer unable to masquerade as
+    // a fast one. Runs outside both timed regions.
+    val partsKeep = (n.toLong until (n + m).toLong).toSet -- partsR.refusedIds
+    require(fusedR.keepIds == partsKeep,
+      "fused keep SET diverges from the parts-composed keep set " +
+        s"despite matching counts — a verdict-swapping bug (fused-only: " +
+        s"${(fusedR.keepIds -- partsKeep).take(3)}, parts-only: " +
+        s"${(partsKeep -- fusedR.keepIds).take(3)})")
     require(fusedImgAnn == m && fusedAudAnn == m,
       "media faces must annotate the full batch")
     require(txtRefused >= m / 10 && imgRefused >= m / 10 &&
