@@ -43,4 +43,42 @@ object Aggregates {
       distinctKeys.map { case (_, as) =>
         coalesce(col(as), lit(0L)).as(as) }: _*)
   }
+
+  /** The TAGGED-UNION variant of [[withDistinctCounts]] — same
+    * contract, no joins: raw rows (tag -1) union each key's distinct
+    * (group, key) pairs reduced to (group, tag), then ONE final
+    * aggregate counts per tag. Exchange count is keys + 1 (each
+    * distinct pre-aggregate + the final group exchange of
+    * partially-aggregated tag counts) versus the join form's
+    * aggregates PLUS null-safe join re-exchanges, and a null group
+    * key needs no special casing at all — groupBy treats null as a
+    * group natively. MEASURED against the join form
+    * (DistinctAggBenchJob `union` arm, fingerprint-matched at both
+    * points): a statistical tie at 600M rows / 8 GB (152.7 vs
+    * 158.2 s min-of-2) but 1.9x SLOWER at sf0.1 (3.9 vs 2.1 s — at
+    * small scale the raw-row stream pays a second full pass through
+    * the union aggregate that the join form's total-only aggregate
+    * avoids), so the join form stays the production shape and this
+    * one is the documented alternative for a deployment whose group
+    * cardinality makes the null-safe join re-exchanges hurt. */
+  private[graft] def withDistinctCountsUnion(
+      df: DataFrame,
+      groupCol: String,
+      totalAs: String,
+      distinctKeys: Seq[(String, String)]): DataFrame = {
+    val raw = df.select(col(groupCol).as("__g"), lit(-1).as("__tag"))
+    val unioned = distinctKeys.zipWithIndex.foldLeft(raw) {
+      case (acc, ((key, _), idx)) =>
+        acc.unionByName(df.filter(col(key).isNotNull)
+          .select(col(groupCol).as("__g"), col(key)).distinct()
+          .select(col("__g"), lit(idx).as("__tag")))
+    }
+    val aggs = sum(when(col("__tag") === -1, 1L).otherwise(0L))
+      .as(totalAs) +:
+      distinctKeys.zipWithIndex.map { case ((_, as), idx) =>
+        sum(when(col("__tag") === idx, 1L).otherwise(0L)).as(as) }
+    unioned.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+      .select(col("__g").as(groupCol) +: col(totalAs) +:
+        distinctKeys.map { case (_, as) => col(as) }: _*)
+  }
 }

@@ -26,7 +26,8 @@ import graft.{Sessions, Tables}
   *
   * Both arms must produce the IDENTICAL top-100 frame before their
   * walls print (single-JVM mode). Usage:
-  * runMain graft.tools.DistinctAggBenchJob <dir> [expand|twolevel|both]
+  * runMain graft.tools.DistinctAggBenchJob <dir>
+  * [expand|twolevel|union|both]
   * — the dir needs only lineitem.parquet. `both` (default) alternates
   * the arms min-of-2 in one JVM; a single-arm run exists so a
   * heap-death in one arm can be ATTRIBUTED (HotKeyBenchJob's
@@ -40,8 +41,8 @@ object DistinctAggBenchJob {
     require(args.nonEmpty, "usage: DistinctAggBenchJob <dir> [expand|twolevel|both]")
     val dir = args(0)
     val arm = args.lift(1).getOrElse("both")
-    require(Set("expand", "twolevel", "both")(arm),
-      s"arm must be expand|twolevel|both, got '$arm'")
+    require(Set("expand", "twolevel", "union", "both")(arm),
+      s"arm must be expand|twolevel|union|both, got '$arm'")
     val spark = Sessions.local("graft-distinctagg-bench")
 
     def expand(): DataFrame = Tables.lineitem(spark, dir)
@@ -58,6 +59,15 @@ object DistinctAggBenchJob {
     // already lost the null filter and the outer joins)
     def twolevel(): DataFrame =
       graft.SparkEntry.queries("q_a2_top_domains")(spark, dir)
+
+    // the join-free tagged-union candidate (keys + 1 exchanges, no
+    // null-safe join re-exchanges) — measured here before any swap
+    def union(): DataFrame =
+      graft.Aggregates.withDistinctCountsUnion(
+          Tables.lineitem(spark, dir), "l_suppkey", "total",
+          Seq("l_partkey" -> "parts", "l_orderkey" -> "orders_d"))
+        .orderBy(desc("total"), asc("l_suppkey"))
+        .limit(100)
 
     def time(f: () => DataFrame): (Double, Seq[(Long, Long, Long, Long)]) = {
       val t0 = System.nanoTime()
@@ -85,7 +95,11 @@ object DistinctAggBenchJob {
         s""""passes":[${f"$e1%.2f"},${f"$t1%.2f"},${f"$e2%.2f"},${f"$t2%.2f"}],""" +
         s""""rows":${rowsE.size}}""")
     } else {
-      val f = if (arm == "expand") expand _ else twolevel _
+      val f = arm match {
+        case "expand" => expand _
+        case "union" => union _
+        case _ => twolevel _
+      }
       val (w1, rows) = time(f)
       val (w2, _) = time(f)
       println(s"""{"dir":"$dir","arm":"$arm",""" +
