@@ -37,7 +37,21 @@ object Dedup {
     * extra job — connectedComponents' pattern); uniqueness is not
     * cheaply checkable and stays the caller's contract — the
     * pipeline's hash-surrogate ids and the testdata's generated keys
-    * both satisfy it by construction. */
+    * both satisfy it by construction.
+    *
+    * PRECONDITION — `df` re-reads DETERMINISTICALLY. The keep-list is
+    * frozen from a NARROW (id, digest) snapshot, but the output side
+    * re-reads the raw frame through the id semi-join (so surviving
+    * TEXT never lands in executor storage); a source whose second
+    * scan can return different rows/ids than the first — a sampled
+    * read, a LIMIT without ORDER, a live-mutating table — can hand
+    * the semi-join rows the snapshot never froze (dropped survivors)
+    * or miss ids it did (silent deletes), the dc2196f divergence
+    * class. Parquet/table scans are deterministic; anything else
+    * should be pinned by the caller (localCheckpoint, or land it to
+    * parquet first) before calling. The narrow-snapshot trade-off is
+    * deliberate — pinning the FULL rows here would store every
+    * surviving document's text per call (the r14 finding). */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // keep-list + id-semi-join, NOT a keeper window and NOT a min_by
     // row fold — all three were MEASURED (HotKeyBenchJob, 20M docs
@@ -111,7 +125,13 @@ object Dedup {
     * state is a few GB of digests, not the corpus.
     *
     * Same id precondition as [[exactByContent]] (non-null refused
-    * loudly; unique by caller contract). */
+    * loudly; unique by caller contract), and the same DETERMINISTIC
+    * re-read precondition on `batch`: the keep-list freezes from the
+    * narrow (id, digest) snapshot but the output side re-reads the
+    * raw batch through the id semi-join — a batch source whose
+    * second scan returns different rows than the first can silently
+    * drop or duplicate survivors; pin non-deterministic sources
+    * (localCheckpoint / land to parquet) before calling. */
   def incrementalExactDedup(
       indexDigests: DataFrame,
       batch: DataFrame,

@@ -38,11 +38,12 @@ import graft.{Sessions, Tables}
   */
 object DistinctAggBenchJob {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: DistinctAggBenchJob <dir> [expand|twolevel|both]")
+    require(args.nonEmpty,
+      "usage: DistinctAggBenchJob <dir> [expand|twolevel|twolevel_nn|union|both]")
     val dir = args(0)
     val arm = args.lift(1).getOrElse("both")
-    require(Set("expand", "twolevel", "union", "both")(arm),
-      s"arm must be expand|twolevel|union|both, got '$arm'")
+    require(Set("expand", "twolevel", "twolevel_nn", "union", "both")(arm),
+      s"arm must be expand|twolevel|twolevel_nn|union|both, got '$arm'")
     val spark = Sessions.local("graft-distinctagg-bench")
 
     def expand(): DataFrame = Tables.lineitem(spark, dir)
@@ -59,6 +60,18 @@ object DistinctAggBenchJob {
     // already lost the null filter and the outer joins)
     def twolevel(): DataFrame =
       graft.SparkEntry.queries("q_a2_top_domains")(spark, dir)
+
+    // the groupNullable=false fast path (plain === join-backs reuse
+    // the aggregates' partitioning — 5 exchanges at 1000x instead of
+    // the null-safe form's 8): l_suppkey is structurally non-null, so
+    // q_a2 QUALIFIES for it; measured here before any registry swap
+    def twolevelNn(): DataFrame =
+      graft.Aggregates.withDistinctCounts(
+          Tables.lineitem(spark, dir), "l_suppkey", "total",
+          Seq("l_partkey" -> "parts", "l_orderkey" -> "orders_d"),
+          groupNullable = false)
+        .orderBy(desc("total"), asc("l_suppkey"))
+        .limit(100)
 
     // the join-free tagged-union candidate (keys + 1 exchanges, no
     // null-safe join re-exchanges) — measured here before any swap
@@ -98,6 +111,7 @@ object DistinctAggBenchJob {
       val f = arm match {
         case "expand" => expand _
         case "union" => union _
+        case "twolevel_nn" => twolevelNn _
         case _ => twolevel _
       }
       val (w1, rows) = time(f)

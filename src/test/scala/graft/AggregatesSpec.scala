@@ -56,4 +56,65 @@ class AggregatesSpec extends SparkSpec {
     assert(one.queryExecution.executedPlan.toString.contains("Expand"),
       "the contrast the shape exists for")
   }
+
+  test("groupNullable=false matches the reference on a null-free " +
+      "group key and drops the null-safe join re-exchanges") {
+    val nn = df.filter(col("g").isNotNull)
+    val got = Aggregates.withDistinctCounts(nn, "g", "total",
+        Seq("p" -> "parts", "o" -> "orders"), groupNullable = false)
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val want = nn.groupBy(col("g"))
+      .agg(count(lit(1)).as("total"),
+        countDistinct(col("p")).as("parts"),
+        countDistinct(col("o")).as("orders"))
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+
+    // Plan shape is asserted with broadcast OFF: at spec scale both
+    // forms broadcast the per-group sides and look identical — the
+    // difference this path exists for appears when the join sides are
+    // too big to broadcast (the 600M-row regime), where the <=> form
+    // re-exchanges every join side on (coalesce, isnull) keys while
+    // the fast path's plain === join keys ARE the aggregates' hash
+    // partitioning keys and EnsureRequirements satisfies the joins
+    // from the aggregates' own exchanges.
+    def exchanges(p: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(p.queryExecution.executedPlan.toString).length
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val safe = Aggregates.withDistinctCounts(nn, "g", "total",
+        Seq("p" -> "parts", "o" -> "orders"))
+      val fast = Aggregates.withDistinctCounts(nn, "g", "total",
+        Seq("p" -> "parts", "o" -> "orders"), groupNullable = false)
+      assert(exchanges(fast) < exchanges(safe),
+        s"fast ${exchanges(fast)} !< safe ${exchanges(safe)}:\n" +
+          fast.queryExecution.executedPlan.toString)
+      assert(!fast.queryExecution.executedPlan.toString.contains("isnull("),
+        "the fast path must not plan null-safe (coalesce, isnull) keys")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("refuses reserved/colliding names loudly instead of resolving " +
+      "ambiguously or dropping a caller column") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("__g", "p")
+    intercept[IllegalArgumentException] {
+      Aggregates.withDistinctCounts(bad, "__g", "t", Seq("p" -> "pc"))
+    }
+    intercept[IllegalArgumentException] { // alias collides with totalAs
+      Aggregates.withDistinctCounts(df, "g", "t", Seq("p" -> "t"))
+    }
+    intercept[IllegalArgumentException] { // distinct key == group col
+      Aggregates.withDistinctCounts(df, "g", "t", Seq("g" -> "gc"))
+    }
+    intercept[IllegalArgumentException] { // union variant shares the guard
+      Aggregates.withDistinctCountsUnion(df, "g", "__tag", Seq("p" -> "pc"))
+    }
+  }
 }

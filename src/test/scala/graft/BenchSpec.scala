@@ -39,4 +39,17 @@ class BenchSpec extends AnyFunSuite {
     val probe = Map(q(0) -> 1.0, q(1) -> 1.0, "q_other" -> 100.0)
     assert(Bench.hostProfileRatio(probe, base).contains(1.0))
   }
+
+  test("hostProfileOverlap reports exactly the contributing sample " +
+      "count — the artifact-side flag for a degenerate 2-ratio median") {
+    val base = Map(q(0) -> 1.0, q(1) -> 1.0, q(2) -> 2.0)
+    val full = Map(q(0) -> 1.0, q(1) -> 2.0, q(2) -> 4.0)
+    assert(Bench.hostProfileOverlap(full, base) == 3)
+    assert(Bench.hostProfileOverlap(full - q(2), base) == 2)
+    assert(Bench.hostProfileOverlap(Map(q(0) -> 1.0), base) == 1)
+    assert(Bench.hostProfileOverlap(Map.empty, base) == 0)
+    // non-positive entries drop out of the count exactly as they
+    // drop out of the median
+    assert(Bench.hostProfileOverlap(full, base + (q(0) -> 0.0)) == 2)
+  }
 }
