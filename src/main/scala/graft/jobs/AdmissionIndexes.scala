@@ -516,10 +516,13 @@ object AdmissionIndexes {
     * on a local warehouse — every on-disk directory carrying a spec
     * sidecar that the catalog does not know (the post-JVM-crash
     * state of an in-memory catalog: complete copies on disk, empty
-    * catalog). Run once at deployment start (or before a maintenance
-    * window) and every interrupted compaction OR lost registration
-    * in the warehouse self-heals in one call. Returns one action
-    * description per recovered table. */
+    * catalog), PLUS every partially-applied staged batch whose
+    * manifest survived a mid-sequence crash (completed from its
+    * stage via [[applyStagedBatch]], after the tables it appends to
+    * are re-attached). Run once at deployment start (or before a
+    * maintenance window) and every interrupted compaction, lost
+    * registration, OR half-applied batch in the warehouse self-heals
+    * in one call. Returns one action description per recovery. */
   def recoverAll(spark: SparkSession): Seq[String] = {
     val suffixes = Seq("__compacting", "__retired", "__registering")
     val fromCatalog = spark.catalog.listTables().collect().map(_.name)
@@ -535,8 +538,27 @@ object AdmissionIndexes {
         .filter(_.matches("[A-Za-z0-9_]+"))
         .map(n => suffixes.foldLeft(n)((b, s) => b.stripSuffix(s)))
     }
-    (fromCatalog ++ fromDisk).distinct.sorted
+    val tableActions = (fromCatalog ++ fromDisk).distinct.sorted
       .flatMap(base => recover(spark, base))
+    // staged-batch completion AFTER table recovery, so the appends
+    // land on re-attached tables; the manifest carries its prefix,
+    // so the filename needs no un-lowercasing round trip
+    val batchActions = localWarehouse(spark).toSeq.flatMap { wh =>
+      Option(wh.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("_graft_batch_") &&
+          f.getName.endsWith(".json"))
+        .sortBy(_.getName)
+        .flatMap(f => readManifestFile(f))
+        .flatMap { m =>
+          applyStagedBatch(spark, m.prefix).map { id =>
+            val msg = s"completed partially-applied staged batch " +
+              s"'$id' under prefix '${m.prefix}'"
+            System.err.println(s"[admission-indexes] $msg")
+            msg
+          }
+        }
+    }
+    tableActions ++ batchActions
   }
 
   /** Build EVERY text-derived admission/retrieval index of a curated
@@ -566,6 +588,13 @@ object AdmissionIndexes {
     // spaces, every near-dup silently admitted. The stamp written
     // below turns any remaining mismatch into a loud refusal.
     requirePlainName(prefix)
+    // a pending staged batch would append its (stale) deltas onto the
+    // freshly-rebuilt tables the next time anything completes it —
+    // refuse the rebuild until the operator resolves the batch
+    require(readBatchManifest(corpus.sparkSession, prefix).isEmpty,
+      s"a partially-applied staged batch is pending under '$prefix' — " +
+        "complete it (applyStagedBatch/recoverAll) or remove its " +
+        "manifest before rebuilding the estate")
     import org.apache.spark.sql.functions.col
     import graft.dedup.Dedup
     import graft.text.Search
@@ -586,6 +615,49 @@ object AdmissionIndexes {
     rebuildTermBounds(corpus.sparkSession, prefix, buckets)
   }
 
+  /** Day-0 symmetry for a MEDIA-CARRYING corpus: [[bootstrap]] plus
+    * the per-modality hamming indexes, built from the corpus's OWN
+    * code frames in the same pass — a pre-existing multimodal estate
+    * no longer bootstraps its media half through first-batch appends
+    * (or saveHammingIndex hand-glue): batch 1 probes real day-0
+    * indexes on every face. Code frames use the batch conventions of
+    * [[CorpusPipeline.MultimodalBatch]] — image/audio (idCol, code),
+    * video (media_id, frame_no, code) — and each face's table lands
+    * stamped at its (maxHamming, bits) operating point, the SAME
+    * defaults [[runMultimodalBatch]] probes with, so the stamp gate
+    * verifies day-0-to-batch parity instead of trusting it. Null
+    * codes (undecodable media) carry no fingerprint evidence and are
+    * excluded — the standing media admission policy. */
+  def bootstrapMultimodal(corpus: DataFrame, idCol: String,
+      textCol: String, prefix: String,
+      imageCodes: Option[DataFrame] = None,
+      audioCodes: Option[DataFrame] = None,
+      videoFrames: Option[DataFrame] = None,
+      buckets: Int = 64, shingleN: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, winLen: Int = 10,
+      imageParams: (Int, Int) = (3, 56),
+      audioParams: (Int, Int) = (6, 32),
+      videoParams: (Int, Int) = (6, 56)): Unit = {
+    import org.apache.spark.sql.functions.{col, struct}
+    import graft.dedup.Dedup
+    bootstrap(corpus, idCol, textCol, prefix, buckets, shingleN, bands,
+      rowsPerBand, winLen)
+    def buildFace(table: String, keyed: DataFrame,
+        params: (Int, Int)): Unit = {
+      val (mh, b) = params
+      saveHammingIndex(
+        Dedup.hammingBandRows(keyed.filter(col("code").isNotNull), mh, b),
+        table, buckets, maxHamming = mh, bits = b)
+    }
+    imageCodes.foreach(c => buildFace(s"${prefix}_image",
+      c.select(col(idCol).as("id"), col("code")), imageParams))
+    audioCodes.foreach(c => buildFace(s"${prefix}_audio",
+      c.select(col(idCol).as("id"), col("code")), audioParams))
+    videoFrames.foreach(v => buildFace(s"${prefix}_video",
+      v.select(struct(col("media_id"), col("frame_no")).as("id"),
+        col("code")), videoParams))
+  }
+
   /** Recompute `{prefix}_bounds` from the PERSISTED
     * `{prefix}_postings`/`{prefix}_stats` pair — the maintenance
     * cadence of the MaxScore bound table (one aggregate pass over the
@@ -603,6 +675,68 @@ object AdmissionIndexes {
       s"${prefix}_bounds", buckets)
   }
 
+  /** One face of a batch append: the delta frame plus everything the
+    * append needs to land it (kind routes stats through
+    * [[saveCorpusStats]]' additive append; everything else through
+    * the bucketed [[save]]). */
+  private final case class FacePlan(table: String, kind: String,
+      df: DataFrame, keys: Seq[String], props: Map[String, String])
+
+  /** The text-admission faces in their canonical append order —
+    * shared by the direct path, the staged path, and the fused
+    * multimodal face so the sequence cannot drift between them. */
+  private def textFacePlans(adm: CorpusPipeline.Admission,
+      prefix: String): Seq[FacePlan] =
+    Seq(
+      FacePlan(s"${prefix}_digests", "bucketed", adm.newDigests,
+        digestKeys, Map.empty),
+      FacePlan(s"${prefix}_bands", "bucketed", adm.newBands, bandKeys,
+        adm.bandParams.map { case (sh, b, r) => bandProps(sh, b, r) }
+          .getOrElse(Map.empty))) ++
+      adm.newWindows.map(w => FacePlan(s"${prefix}_windows", "bucketed",
+        w, windowKeys, Map.empty)) ++
+      adm.newPostings.map(p => FacePlan(s"${prefix}_postings", "bucketed",
+        p, postingsKeys, Map.empty)) ++
+      adm.newStats.map(s => FacePlan(s"${prefix}_stats", "stats",
+        s, Nil, Map.empty)) ++
+      adm.newCodes.map(c => FacePlan(s"${prefix}_codes", "bucketed",
+        c, codeKeys, Map.empty))
+
+  private def applyFace(df: DataFrame, kind: String, table: String,
+      keys: Seq[String], buckets: Int, props: Map[String, String]): Unit =
+    kind match {
+      case "stats" => saveCorpusStats(df, table, append = true)
+      case _ => save(df, table, keys, buckets, append = true, props = props)
+    }
+
+  /** The shared post-append maintenance tail: MaxScore bound rebuild
+    * (or the stale-by-stamp notice), the postings fragmentation
+    * signal, and the opt-in auto-compaction sweep over every touched
+    * table. Idempotent — a recovery replay after a crash inside the
+    * tail re-runs it harmlessly (rebuild overwrites; compaction
+    * re-checks its threshold). */
+  private def appendTail(spark: SparkSession, prefix: String,
+      touched: Seq[(String, Seq[String])], postingsTouched: Boolean,
+      buckets: Int, rebuildBounds: Boolean,
+      maxFilesPerBucket: Option[Int]): Unit = {
+    if (postingsTouched) {
+      if (rebuildBounds)
+        rebuildTermBounds(spark, prefix, buckets)
+      else if (spark.catalog.tableExists(s"${prefix}_bounds"))
+        System.err.println(s"[admission-indexes] '${prefix}_bounds' is " +
+          "now STALE (postings appended without rebuildBounds) — " +
+          "bm25BatchMaxScore will refuse it until " +
+          s"rebuildTermBounds(spark, \"$prefix\") runs")
+      fragmentation(spark, s"${prefix}_postings").foreach(f =>
+        System.err.println(s"[admission-indexes] ${prefix}_postings " +
+          s"fragmentation: $f"))
+    }
+    maxFilesPerBucket.foreach { cap =>
+      touched.filter(_._2.nonEmpty).foreach { case (t, keys) =>
+        compactIfFragmented(spark, t, keys, buckets, cap) }
+    }
+  }
+
   /** Append one admitted batch's index deltas under a [[bootstrap]]
     * prefix — the write half of the admission loop: bootstrap once,
     * then per batch `admitBatch(...)` -> `appendDeltas(...)` and the
@@ -611,6 +745,23 @@ object AdmissionIndexes {
     * require the strip/postings options; codes the embedding
     * option — the code index appends to `{prefix}_codes`, which a
     * vector-carrying deployment creates via [[saveCodeIndex]]).
+    *
+    * CRASH CONSISTENCY — `batchId`: the default (None) appends the
+    * up-to-six tables directly, in sequence; each single-table append
+    * is individually crash-safe, but a crash BETWEEN them followed by
+    * the documented replay permanently loses the batch's
+    * not-yet-appended index rows — the replay refuses every doc as a
+    * corpus-exact dup against the digests that DID land, so its
+    * deltas come back empty and the band/window/postings tables never
+    * see the batch (silent dedup-coverage loss no oracle can catch).
+    * Pass `Some(id)` to route through the STAGED path instead: every
+    * delta lands in a stage directory first, a batch manifest records
+    * the full append sequence, and only then do the live appends run,
+    * each marked applied in the manifest as it lands — a crash at any
+    * point is healed by [[applyStagedBatch]] (called automatically at
+    * the next staged append, and by [[recoverAll]]), which backfills
+    * exactly the missing faces FROM THE STAGE, never from a re-run
+    * admission. [[runMultimodalBatch]] always stages.
     *
     * A postings append invalidates the MaxScore `{prefix}_bounds`
     * table (df/avg_len shift, moving every term's bound either way):
@@ -635,51 +786,34 @@ object AdmissionIndexes {
     * the r11 behavior: signal logged, cadence owned by the operator. */
   def appendDeltas(adm: CorpusPipeline.Admission, prefix: String,
       buckets: Int = 64, rebuildBounds: Boolean = false,
-      maxFilesPerBucket: Option[Int] = None): Unit = {
+      maxFilesPerBucket: Option[Int] = None,
+      batchId: Option[String] = None): Unit = {
     requirePlainName(prefix)
     val spark = adm.newDigests.sparkSession
-    saveDigestIndex(adm.newDigests, s"${prefix}_digests", buckets,
-      append = true)
-    // the delta's band params (when the Admission carries them) are
-    // verified against the stored index's stamp INSIDE save — a
-    // mismatched append refuses before writing a row
-    adm.bandParams match {
-      case Some((sh, b, r)) =>
-        saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
-          append = true, shingleN = sh, bands = b, rowsPerBand = r)
-      case None =>
-        saveBandIndex(adm.newBands, s"${prefix}_bands", buckets,
-          append = true)
-    }
-    adm.newWindows.foreach(w =>
-      saveWindowIndex(w, s"${prefix}_windows", buckets, append = true))
-    adm.newPostings.foreach(p =>
-      savePostingsIndex(p, s"${prefix}_postings", buckets, append = true))
-    adm.newStats.foreach(s =>
-      saveCorpusStats(s, s"${prefix}_stats", append = true))
-    adm.newCodes.foreach(c =>
-      saveCodeIndex(c, s"${prefix}_codes", buckets, append = true))
-    if (adm.newPostings.nonEmpty) {
-      if (rebuildBounds)
-        rebuildTermBounds(spark, prefix, buckets)
-      else if (spark.catalog.tableExists(s"${prefix}_bounds"))
-        System.err.println(s"[admission-indexes] '${prefix}_bounds' is " +
-          "now STALE (postings appended without rebuildBounds) — " +
-          "bm25BatchMaxScore will refuse it until " +
-          s"rebuildTermBounds(spark, \"$prefix\") runs")
-      fragmentation(spark, s"${prefix}_postings").foreach(f =>
-        System.err.println(s"[admission-indexes] ${prefix}_postings " +
-          s"fragmentation: $f"))
-    }
-    maxFilesPerBucket.foreach { cap =>
-      val touched = Seq(
-        s"${prefix}_digests" -> digestKeys,
-        s"${prefix}_bands" -> bandKeys) ++
-        adm.newWindows.map(_ => s"${prefix}_windows" -> windowKeys) ++
-        adm.newPostings.map(_ => s"${prefix}_postings" -> postingsKeys) ++
-        adm.newCodes.map(_ => s"${prefix}_codes" -> codeKeys)
-      touched.foreach { case (t, keys) =>
-        compactIfFragmented(spark, t, keys, buckets, cap) }
+    val faces = textFacePlans(adm, prefix)
+    batchId match {
+      case Some(id) if localWarehouse(spark).isDefined =>
+        completePendingBatch(spark, prefix)
+        stageBatch(spark, prefix, id, faces, buckets, rebuildBounds,
+          maxFilesPerBucket)
+        applyStagedBatch(spark, prefix)
+        ()
+      case other =>
+        if (other.isDefined)
+          System.err.println("[admission-indexes] appendDeltas: " +
+            s"batchId ${other.get} requested but the warehouse is not " +
+            "local — staging unavailable, falling back to DIRECT " +
+            "appends (a mid-sequence crash + replay can lose index " +
+            "coverage; use a transactional table format or a local/" +
+            "DFS-backed warehouse for crash-consistent batches)")
+        // the delta's params (when the Admission carries them) are
+        // verified against the stored index's stamp INSIDE save — a
+        // mismatched append refuses before writing a row
+        faces.foreach(f =>
+          applyFace(f.df, f.kind, f.table, f.keys, buckets, f.props))
+        appendTail(spark, prefix, faces.map(f => f.table -> f.keys),
+          adm.newPostings.nonEmpty, buckets, rebuildBounds,
+          maxFilesPerBucket)
     }
   }
 
@@ -747,7 +881,22 @@ object AdmissionIndexes {
     * batch dedupes against the first.
     *
     * A postings append leaves `{prefix}_bounds` stale-by-stamp unless
-    * `rebuildBounds` — [[appendDeltas]]' contract, unchanged. */
+    * `rebuildBounds` — [[appendDeltas]]' contract, unchanged.
+    *
+    * CRASH CONSISTENCY: the up-to-NINE-table append sequence is
+    * STAGED — every delta lands in a stage directory under one batch
+    * manifest before any live append runs, and each append is marked
+    * in the manifest as it lands. A crash anywhere mid-sequence is
+    * healed by [[applyStagedBatch]]/[[recoverAll]], or simply by the
+    * documented replay: this call's entry gate completes a pending
+    * partial batch FROM ITS STAGE before the new admission probes the
+    * estate. Without staging, the replay itself was the bug — every
+    * doc refused against the digests that DID land, so the remaining
+    * faces' deltas gated on a now-empty admitted set and the
+    * band/window/media indexes permanently lost the batch. `batchId`
+    * labels the manifest for audit (auto-UUID when None). On a
+    * non-local warehouse (no manifest home) the appends fall back to
+    * the direct sequence with a loud stderr notice. */
   def runMultimodalBatch(
       corpus: DataFrame,
       batch: CorpusPipeline.MultimodalBatch,
@@ -768,12 +917,56 @@ object AdmissionIndexes {
       embedding: Option[CorpusPipeline.EmbeddingAdmission] = None,
       stripWinLen: Int = 10,
       rebuildBounds: Boolean = false,
-      maxFilesPerBucket: Option[Int] = None)
+      maxFilesPerBucket: Option[Int] = None,
+      batchId: Option[String] = None)
+      : CorpusPipeline.MultimodalAdmission = {
+    val adm = runMultimodalStaged(corpus, batch, prefix, idCol, textCol,
+      buckets, shingleN, bands, rowsPerBand, threshold, maxBucket,
+      imageParams, audioParams, videoParams, videoMinMatchedPairs,
+      skewGuard, embedding, stripWinLen, rebuildBounds,
+      maxFilesPerBucket, batchId)
+    applyStagedBatch(batch.docs.sparkSession, prefix)
+    adm
+  }
+
+  /** The admission + staging half of [[runMultimodalBatch]], WITHOUT
+    * the final apply — the state a mid-sequence crash leaves behind
+    * begins here, which is why the drill needs it separable; a real
+    * deployment can also use it to stage on one job and apply on
+    * another. On a non-local warehouse this degrades to the direct
+    * append sequence (loud notice) and the apply half is a no-op. */
+  private[graft] def runMultimodalStaged(
+      corpus: DataFrame,
+      batch: CorpusPipeline.MultimodalBatch,
+      prefix: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.3,
+      maxBucket: Int = 5000,
+      imageParams: (Int, Int) = (3, 56),
+      audioParams: (Int, Int) = (6, 32),
+      videoParams: (Int, Int) = (6, 56),
+      videoMinMatchedPairs: Long = 1L,
+      skewGuard: Boolean = true,
+      embedding: Option[CorpusPipeline.EmbeddingAdmission] = None,
+      stripWinLen: Int = 10,
+      rebuildBounds: Boolean = false,
+      maxFilesPerBucket: Option[Int] = None,
+      batchId: Option[String] = None)
       : CorpusPipeline.MultimodalAdmission = {
     import org.apache.spark.sql.functions.{col, lit, struct}
     import graft.dedup.Dedup
     requirePlainName(prefix)
     val spark = batch.docs.sparkSession
+    // a previous batch that crashed mid-append MUST be completed from
+    // its stage before this admission probes the estate — probing a
+    // half-applied estate is exactly the coverage-loss narrative the
+    // staging exists to close
+    completePendingBatch(spark, prefix)
     val corpusDigests = load(spark, s"${prefix}_digests")
     val corpusBands = loadBandIndex(spark, s"${prefix}_bands",
       shingleN, bands, rowsPerBand)
@@ -809,15 +1002,55 @@ object AdmissionIndexes {
       shingleN, bands, rowsPerBand, threshold, maxBucket, skewGuard,
       embedding, stripWindows, stripWinLen, withPostings)
 
-    appendDeltas(adm.text, prefix, buckets, rebuildBounds,
-      maxFilesPerBucket)
-    adm.image.foreach(m => appendMediaDeltas(m, s"${prefix}_image",
-      buckets, maxFilesPerBucket))
-    adm.audio.foreach(m => appendMediaDeltas(m, s"${prefix}_audio",
-      buckets, maxFilesPerBucket))
-    adm.video.foreach(v => appendVideoDeltas(v, s"${prefix}_video",
-      buckets, maxFilesPerBucket))
+    if (localWarehouse(spark).isDefined)
+      stageMultimodalDeltas(adm, prefix,
+        batchId.getOrElse(java.util.UUID.randomUUID().toString),
+        buckets, rebuildBounds, maxFilesPerBucket)
+    else {
+      System.err.println("[admission-indexes] runMultimodalBatch: " +
+        "non-local warehouse — staging unavailable, appending the " +
+        s"${facesOf(adm, prefix).size}-table sequence DIRECTLY (a " +
+        "mid-sequence crash + replay can lose index coverage; use a " +
+        "transactional table format there)")
+      val faces = facesOf(adm, prefix)
+      faces.foreach(f =>
+        applyFace(f.df, f.kind, f.table, f.keys, buckets, f.props))
+      appendTail(spark, prefix, faces.map(f => f.table -> f.keys),
+        adm.text.newPostings.nonEmpty, buckets, rebuildBounds,
+        maxFilesPerBucket)
+    }
     adm
+  }
+
+  /** Every face of a fused multimodal admission in canonical append
+    * order — [[textFacePlans]] plus the per-modality hamming deltas
+    * (each already GATED on the combined verdict by
+    * [[CorpusPipeline.admitMultimodalBatch]]). */
+  private def facesOf(adm: CorpusPipeline.MultimodalAdmission,
+      prefix: String): Seq[FacePlan] =
+    textFacePlans(adm.text, prefix) ++
+      adm.image.map(m => FacePlan(s"${prefix}_image", "bucketed",
+        m.newHamming, hammingKeys,
+        m.hammingParams.map((hammingProps _).tupled).getOrElse(Map.empty))) ++
+      adm.audio.map(m => FacePlan(s"${prefix}_audio", "bucketed",
+        m.newHamming, hammingKeys,
+        m.hammingParams.map((hammingProps _).tupled).getOrElse(Map.empty))) ++
+      adm.video.map(v => FacePlan(s"${prefix}_video", "bucketed",
+        v.newHamming, hammingKeys,
+        v.hammingParams.map((hammingProps _).tupled).getOrElse(Map.empty)))
+
+  /** Stage every delta of a fused multimodal admission under ONE
+    * batch manifest WITHOUT applying — [[runMultimodalBatch]] calls
+    * this then [[applyStagedBatch]]; separated so a deployment can
+    * stage and apply in different jobs, and so the crash drill can
+    * construct every mid-sequence state. */
+  def stageMultimodalDeltas(adm: CorpusPipeline.MultimodalAdmission,
+      prefix: String, batchId: String, buckets: Int = 64,
+      rebuildBounds: Boolean = false,
+      maxFilesPerBucket: Option[Int] = None): Unit = {
+    requirePlainName(prefix)
+    stageBatch(adm.admitted.sparkSession, prefix, batchId,
+      facesOf(adm, prefix), buckets, rebuildBounds, maxFilesPerBucket)
   }
 
   /** Trigger the crash-safe [[compact]] when (and only when) the
@@ -994,6 +1227,250 @@ object AdmissionIndexes {
       props: Map[String, String]): Unit =
     spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
       props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+
+  // ---------------------------------------------------------------
+  // Staged batch appends: crash-consistent multi-table sequences
+  // ---------------------------------------------------------------
+
+  /** One face of a staged batch manifest: where the delta was staged
+    * (`stage`, a plain parquet directory — readable with NO catalog,
+    * so recovery survives an in-memory catalog loss), where and how
+    * it appends, and the two row counts the recovery guard needs.
+    * `countBefore`/`deltaCount` close the one ambiguous crash window
+    * — between a face's append COMMITTING and its manifest mark
+    * landing: on recovery an unmarked face whose live table already
+    * grew by the delta is marked applied instead of re-appended, so
+    * the guard assumes (a) a SINGLE writer per prefix (the standing
+    * admission-estate contract) and (b) job-commit atomicity of each
+    * append (FileOutputCommitter moves task files at job commit; an
+    * object store without atomic rename should use a transactional
+    * table format instead). `schemaDdl` reconstructs an EMPTY delta
+    * at apply time (a 0-row stage write may produce no readable
+    * parquet part). */
+  private[graft] final case class StagedFace(table: String, kind: String,
+      stage: String, keys: Seq[String], props: Map[String, String],
+      schemaDdl: String, countBefore: Long, deltaCount: Long,
+      applied: Boolean)
+
+  /** The durable record of one in-flight batch append sequence:
+    * written AFTER every delta is fully staged (its existence means
+    * "staging complete, appends may run/resume"), updated atomically
+    * (write-temp + ATOMIC_MOVE) as each face lands, deleted when the
+    * whole sequence + maintenance tail finished. At most one per
+    * prefix — the single-writer contract again. */
+  private[graft] final case class BatchManifest(batchId: String,
+      prefix: String, buckets: Int, rebuildBounds: Boolean,
+      maxFilesPerBucket: Option[Int], faces: Seq[StagedFace])
+
+  private def manifestFile(wh: java.io.File, prefix: String): java.io.File =
+    new java.io.File(wh, s"_graft_batch_${prefix.toLowerCase}.json")
+
+  private def stageDirFor(wh: java.io.File, table: String): java.io.File =
+    new java.io.File(wh, s"_graft_stage_${table.toLowerCase}")
+
+  /** The pending batch manifest under `prefix`, if any. */
+  private[graft] def readBatchManifest(spark: SparkSession,
+      prefix: String): Option[BatchManifest] =
+    localWarehouse(spark).flatMap(wh =>
+      readManifestFile(manifestFile(wh, prefix)))
+
+  private[graft] def readManifestFile(f: java.io.File): Option[BatchManifest] = {
+    if (!f.isFile) None
+    else try {
+      import scala.jdk.CollectionConverters._
+      val n = jsonMapper.readTree(java.nio.file.Files.readString(f.toPath))
+      Some(BatchManifest(
+        n.get("batchId").asText(),
+        n.get("prefix").asText(),
+        n.get("buckets").asInt(),
+        n.get("rebuildBounds").asBoolean(),
+        Option(n.get("maxFilesPerBucket").asInt(-1)).filter(_ >= 0),
+        n.get("faces").elements().asScala.map { fn =>
+          StagedFace(
+            fn.get("table").asText(), fn.get("kind").asText(),
+            fn.get("stage").asText(),
+            fn.get("keys").elements().asScala.map(_.asText()).toSeq,
+            fn.get("props").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap,
+            fn.get("schemaDdl").asText(),
+            fn.get("countBefore").asLong(),
+            fn.get("deltaCount").asLong(),
+            fn.get("applied").asBoolean())
+        }.toSeq))
+    } catch { case e: Exception =>
+      // an unreadable manifest is a LOUD failure, not a silent skip:
+      // pretending it is absent would let the next staged batch
+      // overwrite the stage dirs a partial batch still needs
+      throw new IllegalStateException(
+        s"unreadable batch manifest ${f.getPath}: ${e.getMessage} — " +
+          "repair or remove it explicitly before appending", e)
+    }
+  }
+
+  private def writeBatchManifest(wh: java.io.File,
+      m: BatchManifest): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = new java.util.LinkedHashMap[String, Object]()
+    root.put("batchId", m.batchId)
+    root.put("prefix", m.prefix)
+    root.put("buckets", Integer.valueOf(m.buckets))
+    root.put("rebuildBounds", java.lang.Boolean.valueOf(m.rebuildBounds))
+    root.put("maxFilesPerBucket",
+      Integer.valueOf(m.maxFilesPerBucket.getOrElse(-1)))
+    root.put("faces", m.faces.map { f =>
+      val fm = new java.util.LinkedHashMap[String, Object]()
+      fm.put("table", f.table)
+      fm.put("kind", f.kind)
+      fm.put("stage", f.stage)
+      fm.put("keys", f.keys.asJava)
+      fm.put("props", f.props.asJava)
+      fm.put("schemaDdl", f.schemaDdl)
+      fm.put("countBefore", java.lang.Long.valueOf(f.countBefore))
+      fm.put("deltaCount", java.lang.Long.valueOf(f.deltaCount))
+      fm.put("applied", java.lang.Boolean.valueOf(f.applied))
+      fm
+    }.asJava)
+    val target = manifestFile(wh, m.prefix)
+    val tmp = new java.io.File(wh, target.getName + ".tmp")
+    java.nio.file.Files.writeString(tmp.toPath,
+      jsonMapper.writeValueAsString(root))
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stage every face of one batch, then commit the manifest. The
+    * stage writes MATERIALIZE each delta exactly once (the live
+    * appends replay from the staged parquet, never from the delta's
+    * lineage); a crash anywhere in here leaves no manifest, so
+    * nothing is half-applied — the stage dirs are garbage the next
+    * staging overwrites. Requires a pending-manifest-free prefix
+    * (callers complete or refuse first). */
+  private def stageBatch(spark: SparkSession, prefix: String,
+      batchId: String, faces: Seq[FacePlan], buckets: Int,
+      rebuildBounds: Boolean, maxFilesPerBucket: Option[Int]): Unit = {
+    val wh = localWarehouse(spark).getOrElse(sys.error(
+      "stageBatch requires a local warehouse (checked by callers)"))
+    require(readBatchManifest(spark, prefix).isEmpty,
+      s"a staged batch is still pending under '$prefix' — " +
+        "applyStagedBatch/recoverAll must complete it before a new " +
+        "batch stages (single-writer contract)")
+    val staged = faces.map { f =>
+      val dir = stageDirFor(wh, f.table)
+      f.df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val hasParts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .exists(p => p.isFile && p.getName.startsWith("part-"))
+      val deltaCount =
+        if (hasParts) spark.read.parquet(dir.getAbsolutePath).count()
+        else 0L
+      val countBefore =
+        if (spark.catalog.tableExists(f.table)) spark.table(f.table).count()
+        else 0L
+      StagedFace(f.table, f.kind, dir.getAbsolutePath, f.keys, f.props,
+        f.df.schema.toDDL, countBefore, deltaCount, applied = false)
+    }
+    writeBatchManifest(wh, BatchManifest(batchId, prefix, buckets,
+      rebuildBounds, maxFilesPerBucket, staged))
+  }
+
+  /** Complete (or finish completing) the pending staged batch under
+    * `prefix`: append every not-yet-applied face FROM ITS STAGE
+    * DIRECTORY in manifest order, marking each applied as it lands;
+    * when all faces are applied, run the maintenance tail and delete
+    * the stage + manifest. Returns the completed batch id, None when
+    * no batch was pending. Crash-safe at every point:
+    *
+    *  - unmarked face, live table did NOT grow -> append it (the
+    *    crash hit before the append committed);
+    *  - unmarked face, live table already grew by the delta -> mark
+    *    it applied WITHOUT re-appending (the crash hit between the
+    *    append's job commit and the manifest mark — re-appending
+    *    would duplicate index rows and double additive stats);
+    *  - crash inside the maintenance tail -> every face is marked,
+    *    the tail re-runs idempotently on the next call.
+    *
+    * Recovery appends come from the STAGE, never from a re-run
+    * admission — the verdict-r15 failure narrative (replay refuses on
+    * the digests that landed, gating the remaining deltas on a
+    * now-empty admitted set) structurally cannot happen. */
+  def applyStagedBatch(spark: SparkSession, prefix: String): Option[String] =
+    applyStagedBatch(spark, prefix, Int.MaxValue)
+
+  /** The bounded face — `maxFaces` unapplied faces per call — exists
+    * for the kill-mid-sequence drill (a real caller wants them all). */
+  private[graft] def applyStagedBatch(spark: SparkSession, prefix: String,
+      maxFaces: Int): Option[String] = {
+    requirePlainName(prefix)
+    val wh = localWarehouse(spark) match {
+      case Some(w) => w
+      case None => return None
+    }
+    readManifestFile(manifestFile(wh, prefix)) match {
+      case None => None
+      case Some(m0) =>
+        var m = m0
+        var appliedNow = 0
+        m.faces.zipWithIndex.foreach { case (f, i) =>
+          if (!f.applied && appliedNow < maxFaces) {
+            recover(spark, f.table) // re-attach after a catalog loss
+            val landed = f.deltaCount > 0 &&
+              spark.catalog.tableExists(f.table) &&
+              spark.table(f.table).count() >= f.countBefore + f.deltaCount
+            if (landed)
+              System.err.println(s"[admission-indexes] batch " +
+                s"'${m.batchId}': face '${f.table}' already landed " +
+                "(crash between append commit and manifest mark) — " +
+                "marking applied without re-appending")
+            else {
+              val stageDir = new java.io.File(f.stage)
+              val hasParts = Option(stageDir.listFiles())
+                .getOrElse(Array.empty)
+                .exists(p => p.isFile && p.getName.startsWith("part-"))
+              val df =
+                if (hasParts) spark.read.parquet(f.stage)
+                else spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType.fromDDL(f.schemaDdl))
+              applyFace(df, f.kind, f.table, f.keys, m.buckets, f.props)
+            }
+            m = m.copy(faces = m.faces.updated(i, f.copy(applied = true)))
+            writeBatchManifest(wh, m)
+            appliedNow += 1
+          }
+        }
+        if (m.faces.forall(_.applied)) {
+          appendTail(spark, prefix, m.faces.map(f => f.table -> f.keys),
+            m.faces.exists(_.table == s"${prefix}_postings"), m.buckets,
+            m.rebuildBounds, m.maxFilesPerBucket)
+          m.faces.foreach(f => {
+            val d = new java.io.File(f.stage)
+            if (d.exists()) deleteRecursively(d)
+          })
+          java.nio.file.Files.deleteIfExists(manifestFile(wh, prefix).toPath)
+        }
+        Some(m.batchId)
+    }
+  }
+
+  /** Drill hook: rewrite the pending manifest (the spec constructs
+    * the crash-between-append-commit-and-mark state with it). */
+  private[graft] def rewriteBatchManifest(spark: SparkSession,
+      m: BatchManifest): Unit =
+    localWarehouse(spark).foreach(writeBatchManifest(_, m))
+
+  /** Entry gate of every staged append: a pending manifest means a
+    * previous batch crashed mid-sequence — complete it FROM ITS STAGE
+    * before this batch's admission probes the estate, so the indexes
+    * the probe reads are exactly the uncrashed state. */
+  private def completePendingBatch(spark: SparkSession,
+      prefix: String): Unit =
+    readBatchManifest(spark, prefix).foreach { m =>
+      System.err.println(s"[admission-indexes] '$prefix' carries a " +
+        s"partially-applied staged batch '${m.batchId}' " +
+        s"(${m.faces.count(_.applied)}/${m.faces.size} faces applied) " +
+        "— completing it from the stage before this batch runs")
+      applyStagedBatch(spark, prefix)
+    }
 
   // ---------------------------------------------------------------
   // Spec sidecar: catalog-independent recovery metadata

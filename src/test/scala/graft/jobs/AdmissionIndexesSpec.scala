@@ -1036,4 +1036,109 @@ class AdmissionIndexesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("tbl"))
   }
+
+  test("kill-mid-sequence drill: a crash after the FIRST face of a " +
+      "staged multimodal batch, followed by the documented replay, " +
+      "ends with every index IDENTICAL to the uncrashed run; an " +
+      "unmarked-but-landed face is detected by the count guard and " +
+      "never re-appended; bootstrap refuses over a pending batch") {
+    def code56(i: Long): Long = (i * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    def code32(i: Long): Long = (i * 0x9E3779B9L) & 0xFFFFFFFFL
+    def text(stem: String): String =
+      (0 until 12).map(w => s"$stem$w").mkString(" ")
+    val corpus = (1L to 4L).map(i => (i, text(s"corp$i")))
+      .toDF("doc_id", "text").localCheckpoint()
+    Seq("ok_mm", "kl_mm").foreach(p =>
+      AdmissionIndexes.bootstrap(corpus, "doc_id", "text", p, buckets = 2))
+    def mkBatch() = CorpusPipeline.MultimodalBatch(
+      docs = Seq((100L, text("corp1")), (101L, text("img")),
+        (103L, text("aud")), (104L, text("vid"))).toDF("doc_id", "text"),
+      imageCodes = Some(Seq((100L, code56(50)), (101L, code56(7)))
+        .toDF("doc_id", "code")),
+      audioCodes = Some(Seq((103L, code32(9))).toDF("doc_id", "code")),
+      videoFrames = Some(Seq((104L, 0, code56(301)), (104L, 1, code56(302)))
+        .toDF("media_id", "frame_no", "code")))
+
+    // the UNCRASHED twin estate
+    AdmissionIndexes.runMultimodalBatch(corpus, mkBatch(), "ok_mm",
+      "doc_id", "text", buckets = 2)
+
+    // the CRASHED estate: stage the full 8-face batch, apply exactly
+    // ONE face (the digest append lands), then "die" — the r15
+    // verdict's failure-narrative state: digests describe a batch the
+    // band/window/postings/media indexes never saw
+    AdmissionIndexes.runMultimodalStaged(corpus, mkBatch(), "kl_mm",
+      "doc_id", "text", buckets = 2, batchId = Some("drill_b1"))
+    AdmissionIndexes.applyStagedBatch(spark, "kl_mm", maxFaces = 1)
+    val pending = AdmissionIndexes.readBatchManifest(spark, "kl_mm").get
+    assert(pending.faces.head.table == "kl_mm_digests" &&
+      pending.faces.head.applied && pending.faces.tail.forall(!_.applied),
+      s"crash state must be digests-only: ${pending.faces.map(f =>
+        f.table -> f.applied)}")
+    assert(!spark.catalog.tableExists("kl_mm_image"),
+      "no media face may have landed yet")
+
+    // a rebuild over the pending batch is refused (its stale deltas
+    // would land on the fresh tables at the next completion)
+    val boot = intercept[IllegalArgumentException] {
+      AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "kl_mm",
+        buckets = 2)
+    }
+    assert(boot.getMessage.contains("staged batch"))
+
+    // recovery move: the DOCUMENTED replay — entry completes the
+    // partial batch from its stage, then the replayed admission
+    // refuses wholesale (every doc now a corpus dup)
+    val admR = AdmissionIndexes.runMultimodalBatch(corpus, mkBatch(),
+      "kl_mm", "doc_id", "text", buckets = 2)
+    assert(admR.admitted.count() == 0,
+      "the replay must admit nothing once the batch is backfilled")
+    assert(AdmissionIndexes.readBatchManifest(spark, "kl_mm").isEmpty,
+      "the manifest must be consumed by the completion")
+    // EVERY index identical to the uncrashed twin — the property the
+    // pre-staging sequence could not give (its replay refused on the
+    // landed digests and permanently emptied the remaining deltas)
+    for (s <- Seq("_digests", "_bands", "_windows", "_postings",
+        "_image", "_audio", "_video")) {
+      val ok = spark.table(s"ok_mm$s").collect().map(_.toString).sorted.toSeq
+      val kl = spark.table(s"kl_mm$s").collect().map(_.toString).sorted.toSeq
+      assert(ok == kl, s"index $s diverged after crash + replay")
+    }
+    // stats fold additively (the replay appends a zero row) — compare
+    // the folded value, the only thing probes read
+    val okStats = AdmissionIndexes.loadCorpusStats(spark, "ok_mm_stats")
+      .collect().head.toString
+    val klStats = AdmissionIndexes.loadCorpusStats(spark, "kl_mm_stats")
+      .collect().head.toString
+    assert(okStats == klStats, s"stats diverged: $okStats vs $klStats")
+
+    // second drill: crash BETWEEN a face's append commit and its
+    // manifest mark — the count guard must mark it applied instead of
+    // re-appending (duplicate index rows, doubled additive stats)
+    val b2 = CorpusPipeline.MultimodalBatch(
+      docs = Seq((300L, text("fresh300")), (301L, text("fresh301")))
+        .toDF("doc_id", "text"))
+    AdmissionIndexes.runMultimodalStaged(corpus, b2, "kl_mm",
+      "doc_id", "text", buckets = 2, batchId = Some("drill_b2"))
+    AdmissionIndexes.applyStagedBatch(spark, "kl_mm", maxFaces = 1)
+    val m2 = AdmissionIndexes.readBatchManifest(spark, "kl_mm").get
+    assert(m2.faces.head.deltaCount > 0, "the drill needs a real delta")
+    val digestsAfter = spark.table("kl_mm_digests").count()
+    AdmissionIndexes.rewriteBatchManifest(spark, m2.copy(faces =
+      m2.faces.updated(0, m2.faces.head.copy(applied = false))))
+    // recoverAll (the startup sweep) completes the batch
+    val actions = AdmissionIndexes.recoverAll(spark)
+    assert(actions.exists(_.contains("drill_b2")),
+      s"recoverAll must report the completion: $actions")
+    assert(spark.table("kl_mm_digests").count() == digestsAfter,
+      "the landed-but-unmarked face must not be re-appended")
+    assert(AdmissionIndexes.readBatchManifest(spark, "kl_mm").isEmpty)
+    assert(spark.table("kl_mm_digests").filter(col("id").isin(300L, 301L))
+      .count() == 2, "batch 2's digests landed exactly once")
+
+    (Seq("_digests", "_bands", "_windows", "_postings", "_stats",
+      "_bounds", "_image", "_audio", "_video"))
+      .flatMap(s => Seq(s"ok_mm$s", s"kl_mm$s"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -487,4 +487,69 @@ class RunnerSpec extends SparkSpec {
       "mm_idx_image", "mm_idx_audio", "mm_idx_video")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("day-0 media bootstrap symmetry: bootstrapMultimodal builds " +
+      "every modality's index from the corpus's OWN code frames in " +
+      "one call, batch 1 dedupes against them on every face, and its " +
+      "deltas extend the day-0 indexes") {
+    def code56(i: Long): Long = (i * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    def code32(i: Long): Long = (i * 0x9E3779B9L) & 0xFFFFFFFFL
+    def text(stem: String): String =
+      (0 until 12).map(w => s"$stem$w").mkString(" ")
+    val corpus = Seq((1L, text("corp1")), (2L, text("corp2")),
+      (3L, text("corp3"))).toDF("doc_id", "text").localCheckpoint()
+    AdmissionIndexes.bootstrapMultimodal(corpus, "doc_id", "text",
+      "d0_mm",
+      imageCodes = Some(Seq((1L, code56(7))).toDF("doc_id", "code")),
+      audioCodes = Some(Seq((2L, code32(9))).toDF("doc_id", "code")),
+      videoFrames = Some(
+        Seq((3L, 0, code56(301)), (3L, 1, code56(302)))
+          .toDF("media_id", "frame_no", "code")),
+      buckets = 2)
+    Seq("d0_mm_image", "d0_mm_audio", "d0_mm_video").foreach(t =>
+      assert(spark.catalog.tableExists(t), s"day-0 must build $t"))
+    // the stamp gate verifies day-0/batch parity: the defaults the
+    // bootstrap stamped are the defaults the batch probes with
+    assert(AdmissionIndexes.tableProps(spark, "d0_mm_image") ==
+      Map("graft.maxHamming" -> "3", "graft.bits" -> "56"))
+
+    // batch 1 against the DAY-0 indexes (no prior batch appended):
+    //   100: image near-dup (hamming 1) of corpus doc 1's code;
+    //   101: video re-post sharing corpus doc 3's frames;
+    //   102: clean text + fresh audio -> the only admit.
+    val b1 = CorpusPipeline.MultimodalBatch(
+      docs = Seq((100L, text("imgpost")), (101L, text("vidpost")),
+        (102L, text("freshaud"))).toDF("doc_id", "text"),
+      imageCodes = Some(Seq((100L, code56(7) ^ 1L)).toDF("doc_id", "code")),
+      audioCodes = Some(Seq((102L, code32(77))).toDF("doc_id", "code")),
+      videoFrames = Some(
+        Seq((101L, 0, code56(301)), (101L, 1, code56(302)))
+          .toDF("media_id", "frame_no", "code")))
+    val adm = AdmissionIndexes.runMultimodalBatch(corpus, b1, "d0_mm",
+      "doc_id", "text", buckets = 2)
+    assert(adm.admitted.select("doc_id").as[Long].collect().toSeq ==
+      Seq(102L),
+      "100 must lose on the day-0 image index, 101 on the day-0 " +
+        "video frames; only 102 is fresh")
+    assert(adm.image.get.annotated.filter(col("doc_id") === 100L)
+      .select("is_corpus_phash_dup").as[Boolean].head(),
+      "100 must read as an image corpus dup against the DAY-0 index")
+    assert(adm.video.get.annotated.filter(col("media_id") === 101L)
+      .select("is_corpus_dup").as[Boolean].head(),
+      "101 must read as a video corpus dup against the DAY-0 frames")
+    // deltas extend the day-0 indexes under the combined verdict:
+    // only 102's audio code lands; refused media never does
+    assert(AdmissionIndexes.load(spark, "d0_mm_audio")
+      .select("id").distinct().as[Long].collect().toSet == Set(2L, 102L))
+    assert(AdmissionIndexes.load(spark, "d0_mm_image")
+      .select("id").distinct().as[Long].collect().toSet == Set(1L))
+    assert(AdmissionIndexes.load(spark, "d0_mm_video")
+      .select(col("id.media_id")).distinct().as[Long].collect().toSet ==
+      Set(3L))
+
+    Seq("d0_mm_digests", "d0_mm_bands", "d0_mm_windows",
+      "d0_mm_postings", "d0_mm_stats", "d0_mm_bounds",
+      "d0_mm_image", "d0_mm_audio", "d0_mm_video")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
