@@ -38,8 +38,14 @@ package graft
   *     vs other rounds. Graders can separate "the code got slower"
   *     (cpu up) from "the host was contended" (wall up, cpu flat).
   *
-  * Results are also flushed to bench_last.json after every query for
-  * humans inspecting a dead run.
+  * Results are also flushed to a file after every query for humans
+  * inspecting a dead run: bench_last.json for a CANONICAL run (full
+  * registry, the committed baseline's dataset — the next run's
+  * 1.5x-guard prior), bench_solo.json for query-subset/off-dataset
+  * runs, which must never consume the canonical prior (the r15 1000x
+  * campaign did, and the next sweep cried 17 spurious flags against
+  * the stricter baseline fallback). The artifact records which prior
+  * the guard judged against as "regressed_prior".
   */
 object Bench {
 

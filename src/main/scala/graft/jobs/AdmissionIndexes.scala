@@ -763,6 +763,17 @@ object AdmissionIndexes {
     * exactly the missing faces FROM THE STAGE, never from a re-run
     * admission. [[runMultimodalBatch]] always stages.
     *
+    * Entry-gate timing: the staged path completes any pending batch
+    * BEFORE this batch's deltas materialize. In the normal flow
+    * (admitBatch builds lazy plans; this call is the first action to
+    * force them) the admission's index probes therefore execute
+    * against the COMPLETED estate even though the plans were built
+    * earlier. A caller who FORCED the admission before calling here
+    * (e.g. counted `adm.admitted`) pinned its probes against the
+    * possibly-half-applied estate — run [[recoverAll]] at startup
+    * (the documented sweep) so that state never reaches an
+    * admission in the first place.
+    *
     * A postings append invalidates the MaxScore `{prefix}_bounds`
     * table (df/avg_len shift, moving every term's bound either way):
     * `rebuildBounds = true` recomputes it here, in the same

@@ -27,9 +27,11 @@ import graft.{Sessions, Tables}
   * Both arms must produce the IDENTICAL top-100 frame before their
   * walls print (single-JVM mode). Usage:
   * runMain graft.tools.DistinctAggBenchJob <dir>
-  * [expand|twolevel|union|both]
+  * [expand|twolevel|twolevel_nn|union|both]
   * — the dir needs only lineitem.parquet. `both` (default) alternates
-  * the arms min-of-2 in one JVM; a single-arm run exists so a
+  * the arms min-of-2 in one JVM (`twolevel_nn` — the
+  * groupNullable=false fast path — and `union` run single-arm only);
+  * a single-arm run exists so a
   * heap-death in one arm can be ATTRIBUTED (HotKeyBenchJob's
   * failure-matrix discipline — at 600M rows the expand arm's fate is
   * part of the measurement), printing the arm's wall plus an
