@@ -1257,7 +1257,12 @@ object AdmissionIndexes {
     * object store without atomic rename should use a transactional
     * table format instead). `schemaDdl` reconstructs an EMPTY delta
     * at apply time (a 0-row stage write may produce no readable
-    * parquet part). */
+    * parquet part). Cost note: the `countBefore` snapshot (and the
+    * recovery-side re-count) is a count() over the LIVE table —
+    * parquet answers it from file footers, never a data scan, so the
+    * cost is bounded by the table's FILE count, which the
+    * compaction cadence bounds (one file per bucket when fresh); it
+    * does not grow with rows. */
   private[graft] final case class StagedFace(table: String, kind: String,
       stage: String, keys: Seq[String], props: Map[String, String],
       schemaDdl: String, countBefore: Long, deltaCount: Long,

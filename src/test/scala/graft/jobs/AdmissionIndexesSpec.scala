@@ -1136,6 +1136,36 @@ class AdmissionIndexesSpec extends SparkSpec {
     assert(spark.table("kl_mm_digests").filter(col("id").isin(300L, 301L))
       .count() == 2, "batch 2's digests landed exactly once")
 
+    // third drill: crash DURING staging — stage dirs written, manifest
+    // never committed. The manifest's existence IS the commit point:
+    // with it absent the estate must read as if the batch never ran
+    // (the orphan stage dirs are garbage the next staging overwrites),
+    // and a re-run must land the batch exactly once.
+    val preCounts = Seq("_digests", "_bands", "_windows", "_postings")
+      .map(s => s -> spark.table(s"kl_mm$s").count()).toMap
+    val b3 = CorpusPipeline.MultimodalBatch(
+      docs = Seq((400L, text("fresh400"))).toDF("doc_id", "text"))
+    AdmissionIndexes.runMultimodalStaged(corpus, b3, "kl_mm",
+      "doc_id", "text", buckets = 2, batchId = Some("drill_b3"))
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    val manifest = new java.io.File(wh, "_graft_batch_kl_mm.json")
+    assert(manifest.isFile, "staging must have committed a manifest")
+    assert(manifest.delete()) // = crash one instant before that commit
+    assert(AdmissionIndexes.readBatchManifest(spark, "kl_mm").isEmpty)
+    assert(AdmissionIndexes.applyStagedBatch(spark, "kl_mm").isEmpty,
+      "no manifest -> nothing to complete, orphan stages ignored")
+    preCounts.foreach { case (s, n) =>
+      assert(spark.table(s"kl_mm$s").count() == n,
+        s"a crash during staging must leave $s untouched") }
+    // the re-run (the documented recovery for an unstarted batch)
+    // overwrites the orphan stage dirs and lands the batch once
+    AdmissionIndexes.runMultimodalBatch(corpus, b3, "kl_mm",
+      "doc_id", "text", buckets = 2, batchId = Some("drill_b3_retry"))
+    assert(spark.table("kl_mm_digests").filter(col("id") === 400L)
+      .count() == 1, "the re-staged batch must land exactly once")
+    assert(AdmissionIndexes.readBatchManifest(spark, "kl_mm").isEmpty)
+
     (Seq("_digests", "_bands", "_windows", "_postings", "_stats",
       "_bounds", "_image", "_audio", "_video"))
       .flatMap(s => Seq(s"ok_mm$s", s"kl_mm$s"))
