@@ -69,7 +69,11 @@ object Aggregates {
     * aliases, so an input column named like a temp, or a duplicate
     * across groupCol/totalAs/aliases, or a distinct key equal to the
     * group column would resolve ambiguously or silently drop a
-    * caller column via drop("__g") — refused here instead. */
+    * caller column via drop("__g") — refused here instead. Both
+    * names are reserved for BOTH shapes deliberately (the join form
+    * only stages through __g): the shapes are documented as
+    * swappable arms of one contract, and a frame accepted by one but
+    * refused by the other would make the swap a breaking change. */
   private def requireSafeNames(
       df: DataFrame,
       groupCol: String,

@@ -92,7 +92,15 @@ object Bench {
       .sorted
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // normalized so a cosmetic path difference (trailing slash, ./)
+    // can't demote every run to non-canonical AND disarm the prior
+    // gate at once — both compare this string to recorded sf fields
+    def normDir(s: String): String =
+      try java.nio.file.Paths.get(s).normalize.toString catch {
+        case _: Throwable => s
+      }
+    val sfDir = normDir(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(600.0)
     val spark = Sessions.local("graft-bench")
@@ -128,7 +136,7 @@ object Bench {
       else try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
-        if (root.path("sf").asText("") != sfDir ||
+        if (normDir(root.path("sf").asText("")) != sfDir ||
             root.path("partial").asBoolean(false)) None
         else {
           import scala.jdk.CollectionConverters._
@@ -195,7 +203,8 @@ object Bench {
           .readTree(java.nio.file.Files.readAllBytes(p))
           .path("sf").asText(null))
       } catch { case _: Throwable => None }
-    val canonicalRun = args.isEmpty && baselineSf.forall(_ == sfDir)
+    val canonicalRun = args.isEmpty &&
+      baselineSf.forall(normDir(_) == sfDir)
     val lastFile = if (canonicalRun) "bench_last.json" else "bench_solo.json"
     if (!canonicalRun)
       System.err.println(s"[bench] non-canonical run (" +

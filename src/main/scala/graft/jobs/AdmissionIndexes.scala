@@ -548,13 +548,25 @@ object AdmissionIndexes {
         .filter(f => f.isFile && f.getName.startsWith("_graft_batch_") &&
           f.getName.endsWith(".json"))
         .sortBy(_.getName)
-        .flatMap(f => readManifestFile(f))
-        .flatMap { m =>
-          applyStagedBatch(spark, m.prefix).map { id =>
-            val msg = s"completed partially-applied staged batch " +
-              s"'$id' under prefix '${m.prefix}'"
-            System.err.println(s"[admission-indexes] $msg")
-            msg
+        .flatMap { f =>
+          // one corrupt manifest must not abort the whole startup
+          // sweep (the other prefixes' pending batches still need
+          // completing) — it is reported per manifest here, while
+          // the per-prefix append paths keep the hard refusal
+          try readManifestFile(f).flatMap { m =>
+            applyStagedBatch(spark, m.prefix).map { id =>
+              val msg = s"completed partially-applied staged batch " +
+                s"'$id' under prefix '${m.prefix}'"
+              System.err.println(s"[admission-indexes] $msg")
+              msg
+            }
+          } catch {
+            case e: IllegalStateException =>
+              val msg = s"SKIPPED unreadable batch manifest " +
+                s"${f.getName}: ${e.getMessage} — that prefix refuses " +
+                "appends until the manifest is repaired or removed"
+              System.err.println(s"[admission-indexes] $msg")
+              Some(msg)
           }
         }
     }
@@ -642,6 +654,23 @@ object AdmissionIndexes {
     import graft.dedup.Dedup
     bootstrap(corpus, idCol, textCol, prefix, buckets, shingleN, bands,
       rowsPerBand, winLen)
+    // an omitted modality on a REBUILD means this corpus carries no
+    // such media — a leftover index from a previous build would keep
+    // refusing batches as "corpus dups" against media no longer in
+    // the corpus (silent wrong refusals), so it is dropped loudly.
+    // To rebuild the text half while KEEPING live media indexes,
+    // call [[bootstrap]] instead.
+    Seq("image" -> imageCodes, "audio" -> audioCodes,
+        "video" -> videoFrames).foreach { case (mod, codes) =>
+      val t = s"${prefix}_$mod"
+      if (codes.isEmpty && corpus.sparkSession.catalog.tableExists(t)) {
+        corpus.sparkSession.sql(s"DROP TABLE `$t`")
+        System.err.println("[admission-indexes] bootstrapMultimodal: " +
+          s"dropped stale '$t' — the rebuild passed no $mod code " +
+          "frames, so the old index described media this corpus no " +
+          "longer carries")
+      }
+    }
     def buildFace(table: String, keyed: DataFrame,
         params: (Int, Int)): Unit = {
       val (mh, b) = params
@@ -1247,11 +1276,16 @@ object AdmissionIndexes {
     * (`stage`, a plain parquet directory — readable with NO catalog,
     * so recovery survives an in-memory catalog loss), where and how
     * it appends, and the two row counts the recovery guard needs.
-    * `countBefore`/`deltaCount` close the one ambiguous crash window
-    * — between a face's append COMMITTING and its manifest mark
+    * `countBefore`/`deltaCount` close the ambiguous crash window
+    * between a face's append COMMITTING and its manifest mark
     * landing: on recovery an unmarked face whose live table already
-    * grew by the delta is marked applied instead of re-appended, so
-    * the guard assumes (a) a SINGLE writer per prefix (the standing
+    * grew by the delta is marked applied instead of re-appended. (A
+    * TABLE-CREATING face has a sibling window — between the commit
+    * and the spec-sidecar write — where a catalog loss leaves data
+    * recover() cannot attach; [[applyStagedBatch]] reconstructs the
+    * sidecar from this record's keys/buckets/schema/props before the
+    * count guard runs.) The guard assumes (a) a SINGLE writer per
+    * prefix (the standing
     * admission-estate contract) and (b) job-commit atomicity of each
     * append (FileOutputCommitter moves task files at job commit; an
     * object store without atomic rename should use a transactional
@@ -1429,6 +1463,38 @@ object AdmissionIndexes {
         m.faces.zipWithIndex.foreach { case (f, i) =>
           if (!f.applied && appliedNow < maxFaces) {
             recover(spark, f.table) // re-attach after a catalog loss
+            if (!spark.catalog.tableExists(f.table)) {
+              // a TABLE-CREATING face has one more crash window than
+              // the count guard below sees: its save commits the data
+              // then writes the spec sidecar — die between the two
+              // and a catalog loss leaves a data dir recover() cannot
+              // attach (no sidecar), which would read as "not landed"
+              // and re-append the committed rows. The manifest carries
+              // keys/buckets/schema/props precisely so the sidecar
+              // can be reconstructed here; with it attached, the
+              // count guard sees the landed rows. A dir with NO
+              // committed part files is uncommitted leftovers (e.g. a
+              // crashed first write's _temporary) — parked aside so
+              // the creating append doesn't refuse on a non-empty
+              // managed location.
+              val dir = new java.io.File(wh, f.table.toLowerCase)
+              val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+                .filter(p => p.isFile && p.getName.startsWith("part-"))
+              if (parts.nonEmpty && readSpec(dir).isEmpty) {
+                writeSpec(spark, f.table, f.keys,
+                  if (f.kind == "stats") 0 else m.buckets,
+                  f.schemaDdl, f.props)
+                registerFromSpec(spark, f.table)
+                System.err.println(s"[admission-indexes] batch " +
+                  s"'${m.batchId}': face '${f.table}' had committed " +
+                  "data but no spec sidecar (crash between the " +
+                  "creating append's commit and its sidecar write) — " +
+                  "sidecar reconstructed from the manifest and " +
+                  "re-attached")
+              } else if (dir.exists() && parts.isEmpty &&
+                  readSpec(dir).isEmpty)
+                quarantine(wh, dir)
+            }
             val landed = f.deltaCount > 0 &&
               spark.catalog.tableExists(f.table) &&
               spark.table(f.table).count() >= f.countBefore + f.deltaCount

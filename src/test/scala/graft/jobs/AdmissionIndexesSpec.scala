@@ -965,6 +965,75 @@ class AdmissionIndexesSpec extends SparkSpec {
     spark.sql("DROP TABLE vlife_idx")
   }
 
+  test("table-creating face crash window: a face whose append " +
+      "committed its CREATE but died before the spec-sidecar write, " +
+      "followed by a catalog loss, is re-attached from the manifest's " +
+      "own keys/buckets/schema/props and NEVER re-appended") {
+    def code56(i: Long): Long = (i * 0x9E3779B97F4A7CL) & ((1L << 56) - 1)
+    def text(stem: String): String =
+      (0 until 12).map(w => s"$stem$w").mkString(" ")
+    val corpus = (1L to 3L).map(i => (i, text(s"tcf$i")))
+      .toDF("doc_id", "text").localCheckpoint()
+    AdmissionIndexes.bootstrap(corpus, "doc_id", "text", "tcf_mm",
+      buckets = 2)
+    val batch = CorpusPipeline.MultimodalBatch(
+      docs = Seq((10L, text("tcfimg"))).toDF("doc_id", "text"),
+      imageCodes = Some(Seq((10L, code56(77))).toDF("doc_id", "code")))
+    AdmissionIndexes.runMultimodalStaged(corpus, batch, "tcf_mm",
+      "doc_id", "text", buckets = 2, batchId = Some("tcf_b1"))
+    val m0 = AdmissionIndexes.readBatchManifest(spark, "tcf_mm").get
+    val imgIdx = m0.faces.indexWhere(_.table == "tcf_mm_image")
+    assert(imgIdx >= 0 && m0.faces(imgIdx).deltaCount > 0)
+    // complete for real — the image append commits its CREATE — then
+    // reconstruct the exact crash state: committed data dir, NO
+    // sidecar (the crash hit between commit and sidecar write), NO
+    // catalog entry (in-memory catalog died with the JVM), manifest
+    // pending with the image face unmarked
+    AdmissionIndexes.applyStagedBatch(spark, "tcf_mm")
+    val rows = spark.table("tcf_mm_image").count()
+    assert(rows > 0)
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    val dir = new java.io.File(wh, "tcf_mm_image")
+    val park = new java.io.File(wh, "tcf_mm_image.parked")
+    assert(dir.renameTo(park))
+    spark.sql("DROP TABLE tcf_mm_image")
+    assert(park.renameTo(dir))
+    val spec = new java.io.File(dir, "_graft_spec.json")
+    assert(spec.isFile && spec.delete(), "drill needs the sidecar gone")
+    AdmissionIndexes.rewriteBatchManifest(spark, m0.copy(faces =
+      m0.faces.zipWithIndex.map { case (f, i) =>
+        f.copy(applied = i != imgIdx) }))
+    // without the reconstruction this recovery would read the face as
+    // not-landed (no catalog entry) and re-append the committed rows
+    val actions = AdmissionIndexes.recoverAll(spark)
+    assert(actions.exists(_.contains("tcf_b1")), s"got $actions")
+    assert(spark.catalog.tableExists("tcf_mm_image"))
+    assert(spark.table("tcf_mm_image").count() == rows,
+      "the committed face must not be re-appended (duplicate rows)")
+    assert(AdmissionIndexes.readBatchManifest(spark, "tcf_mm").isEmpty)
+    assert(AdmissionIndexes.tableProps(spark, "tcf_mm_image").nonEmpty,
+      "the hamming stamp must ride the reconstructed sidecar")
+    (Seq("_digests", "_bands", "_windows", "_postings", "_stats",
+      "_bounds", "_image")).foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS tcf_mm$s"))
+  }
+
+  test("recoverAll isolates an unreadable batch manifest: reported " +
+      "as a skipped action, the sweep continues, the file survives " +
+      "for repair") {
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    val bad = new java.io.File(wh, "_graft_batch_zzz.json")
+    java.nio.file.Files.writeString(bad.toPath, "{torn json")
+    try {
+      val actions = AdmissionIndexes.recoverAll(spark)
+      assert(actions.exists(a => a.contains("SKIPPED") &&
+        a.contains("zzz")), s"got $actions")
+      assert(bad.isFile, "the torn manifest must survive for repair")
+    } finally { bad.delete(); () }
+  }
+
   test("registerFromSpec heal QUARANTINES a non-part-file shell " +
       "instead of deleting it, and refuses any non-empty live dir") {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

@@ -547,6 +547,21 @@ class RunnerSpec extends SparkSpec {
       .select(col("id.media_id")).distinct().as[Long].collect().toSet ==
       Set(3L))
 
+    // a REBUILD that omits a modality drops its stale index: the
+    // re-curated corpus carries no video, and a leftover video index
+    // would keep refusing batch re-posts of REMOVED corpus videos as
+    // "corpus dups" (silent wrong refusals); the kept modality is
+    // rebuilt from the passed codes as usual
+    AdmissionIndexes.bootstrapMultimodal(corpus, "doc_id", "text",
+      "d0_mm", imageCodes =
+        Some(Seq((1L, code56(11))).toDF("doc_id", "code")),
+      buckets = 2)
+    assert(!spark.catalog.tableExists("d0_mm_video") &&
+      !spark.catalog.tableExists("d0_mm_audio"),
+      "omitted modalities' stale indexes must not survive a rebuild")
+    assert(AdmissionIndexes.load(spark, "d0_mm_image")
+      .select("id").distinct().as[Long].collect().toSet == Set(1L))
+
     Seq("d0_mm_digests", "d0_mm_bands", "d0_mm_windows",
       "d0_mm_postings", "d0_mm_stats", "d0_mm_bounds",
       "d0_mm_image", "d0_mm_audio", "d0_mm_video")
