@@ -215,7 +215,10 @@ object EventStream {
     * index is broadcast and probed per micro-batch), then
     * first-within-the-stream wins via
     * `dropDuplicatesWithinWatermark` on the digest (state bounded by
-    * the watermark, exactly like [[watermarkDedupe]]).
+    * the watermark, exactly like [[watermarkDedupe]]). Null-digest
+    * rows (null text) PASS THROUGH both stages — they carry no
+    * dedupe evidence, matching the batch face's deliberate
+    * keep-every-null-row contract (`Dedup.incrementalExactDedup`).
     *
     * `docs` must carry `tsCol` (event time) and `textCol`;
     * `indexDigests` is `Dedup.contentDigests` output (or any frame
@@ -228,14 +231,24 @@ object EventStream {
       indexDigests: DataFrame,
       textCol: String = "text",
       watermark: String = "10 minutes",
-      tsCol: String = "ts"): DataFrame =
-    docs
+      tsCol: String = "ts"): DataFrame = {
+    val digested = docs
       .withColumn("digest",
         graft.dedup.Dedup.contentDigestOf(col(textCol)))
       .join(broadcast(indexDigests.select(col("digest"))),
         Seq("digest"), "left_anti")
       .withWatermark(tsCol, watermark)
+    // null digests (null text) carry no dedupe evidence and PASS
+    // THROUGH — the batch face (Dedup.incrementalExactDedup)
+    // deliberately keeps every null-digest row, and routing them
+    // into the watermark dedupe would key them all to ONE (null)
+    // state entry, silently dropping every null-text doc but the
+    // first per watermark horizon — the exact asymmetry the two
+    // faces' shared-contract scaladoc forbids
+    digested.filter(col("digest").isNotNull)
       .dropDuplicatesWithinWatermark("digest")
+      .unionByName(digested.filter(col("digest").isNull))
+  }
 
   /** Streaming NEAR-dup admission against a persisted LSH band index
     * — the streaming face of `CorpusPipeline.admitBatch`'s
@@ -554,6 +567,32 @@ object EventStream {
     * hamming verify pipelined in the join output. Emits the key
     * columns + tsCol + codeCol + `__ham` (nullable int — null on a
     * join miss; callers choose their miss encoding). */
+  /** The shared top-k fold of every streaming retrieval face: the
+    * per-candidate struct carries `negs = -score` so ONE ascending
+    * sort_array orders by (score DESC, id ASC) — the batch faces'
+    * tie-break — for ANY id type. The previous form negated the ID
+    * for the tie-break, which under this engine's non-ANSI casts
+    * silently evaluates to null for a non-numeric id column and
+    * flips ties to id-DESCENDING; and it was hand-copied in three
+    * faces — the drift hazard [[hammingProbe]] exists to prevent for
+    * the fingerprint family. One definition, not a convention.
+    * `extra` fields ride the struct after the two ordering fields
+    * (never reached on ties — id is unique per candidate row). */
+  private def topKStruct(score: Column, id: Column,
+      extra: Seq[(String, Column)] = Nil): Column =
+    struct((Seq((-score).as("negs"), id.as("id")) ++
+      extra.map { case (n, c) => c.as(n) }): _*)
+
+  /** Keep the k best candidate structs (built by [[topKStruct]]);
+    * `distinct` routes through collect_set (identical candidate rows
+    * fold — e.g. a neighbor reached through two probed cells),
+    * collect_list otherwise. */
+  private def topKFold(candidate: Column, k: Int,
+      distinct: Boolean): Column =
+    slice(sort_array(
+      if (distinct) collect_set(candidate) else collect_list(candidate),
+      asc = true), 1, k)
+
   private def hammingProbe(docs: DataFrame, keyCols: Seq[String],
       corpusHamming: DataFrame, maxHamming: Int, bits: Int,
       codeCol: String, tsCol: String, watermark: String,
@@ -595,22 +634,27 @@ object EventStream {
     * stream-static (seg, sb) equi-join, hamming verify pipelined in
     * the join output).
     *
-    * The rollup is ONE stateful windowed aggregation (no chained
-    * stateful operators): per (window, video),
+    * The rollup is ONE stateful SESSION-window aggregation (no
+    * chained stateful operators): per (session, video),
     * `size(collect_set(frame))` counts DISTINCT frames seen and
     * distinct frames matched within `maxHamming` — collect_set is
     * streaming-legal where count(distinct) is not, and it skips the
     * nulls the `when` guard leaves on unmatched rows, so both counts
-    * come out of one state store whose size is bounded by frames
-    * per video per window. A video is a corpus near-dup when
+    * come out of one state store whose size is bounded by frames per
+    * video per session. The session (gap `windowLen`, default the
+    * watermark) folds ALL of a video's contiguously-arriving frames
+    * into one verdict — a TUMBLING window here would split the
+    * matched count across a boundary falling mid-video and admit a
+    * true near-dup. A video is a corpus near-dup when
     * `matched_frames >= minMatchedFrames` — the same alignment-free
-    * frame-set-overlap verdict as the batch rollup.
+    * frame-set-overlap verdict as the batch rollup for any video
+    * whose frames stream within the gap.
     *
     * Null-code frames are dropped up front (undecodable frames
     * contribute no evidence either way); a video whose frames are
     * ALL null never emits — absence means no verdict, same as a
-    * video with no frames in the window. Output (append mode, one
-    * row per video per window once the watermark closes it):
+    * video with no frames in the session. Output (append mode, one
+    * row per video per session once the watermark closes it):
     * (idCol, window, frames_seen, matched_frames, min_hamming,
     * is_corpus_dup) — min_hamming null when no frame matched. */
   def streamingVideoAdmission(
@@ -626,12 +670,26 @@ object EventStream {
       watermark: String = "10 minutes",
       maxBucket: Int = 5000,
       windowLen: Option[String] = None): DataFrame = {
+    require(minMatchedFrames > 0,
+      s"streamingVideoAdmission needs minMatchedFrames > 0 (got " +
+        s"$minMatchedFrames) — at <= 0 every probed video with any " +
+        "decodable frame would read as a corpus dup")
+    // SESSION window, not tumbling: a video's frames are one
+    // evidence set, and a tumbling boundary falling between two
+    // matching frames would split the matched count across two
+    // verdict rows — minMatchedFrames=2 would then admit a true
+    // near-dup whose matches straddle the boundary. A session keyed
+    // on (video, frame ts) folds every frame arriving within
+    // `windowLen` (default: the watermark) of the previous one into
+    // ONE verdict, which is the batch rollup's whole-video count for
+    // any video whose frames stream contiguously; state stays
+    // bounded by the gap exactly as with the tumbling form.
     hammingProbe(frames, Seq(idCol, frameCol), corpusHamming,
         maxHamming, bits, codeCol, tsCol, watermark, maxBucket)
       .withColumn("__hit",
         when(col("__ham") <= maxHamming, col(frameCol)))
-      .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
-        col(idCol))
+      .groupBy(session_window(col(tsCol), windowLen.getOrElse(watermark))
+        .as("window"), col(idCol))
       .agg(
         size(collect_set(col(frameCol))).as("frames_seen"),
         size(collect_set(col("__hit"))).as("matched_frames"),
@@ -674,8 +732,8 @@ object EventStream {
     *
     * Output: one row per (query, rank): (idCol, tsCol, rank,
     * neighbor_id, score), rank 1..k by (score desc, neighbor_id) —
-    * the batch faces' tie-break (neighbor ids must be numeric, which
-    * every index this engine builds satisfies). */
+    * the batch faces' tie-break, for ANY orderable id type (the
+    * shared fold negates the SCORE, never the id). */
   def streamingIvfTopK(
       queries: DataFrame, // idCol, tsCol, vecCol
       assignments: DataFrame, // (cell, id, vec) from ivfIndex/ivfAssign
@@ -712,17 +770,14 @@ object EventStream {
       .groupBy(window(col(tsCol), windowLen.getOrElse(watermark)),
         col(idCol))
       .agg(first(col(tsCol)).as(tsCol),
-        slice(sort_array(collect_set(struct(
-            col("__score").as("s"),
-            (-col("__nid")).as("negid"),
-            col("__nid").as("id"))), asc = false),
-          1, k).as("__top"))
+        topKFold(topKStruct(col("__score"), col("__nid")), k,
+          distinct = true).as("__top"))
       .select(col(idCol), col(tsCol),
         posexplode(col("__top")).as(Seq("__pos", "__t")))
       .select(col(idCol), col(tsCol),
         (col("__pos") + 1).cast("int").as("rank"),
         col("__t.id").as("neighbor_id"),
-        col("__t.s").as("score"))
+        (-col("__t.negs")).as("score"))
   }
 
   /** Streaming ANN lookup against a persisted IVF-PQ index — the
@@ -801,11 +856,8 @@ object EventStream {
       .withColumn("__adc", Pq.adc(col("codes"), col("__qtab"), codebooks))
       .groupBy(window(col(tsCol), fold), col(idCol))
       .agg(first(col(tsCol)).as(tsCol), first(col(vecCol)).as(vecCol),
-        slice(sort_array(collect_set(struct(
-            col("__adc").as("s"),
-            (-col("__nid")).as("negid"),
-            col("__nid").as("id"))), asc = false),
-          1, refine * k).as("__cand"))
+        topKFold(topKStruct(col("__adc"), col("__nid")), refine * k,
+          distinct = true).as("__cand"))
     adcFold
       .select(col("window"), col(idCol), col(tsCol), col(vecCol),
         explode(col("__cand")).as("__c"))
@@ -815,17 +867,14 @@ object EventStream {
         nanvl(Similarity.cosine(col(vecCol), col("__nv")), lit(0.0)))
       .groupBy(window(col("window"), fold), col(idCol))
       .agg(first(col(tsCol)).as(tsCol),
-        slice(sort_array(collect_set(struct(
-            col("__score").as("s"),
-            (-col("__nid")).as("negid"),
-            col("__nid").as("id"))), asc = false),
-          1, k).as("__top"))
+        topKFold(topKStruct(col("__score"), col("__nid")), k,
+          distinct = true).as("__top"))
       .select(col(idCol), col(tsCol),
         posexplode(col("__top")).as(Seq("__pos", "__t")))
       .select(col(idCol), col(tsCol),
         (col("__pos") + 1).cast("int").as("rank"),
         col("__t.id").as("neighbor_id"),
-        col("__t.s").as("score"))
+        (-col("__t.negs")).as("score"))
   }
 
   /** Streaming BM25 top-k against a persisted postings index — the
@@ -891,18 +940,15 @@ object EventStream {
     perDoc
       .groupBy(window(col("window"), fold), col(idCol))
       .agg(first(col(tsCol)).as(tsCol),
-        slice(sort_array(collect_list(struct(
-            col("__score").as("s"),
-            (-col("__did")).as("negid"),
-            col("__did").as("id"),
-            col("__hits").as("hits"))), asc = false),
-          1, k).as("__top"))
+        topKFold(topKStruct(col("__score"), col("__did"),
+            extra = Seq("hits" -> col("__hits"))), k,
+          distinct = false).as("__top"))
       .select(col(idCol), col(tsCol),
         posexplode(col("__top")).as(Seq("__pos", "__t")))
       .select(col(idCol), col(tsCol),
         (col("__pos") + 1).cast("int").as("rank"),
         col("__t.id").as(docCol),
-        col("__t.s").as("score"),
+        (-col("__t.negs")).as("score"),
         col("__t.hits").as("hits"))
   }
 

@@ -241,8 +241,15 @@ class EventStreamSpec extends SparkSpec {
     // cross-batch duplicate of 11 inside the watermark horizon
     in.addData(Doc(13L, ts("2024-01-01 00:03:00"), "delta epsilon"))
     q.processAllAvailable()
+    // null-text docs carry no digest and BOTH pass through — the
+    // batch face (incrementalExactDedup) deliberately keeps every
+    // null-digest row; a shared null state key would silently drop
+    // doc 15
+    in.addData(Doc(14L, ts("2024-01-01 00:04:00"), null),
+      Doc(15L, ts("2024-01-01 00:05:00"), null))
+    q.processAllAvailable()
     q.stop()
-    assert(ids() == Seq(11L))
+    assert(ids() == Seq(11L, 14L, 15L))
     }
   }
 
@@ -378,7 +385,13 @@ class EventStreamSpec extends SparkSpec {
       FrameDoc(101L, 1, ts("2024-01-01 00:01:10"), Some(far ^ 7L)),
       // video 102: all frames undecodable -> never emits
       FrameDoc(102L, 0, ts("2024-01-01 00:02:00"), None),
-      FrameDoc(102L, 1, ts("2024-01-01 00:02:10"), None))
+      FrameDoc(102L, 1, ts("2024-01-01 00:02:10"), None),
+      // video 104: two NEAR frames straddling the 10-minute mark —
+      // the old tumbling window split them into two verdict rows of
+      // matched=1 each (both below minMatchedFrames=2, a true
+      // near-dup ADMITTED); the session window folds them into one
+      FrameDoc(104L, 0, ts("2024-01-01 00:09:59"), Some(fA ^ 2L)),
+      FrameDoc(104L, 1, ts("2024-01-01 00:10:01"), Some(fB ^ 1L)))
     q.processAllAvailable()
     in.addData(FrameDoc(999L, 0, ts("2024-01-01 02:00:00"), Some(1L)))
     q.processAllAvailable()
@@ -388,9 +401,12 @@ class EventStreamSpec extends SparkSpec {
       ((r.getAs[Int]("frames_seen"), r.getAs[Int]("matched_frames"),
         Option(r.get(r.fieldIndex("min_hamming"))),
         r.getAs[Boolean]("is_corpus_dup")))).toMap
-    assert(m.keySet == Set(100L, 101L), s"emitted: $m")
+    assert(m.keySet == Set(100L, 101L, 104L), s"emitted: $m")
     assert(m(100L) == ((3, 2, Some(1), true)), s"video 100: ${m(100L)}")
     assert(m(101L) == ((2, 1, Some(0), false)), s"video 101: ${m(101L)}")
+    assert(m(104L) == ((2, 2, Some(1), true)),
+      s"video 104 (boundary-straddling) must fold into ONE session " +
+        s"verdict: ${m(104L)}")
     // verdict parity with the batch probe: the frames the stream
     // counted as matched are exactly incrementalHammingPairs' id_new
     // set against the same index
@@ -970,6 +986,38 @@ class EventStreamSpec extends SparkSpec {
       }.toSet
     assert(got == want && got.nonEmpty,
       s"streaming BM25 diverged from the batch probe: $got vs $want")
+    }
+  }
+
+  test("streaming BM25 tie-break holds for STRING doc ids — " +
+      "(score desc, id ASC): the shared fold negates the SCORE, " +
+      "never the id (negating a string id under non-ANSI casts " +
+      "yields null and silently flips ties to id-descending)") {
+    withFewPartitions {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamSpec.Doc
+    import graft.text.Search
+    // identical texts -> identical score for the query: a pure tie
+    val corpus = Seq(("b", "spark fast"), ("a", "spark fast"),
+      ("c", "other words")).toDF("doc_id", "text")
+    val post = Search.postings(corpus, "doc_id", "text").localCheckpoint()
+    val stats = Search.corpusStats(corpus, "text").localCheckpoint()
+    val in = MemoryStream[Doc]
+    val q = EventStream.streamingBm25TopK(in.toDF(), post, stats, k = 2,
+        idCol = "doc_id", docCol = "hit_id", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("bm25_tie_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Doc(1L, ts("2024-01-01 00:00:00"), "spark"))
+    q.processAllAvailable()
+    in.addData(Doc(9L, ts("2024-01-01 02:00:00"), "spark"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bm25_tie_out")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .collect().sortBy(_.getInt(2))
+      .map(r => (r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq((1, "a"), (2, "b")),
+      s"string-id score tie must rank id-ASCENDING: $got")
     }
   }
 
