@@ -57,7 +57,7 @@ object Multimodal {
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
       element_at(array(lit("png"), lit("jpg"), lit("webp")),
-        (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
       col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
@@ -72,6 +72,11 @@ object Multimodal {
       // one "decoder" per partition — a real codec would init here
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
+        // null payload -> zeroed features with a null checksum (the
+        // real faces' null-route; an NPE here would kill the task)
+        if (r.payload == null)
+          MediaFeatures(r.media_id, r.kind, r.fmt, 0, 0, 0, null)
+        else {
         md.reset()
         val digest = md.digest(r.payload)
         val hex = digest.map("%02x".format(_)).mkString
@@ -83,6 +88,7 @@ object Multimodal {
           width = 64 + (digest(0) & 0x0f),
           height = 64 + ((digest(0) >> 4) & 0x0f),
           checksum = hex)
+        }
       }
     }
   }
@@ -176,8 +182,18 @@ object Multimodal {
     * struct(fmt, channels, sample_rate, bits); nulls when the
     * payload matches none.
     *
-    * Same reference-cost note as [[imageDims]]: computed payloads
-    * should be materialized in their own projection first. */
+    * KNOWN DIVERGENCE from [[pcmEnergyContour]]: this face expects
+    * the canonical layout (fmt chunk immediately after "WAVE"),
+    * while the contour's RIFF walk finds fmt/data wherever they sit
+    * — a WAV with a leading JUNK/bext chunk (DAW and Broadcast-Wave
+    * output) reads fmt=NULL here but still fingerprints. A
+    * fixed-offset Column expression cannot walk chunks without an
+    * unrolled when-chain that would also have to be mirrored,
+    * unrolled, in the q_audio_meta DuckDB oracle; metadata for
+    * non-canonical layouts belongs on the mapPartitions seam if a
+    * deployment needs it. Same reference-cost note as
+    * [[imageDims]]: computed payloads should be materialized in
+    * their own projection first. */
   def audioMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def byteAt(pos: Int) = conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
     def le2(pos: Int) = byteAt(pos) + byteAt(pos + 1) * 256
@@ -263,34 +279,34 @@ object Multimodal {
       ((payload(p + 1) & 0xff).toLong << 8) |
       ((payload(p + 2) & 0xff).toLong << 16) |
       ((payload(p + 3) & 0xff).toLong << 24)
-    if (payload.length < 44 ||
+    if (payload == null || payload.length < 44 ||
       new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
       new String(payload, 8, 4, "US-ASCII") != "WAVE") return null
-    // RIFF chunk walk: find fmt + data wherever they sit
-    var pos = 12
+    // RIFF chunk walk: find fmt + data wherever they sit. pos is a
+    // LONG: chunk sizes are attacker-controlled, and Int arithmetic
+    // had a residual crash window (pos landing in [MaxValue-7,
+    // MaxValue] wraps the loop CONDITION's pos + 8, not pos itself,
+    // and reads at a far-out-of-range offset) — Long cannot wrap
+    // here, the loop simply ends once pos passes the payload
+    var pos = 12L
     var fmtCode = -1; var channels = -1; var bits = -1
     var dataOff = -1; var dataLen = -1L
     while (pos + 8 <= payload.length) {
-      val cid = new String(payload, pos, 4, "US-ASCII")
-      val clen = le4(pos + 4)
+      val p = pos.toInt // pos + 8 <= length, so always a valid Int
+      val cid = new String(payload, p, 4, "US-ASCII")
+      val clen = le4(p + 4)
       // clen >= 16: a malformed fmt chunk declaring fewer bytes than
       // the PCM header must null-route (fmtCode stays -1), not read
       // its fields from the FOLLOWING chunk's bytes
-      if (cid == "fmt " && clen >= 16 && pos + 8 + 16 <= payload.length) {
-        fmtCode = le2(pos + 8)
-        channels = le2(pos + 10)
-        bits = le2(pos + 22)
+      if (cid == "fmt " && clen >= 16 && p + 8 + 16 <= payload.length) {
+        fmtCode = le2(p + 8)
+        channels = le2(p + 10)
+        bits = le2(p + 22)
       } else if (cid == "data") {
-        dataOff = pos + 8
+        dataOff = p + 8
         dataLen = math.min(clen, (payload.length - dataOff).toLong)
       }
-      pos += 8 + clen.toInt + (clen.toInt & 1) // chunks are word-aligned
-      if (clen > payload.length) return null
-      // pos is Int arithmetic over attacker-controlled chunk sizes: a
-      // >1 GB payload can wrap it negative once (clen is bounded by
-      // payload.length, so at most one wrap) — null-route, don't read
-      // at a negative offset
-      if (pos < 0) return null
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
     if (fmtCode != 1 || channels < 1 || dataOff < 0) return null
     if (bits != 16 && bits != 8 && bits != 24 && bits != 32) return null
@@ -371,9 +387,12 @@ object Multimodal {
     * byte offset as a "frame" — demonstrates the 1->N flatMap shape a
     * real frame sampler uses. */
   def frameSampleStub(rows: Dataset[MediaRow], stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import rows.sparkSession.implicits._
     rows.flatMap { r =>
-      (0 until r.payload.length by stride).map(off =>
+      // null payload -> no samples (no frame evidence), not an NPE
+      if (r.payload == null) Nil
+      else (0 until r.payload.length by stride).map(off =>
         (r.media_id, off, r.payload(off).toInt & 0xff))
     }.toDF("media_id", "frame_offset", "frame_byte")
   }
@@ -395,25 +414,39 @@ object Multimodal {
     rows.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val px = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          if (i % 16 == 0) {
-            md.reset()
-            md.update(r.payload)
-            md.update(s":${i / 16}".getBytes("UTF-8"))
-            val d = md.digest()
-            var j = 0
-            while (j < 16 && i + j < n) {
-              px(i + j) = d(j) & 0xff
-              j += 1
-            }
-          }
-          i += 16
-        }
-        (r.media_id, px.toSeq)
+        // null payloads null-route exactly like the real face (a
+        // stub that NPEs where grayPixels emits a null-px row breaks
+        // the drop-in contract on a mixed-quality corpus)
+        if (r.payload == null) (r.media_id, null: Seq[Int])
+        else (r.media_id, pseudoPixels(md, r.payload, "", n).toSeq)
       }
     }.toDF("media_id", "px")
+  }
+
+  /** The stub faces' shared pseudo-pixel formula: byte j of
+    * md5(payload ++ salt ++ ":" ++ block) fills pixel 16*block + j,
+    * unsigned. LOAD-BEARING: the q_phash / q_video_codes DuckDB
+    * oracles recompute this exact formula in SQL, and it was
+    * previously hand-copied in two faces (a fix to one would
+    * silently desynchronize the other from its oracle) — one
+    * definition, not a convention. */
+  private def pseudoPixels(md: java.security.MessageDigest,
+      payload: Array[Byte], salt: String, n: Int): Array[Int] = {
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(payload)
+      md.update(s"$salt:${i / 16}".getBytes("UTF-8"))
+      val d = md.digest()
+      var j = 0
+      while (j < 16 && i + j < n) {
+        px(i + j) = d(j) & 0xff
+        j += 1
+      }
+      i += 16
+    }
+    px
   }
 
   /** REAL grayscale-thumbnail decode for perceptual hashing: JDK
@@ -824,24 +857,11 @@ object Multimodal {
     rows.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { r =>
-        (0 until frames).map { f =>
-          val px = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            if (i % 16 == 0) {
-              md.reset()
-              md.update(r.payload)
-              md.update(s"#$f:${i / 16}".getBytes("UTF-8"))
-              val d = md.digest()
-              var j = 0
-              while (j < 16 && i + j < n) {
-                px(i + j) = d(j) & 0xff
-                j += 1
-              }
-            }
-            i += 16
-          }
-          (r.media_id, f, px.toSeq)
+        // null payload -> one (media_id, -1, NULL px) row, gifFrames'
+        // exact null-route (dHash of NULL is NULL, joins nothing)
+        if (r.payload == null) Seq((r.media_id, -1, null: Seq[Int]))
+        else (0 until frames).map { f =>
+          (r.media_id, f, pseudoPixels(md, r.payload, s"#$f", n).toSeq)
         }
       }
     }.toDF("media_id", "frame_no", "px")
@@ -954,6 +974,11 @@ object Multimodal {
     * within maxHamming, equi-join buckets only, never all-pairs). */
   def dHash(px: org.apache.spark.sql.Column, w: Int = 9,
       h: Int = 7): org.apache.spark.sql.Column = {
+    require(w >= 2 && h >= 1,
+      s"dHash needs w >= 2 and h >= 1 (got w=$w h=$h) — each bit " +
+        "compares a pixel to its RIGHT neighbor, so a 1-wide or " +
+        "0-tall grid has no bits (the builder would die on " +
+        "empty.reduce with no hint of the actual mistake)")
     require((w - 1) * h <= 63,
       s"dHash needs (w-1)*h <= 63 bits to stay in a Long's positive " +
         s"range, got ${(w - 1) * h}")

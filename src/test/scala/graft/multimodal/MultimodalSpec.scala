@@ -886,4 +886,43 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("EVERY face null-routes a null payload instead of NPE-ing the " +
+      "task: stubs mirror their real faces' null contracts") {
+    import spark.implicits._
+    import Multimodal.MediaRow
+    val rows = Seq(
+      MediaRow(1L, "image", "png", "real bytes".getBytes("UTF-8")),
+      MediaRow(2L, "image", "png", null)).toDS()
+    // decodeStub: zeroed features, null checksum
+    val feats = Multimodal.decodeStub(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(2L).checksum == null && feats(2L).byte_len == 0)
+    assert(feats(1L).checksum != null)
+    // grayPixelsStub: (id, NULL px) like grayPixels
+    val px = Multimodal.grayPixelsStub(rows).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(px(2L).isEmpty && px(1L).nonEmpty)
+    // frameGridsStub: one (id, -1, NULL px) row like gifFrames
+    val grids = Multimodal.frameGridsStub(rows, frames = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2))))
+    assert(grids.count(_._1 == 1L) == 3)
+    assert(grids.filter(_._1 == 2L).toSeq == Seq((2L, -1, None)))
+    // frameSampleStub: no samples for the null payload; stride guard
+    val samples = Multimodal.frameSampleStub(rows, stride = 4).collect()
+    assert(samples.forall(_.getLong(0) == 1L) && samples.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSampleStub(rows, stride = 0)
+    }
+    // pcmEnergyContour: null payload -> null energy, task alive
+    val audio = Seq(MediaRow(3L, "audio", "wav", null)).toDS()
+    val contour = Multimodal.pcmEnergyContour(audio, windows = 4)
+      .collect()
+    assert(contour.length == 1 && contour.head.get(1) == null)
+    // dHash refuses a bitless grid loudly at build time
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash(org.apache.spark.sql.functions.col("px"),
+        w = 1, h = 7)
+    }
+  }
 }
