@@ -31,9 +31,21 @@ object Similarity {
   /** Native fused-loop cosine for float vectors (graft.plans
     * .CosineSimilarity, codegen'd) — bit-identical to cosineHof on
     * float input, one pass, no intermediate array. The hot scoring
-    * path uses this. */
+    * path uses this.
+    *
+    * NaN-SAFE: a zero-norm vector has no direction, so its cosine
+    * against anything is 0/0 = NaN — and Spark's NaN ordering treats
+    * NaN as GREATER than every double, so a raw NaN score would (a)
+    * pass every `>= threshold` filter (semanticDedup would merge a
+    * zero vector's whole cell into one component — silent data
+    * loss) and (b) out-rank every true neighbor in the top-k
+    * windows, INCLUDING the bruteForceTopK recall oracle. nanvl
+    * routes it to 0.0 ("no similarity") — the guard the streaming
+    * faces already carried; null inputs stay null (the
+    * null-intolerant contract is unchanged). [[cosineHof]] stays
+    * pure (composable building block; callers own the guard). */
   def cosine(a: Column, b: Column): Column =
-    graft.plans.CosineSimilarity(a, b)
+    nanvl(graft.plans.CosineSimilarity(a, b), lit(0.0))
 
   /** Brute-force top-k neighbors for each query vector.
     *
@@ -67,12 +79,17 @@ object Similarity {
     * Zero planes (nBits=0) is the degenerate single-bucket code —
     * every vector codes to 0, making the bucketed join exhaustive
     * (the exact-oracle mode of [[annTopK]]). */
-  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column =
+  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.size <= 63,
+      s"lshCode packs one bit per plane into a Long: max 63 planes, " +
+        s"got ${planes.size} — 1L << 64 silently wraps to bit 0 and " +
+        "aliases codes, degrading recall with no error")
     if (planes.isEmpty) lit(0L)
     else planes.zipWithIndex.map { case (p, k) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (same sign-LSH tables as annTopK), exact cosine
@@ -176,7 +193,11 @@ object Similarity {
       df: DataFrame, nBits: Int, targetBucket: Int): (DataFrame, Int) =
     if (nBits >= 0) (df, nBits)
     else {
-      val src = df.localCheckpoint(eager = false)
+      // Checkpoints, not a raw localCheckpoint: this frame outlives
+      // the sizing count (the returned plan feeds pair generation and
+      // often connectedComponents' many actions), so a reliable-
+      // checkpoint-dir run must cover it — the repo-wide rule
+      val src = graft.Checkpoints.lazyCheckpoint(df)
       (src, autoBits(src, -1, targetBucket))
     }
 
@@ -392,7 +413,12 @@ object Similarity {
       batch: DataFrame, // (id, vec)
       cents: Seq[(Int, Array[Float])],
       nAssign: Int = 2): DataFrame =
-    batch.select(
+    // null vecs are FILTERED, not assigned: a null vec's cell scores
+    // are all null but the scored array itself is non-null, so the
+    // explode would still emit nAssign dead rows per null vec —
+    // inflating cells against the maxCell skew guard and riding the
+    // within-cell self-join as join input that can never match
+    batch.filter(col("vec").isNotNull).select(
       explode(nearestCells(cents, col("vec"), nAssign)).as("cell"),
       col("id"), col("vec"))
 
@@ -489,19 +515,35 @@ object Similarity {
     * points per center. */
   private[similarity] def unitSample(
       base: DataFrame, centers: Int): (Int, Array[Array[Double]]) = {
-    val norm = sqrt(aggregate(
-      transform(col("vec"), y => y.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    // the file's own norm kernel (dot's zip_with fold is value- and
+    // order-identical to a squared transform) — one definition
     val unitVec = zip_with(col("vec"),
-      array_repeat(norm, size(col("vec"))),
+      array_repeat(norm(col("vec")), size(col("vec"))),
       (x, nn) => x.cast("double") / nn)
     val dim = base.filter(col("vec").isNotNull).limit(1)
       .select(size(col("vec"))).collect()
       .headOption.filter(!_.isNullAt(0)).map(_.getInt(0)).getOrElse(1).max(1)
     val fitBudgetBytes = 64L << 20
+    val byteRows = fitBudgetBytes / (8L * dim)
+    // the ~50-points-per-center quality floor may exceed the byte
+    // budget, but never UNBOUNDEDLY: auto-k on a 100M-row corpus
+    // asks ~390k centers = ~20M rows = ~120 GB collected to the
+    // driver. Past 4x the budget the fit cannot be driver-sized —
+    // cap there with a loud note; corpora that big fit the quantizer
+    // once and reuse it via the stored-centroid/fromAssignments
+    // faces (the documented 100-TB posture), they do not refit
+    // inline per run.
+    val wanted = math.max(centers * 50L, byteRows)
+    val hardCap = 4L * math.max(byteRows, 20000L)
+    if (wanted > hardCap)
+      System.err.println(s"[similarity] unitSample: $centers centers " +
+        s"want $wanted fit rows; driver budget caps the sample at " +
+        s"$hardCap — centroids will be under-sampled (< ~50 points " +
+        "per center). Fit once and reuse stored centroids " +
+        "(fromAssignments) for corpora this large")
     val fitCap = math.min(
       math.max(centers * 2000, 20000).toLong,
-      math.max(centers * 50L, fitBudgetBytes / (8L * dim))).toInt
+      math.min(wanted, hardCap)).toInt
     val pts = base
       .orderBy(xxhash64(col("id").cast("string")), col("id"))
       .limit(fitCap)
@@ -530,6 +572,13 @@ object Similarity {
     * sorted-array scan, same metric both sides, no shuffle. */
   private[similarity] def nearestCells(
       cents: Seq[(Int, Array[Float])], vecCol: Column, n: Int): Column = {
+    // empty centroid set (empty corpus, or a fit whose every point
+    // was null/zero-norm/non-finite): no cells to probe. Return a
+    // typed empty array — CreateArray(Nil) is a NullType array whose
+    // getField("cell") fails ANALYSIS — so downstream explodes drop
+    // every row and empty input yields empty output, the same
+    // empty-delta convention the rest of the file pins
+    if (cents.isEmpty) return array().cast("array<int>")
     val scored = array(cents.map { case (i, c) =>
       struct(cosine(vecCol, array(c.map(lit(_)): _*)).as("s"),
         lit(i).as("cell"))
@@ -725,15 +774,18 @@ object Similarity {
     // NOT recomputable after executor loss, and this frame outlives
     // connectedComponents' many per-round actions.
     val src = graft.Checkpoints.lazyCheckpoint(df)
+    // (null-vec rows never reach the assignments — ivfAssign filters
+    // them — but idUniverse = src below keeps them as survivors: no
+    // evidence, no drop, the same convention as Dedup's null text)
     val k = if (nLists >= 1) nLists else autoCells(src.count(), targetCell)
     val cents = coarseCells(src, k, seed)
     // assignments are single-cell by construction here, so the
     // uniqueness validation the public fromAssignments face runs is
     // skipped — it would be a pure extra pass. The singleton universe
-    // is src, NOT the assignments: a null-vec row never assigns (the
-    // explode drops it) but must still pass through as a survivor —
-    // the same no-data-loss convention Dedup's null-text handling
-    // pins.
+    // is src, NOT the assignments: a null-vec row never assigns
+    // (ivfAssign filters it) but must still pass through as a
+    // survivor — the same no-data-loss convention Dedup's null-text
+    // handling pins.
     semanticDedupBody(ivfAssign(src, cents, nAssign = 1), threshold,
       maxCell, checkUnique = false, idUniverse = Some(src.select(col("id"))))
   }

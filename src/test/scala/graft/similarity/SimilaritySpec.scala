@@ -380,4 +380,56 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticDedupFromAssignments(empty,
       threshold = 0.35).count() == 0)
   }
+
+  test("zero-norm vectors score 0.0, never NaN: they cannot out-rank " +
+      "true neighbors, pass thresholds, or merge a cell into one " +
+      "dedup group (Spark sorts/compares NaN ABOVE every double)") {
+    // cosine of a zero vector is 0/0 -> nanvl -> 0.0
+    val z = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(z.head.getDouble(0) == 0.0)
+    // brute force (the recall ORACLE): the zero vector ranks LAST,
+    // not first, and its reported score is 0.0 not NaN
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val base = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f))).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(q, base, 3).orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+    assert(top.map(_._1).toSeq == Seq(1L, 2L, 3L), s"got ${top.toSeq}")
+    assert(!top.exists(_._2.isNaN))
+    // semanticDedup: a zero vector in a real cell must NOT pass the
+    // threshold filter and merge the cell — it survives alone
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.14f)),
+      (3L, Seq(0.0f, 0.0f))).toDF("id", "vec")
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.9,
+      nLists = 1).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L),
+      s"zero vector must survive (not merge via NaN >= 0.9): $kept")
+  }
+
+  test("empty centroid set yields empty assignments/probe results " +
+      "(typed empty array, not a NullType analysis crash); null vecs " +
+      "are filtered from assignments, not dead-assigned") {
+    val base = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    assert(Similarity.ivfAssign(base, Seq.empty).count() == 0)
+    val withNull = Seq((1L, Some(Seq(1.0f, 0.0f))), (2L, None))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(1.0f, 0.0f)))
+    val assigned = Similarity.ivfAssign(withNull, cents, nAssign = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(assigned == Seq(1L),
+      s"null vec must not occupy a cell: $assigned")
+    // semanticDedup over an all-null-vec corpus: no evidence, no
+    // drops — every row survives (and nothing crashes at analysis)
+    val allNull = Seq((1L, None: Option[Seq[Float]]),
+      (2L, None: Option[Seq[Float]])).toDF("id", "vec")
+    assert(Similarity.semanticDedup(allNull, threshold = 0.9,
+      nLists = 1).count() == 2)
+    // lshCode refuses a wrapping bit count loudly
+    intercept[IllegalArgumentException] {
+      Similarity.lshCode(col("vec"),
+        Seq.fill(64)(Array(1.0)))
+    }
+  }
 }
