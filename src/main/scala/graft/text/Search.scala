@@ -64,19 +64,36 @@ object Search {
     * key (it is functionally dependent on `id`) so no second pass
     * re-derives it at scoring time. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    postingsOf(docs, idCol, textCol, None)
+
+  /** The one postings builder behind [[postings]] and [[bm25]] —
+    * the optional term filter runs BEFORE the tf aggregate (so
+    * non-matching terms never shuffle) without duplicating the
+    * tokenize/len/aggregate contract in two places. */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String, termFilter: Option[Seq[String]]): DataFrame = {
+    val exploded = docs
       .select(col(idCol).as("id"), terms(col(textCol)).as("__t"))
       .select(col("id"), size(col("__t")).as("len"),
         explode(col("__t")).as("term"))
+    termFilter.fold(exploded)(ts => exploded.filter(col("term").isin(ts: _*)))
       .groupBy(col("term"), col("id"), col("len"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Corpus constants the scorer needs besides postings: document
     * count and summed token length (avg length derives as one exact
     * integer division at scoring time). One row. */
   def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(size(terms(col(textCol))).as("len"))
+      // greatest(len, 0): under legacy sizeOfNull (this session's
+      // config) size(NULL) is -1, so every NULL-text doc would
+      // SUBTRACT one token from sum_len while still counting in
+      // n_docs — silently skewing avg_len and every BM25 score. A
+      // null doc contributes length 0, consistent with an
+      // empty-string doc (both index no postings, both count in
+      // n_docs).
+      .select(greatest(size(terms(col(textCol))), lit(0)).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
 
   /** Top-k BM25 over raw documents: builds postings for the queried
@@ -86,13 +103,7 @@ object Search {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val post = docs
-      .select(col(idCol).as("id"), terms(col(textCol)).as("__t"))
-      .select(col("id"), size(col("__t")).as("len"),
-        explode(col("__t")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("term"), col("id"), col("len"))
-      .agg(count(lit(1)).as("tf"))
+    val post = postingsOf(docs, idCol, textCol, Some(queryTerms))
     score(post, corpusStats(docs, textCol), idCol, k, k1, b)
   }
 
@@ -128,15 +139,8 @@ object Search {
     val queries = queryTerms.distinct.map(t => (0, t))
       .toDF("query_id", "term")
     val (_, cand) = maxScorePlan(post, stats, bounds, queries, k, k1, b)
-    termScores(post.filter(col("term").isin(queryTerms.distinct: _*)),
-        stats, k1, b)
-      .join(cand.select(col("id")), Seq("id"), "left_semi")
-      .groupBy(col("id"))
-      .agg(sum(col("tscore")).cast("double").as("score"),
-        count(lit(1)).as("hits"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-      .select(col("id").as(idCol), col("score"), col("hits"))
+    score(post.filter(col("term").isin(queryTerms.distinct: _*)),
+      stats, idCol, k, k1, b, candidates = Some(cand))
   }
 
   /** Batch-query BM25: score a whole TABLE of queries against a
@@ -285,6 +289,8 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (qtermsDf, cand) =
       maxScorePlan(post, stats, bounds, queries, k, k1, b)
+    // qtermsDf is a driver-built LocalRelation: this collect is a
+    // local scan, not a cluster job
     val allTerms = qtermsDf.collect().map(_.getString(1)).distinct.toSeq
     val scored = termScores(post.filter(col("term").isin(allTerms: _*)),
       stats, k1, b)
@@ -311,7 +317,12 @@ object Search {
   private[graft] def maxScorePlan(post: DataFrame, stats: DataFrame,
       bounds: DataFrame, queries: DataFrame, k: Int,
       k1: Double, b: Double): (DataFrame, DataFrame) = {
-    require(k > 0, "bm25BatchMaxScore needs k > 0")
+    // NOTE: the MaxScore faces REFUSE k = 0 where the un-pruned
+    // faces return an empty frame via limit(0) — θ from "the k-th
+    // best score" is undefined at k = 0, and an empty result from a
+    // pruning scorer is indistinguishable from over-pruning
+    require(k > 0, "the MaxScore faces need k > 0 " +
+      "(bm25BatchMaxScore / bm25FromPostingsMaxScore)")
     Seq("query_id", "term").foreach(c =>
       require(queries.columns.contains(c),
         s"queries frame needs a '$c' column " +
@@ -329,25 +340,33 @@ object Search {
       .mapValues(_.map(_.getString(1)).toSeq).toMap
     val allTerms = qrows.map(_.getString(1)).distinct.toSeq
 
-    // bounds of the queried terms + the snapshot stamp check
-    val brows = bounds.filter(col("term").isin(allTerms: _*))
-      .select(col("term"), col("ub"), col("n_docs").cast("long"),
-        col("sum_len").cast("long"), col("k1").cast("double"),
-        col("b").cast("double"))
-      .collect()
+    // snapshot stamp check against the bounds table ITSELF (one
+    // head row), NEVER the query-filtered subset: a query whose
+    // terms all entered the index AFTER the bounds build matches
+    // zero bounds rows, and a subset-gated check would silently
+    // skip — the essential-set would then prune on absent bounds
+    // and return EMPTY where the un-pruned faces return real
+    // matches, the exact silent mis-result this stamp exists to
+    // refuse loudly
     val srow = stats.select(col("n_docs").cast("long"),
       col("sum_len").cast("long")).collect()(0)
-    brows.headOption.foreach { r =>
-      require(r.getLong(2) == srow.getLong(0) &&
-          r.getLong(3) == srow.getLong(1),
-        s"termBounds are STALE: computed at (n_docs=${r.getLong(2)}, " +
-          s"sum_len=${r.getLong(3)}) but the index stats are " +
-          s"(${srow.getLong(0)}, ${srow.getLong(1)}) — rebuild with " +
-          s"termBounds() after postings appends")
-      require(r.getDouble(4) == k1 && r.getDouble(5) == b,
-        s"termBounds were computed at (k1=${r.getDouble(4)}, " +
-          s"b=${r.getDouble(5)}), scoring requested (k1=$k1, b=$b)")
-    }
+    bounds.select(col("n_docs").cast("long"),
+        col("sum_len").cast("long"), col("k1").cast("double"),
+        col("b").cast("double")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getLong(0) == srow.getLong(0) &&
+            r.getLong(1) == srow.getLong(1),
+          s"termBounds are STALE: computed at (n_docs=${r.getLong(0)}, " +
+            s"sum_len=${r.getLong(1)}) but the index stats are " +
+            s"(${srow.getLong(0)}, ${srow.getLong(1)}) — rebuild with " +
+            s"termBounds() after postings appends")
+        require(r.getDouble(2) == k1 && r.getDouble(3) == b,
+          s"termBounds were computed at (k1=${r.getDouble(2)}, " +
+            s"b=${r.getDouble(3)}), scoring requested (k1=$k1, b=$b)")
+      }
+    val brows = bounds.filter(col("term").isin(allTerms: _*))
+      .select(col("term"), col("ub"))
+      .collect()
     val ubMap: Map[String, BigDecimal] =
       brows.map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
 
@@ -415,15 +434,26 @@ object Search {
     * per term + 1-row corpus constants -> per-term saturated score
     * through DECIMAL(18,6) -> order-independent sum -> top-k with a
     * deterministic id tie-break. */
+  /** The ONE aggregate/order/limit tail every single-query face
+    * shares; `candidates` (the MaxScore faces) semi-joins the
+    * bound-filtered id set AFTER [[termScores]] (df must come from
+    * the full term postings, never the candidate-cut subset) — as a
+    * parameter so the documented row-parity between the pruned and
+    * un-pruned faces is structural, not a convention two copies
+    * keep. */
   private def score(post: DataFrame, stats: DataFrame, idCol: String,
-      k: Int, k1: Double, b: Double): DataFrame =
-    termScores(post, stats, k1, b)
+      k: Int, k1: Double, b: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val ts = termScores(post, stats, k1, b)
+    candidates.fold(ts)(c =>
+        ts.join(c.select(col("id")), Seq("id"), "left_semi"))
       .groupBy(col("id"))
       .agg(sum(col("tscore")).cast("double").as("score"),
         count(lit(1)).as("hits"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id").as(idCol), col("score"), col("hits"))
+  }
 
   /** Per-(term, doc) saturated BM25 contribution `tscore` — ONE
     * expression tree shared by the single-query and batch-query

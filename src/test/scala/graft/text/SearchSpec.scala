@@ -316,4 +316,36 @@ class SearchSpec extends SparkSpec {
       .collect()
     assert(res.map(_.getLong(0)).toList == List(4L, 5L))
   }
+
+  test("stale bounds refuse LOUDLY even when every queried term " +
+      "entered the index AFTER the bounds build — a query-filtered " +
+      "stamp check would silently return empty instead") {
+    val post0 = Search.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats0 = Search.corpusStats(docs, "text").localCheckpoint()
+    val bounds = Search.termBounds(post0, stats0).localCheckpoint()
+    // the index grows: a new doc with a brand-new term
+    val grown = docs.union(Seq((4L, "zzznew zzznew")).toDF("doc_id", "text"))
+    val post1 = Search.postings(grown, "doc_id", "text").localCheckpoint()
+    val stats1 = Search.corpusStats(grown, "text").localCheckpoint()
+    // the un-pruned face finds the new doc; the pruned face must
+    // REFUSE on the stale stamp, not silently return zero rows
+    assert(Search.bm25FromPostings(post1, stats1, "doc_id",
+      Seq("zzznew"), k = 2).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25FromPostingsMaxScore(post1, stats1, bounds, "doc_id",
+        Seq("zzznew"), k = 2).collect()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
+  test("corpusStats: a NULL-text doc contributes length 0 (not the " +
+      "legacy size(NULL) = -1) and still counts in n_docs, matching " +
+      "an empty-string doc") {
+    val mixed = Seq((1L, Some("a b c")), (2L, None), (3L, Some("")))
+      .toDF("doc_id", "text")
+    val r = Search.corpusStats(mixed, "text").collect().head
+    assert(r.getLong(0) == 3, s"n_docs: ${r.getLong(0)}")
+    assert(r.getLong(1) == 3,
+      s"sum_len must be 3 (null and empty docs add 0): ${r.getLong(1)}")
+  }
 }
