@@ -1084,20 +1084,50 @@ object Dedup {
     require(maxHamming + 1 <= bits,
       s"hammingBandedPairs needs maxHamming + 1 <= bits for the " +
         s"pigeonhole guarantee (got maxHamming=$maxHamming, bits=$bits)")
-    // MATERIALIZATION IS CALLER POLICY: the code frame is referenced
-    // three times in this plan (both self-join sides + the bucket-
-    // size aggregate), so an EXPENSIVE derivation (a real decoder's
-    // mapPartitions) should arrive lazy-checkpointed — the
-    // PhashBenchJob discipline. The kernel deliberately does NOT
-    // checkpoint internally: measured at sf0.1, a forced
+    // MATERIALIZATION IS CALLER POLICY: the kernel deliberately does
+    // NOT checkpoint internally — measured at sf0.1 (r12), a forced
     // localCheckpoint strips the derived frame's statistics, the
     // planner loses the small-side broadcast, and q_phash_pairs goes
-    // 0.88 s -> 4.29 s (4.9x) — a pure loss whenever the derivation
-    // is cheap relative to the re-plan, while the caller always
-    // knows which side of that trade it is on.
+    // 0.88 s -> 4.29 s (4.9x). Instead the bucket cap is a WINDOW
+    // count over the banding shuffle's own (seg, sb) partitioning
+    // (r16): the old agg+join-back cap re-derived the caller's code
+    // frame once per leg — 4 evaluations of the derivation per pairs
+    // query (both self-join sides x (band rows + bucket sizes)) —
+    // where this shape puts ONE Exchange hashpartitioning(seg, sb)
+    // under the window, both self-join sides reference the identical
+    // subtree, and exchange reuse executes the scan + derivation +
+    // banding exactly once. The self-join's (seg, sb) equi keys are
+    // satisfied by the same partitioning, so no further exchange
+    // precedes the join. Kept set is IDENTICAL to the old
+    // capBuckets(minBucket=2) membership: 2 <= bucket size <=
+    // maxBucket (size-1 buckets cannot form a pair). Measured at
+    // sf0.1, solo min-of-3, back-to-back on one host: q_video_pairs
+    // 8.13 -> 3.69 s (2.2x), q_simhash_pairs 3.53 -> 2.08 s,
+    // q_audio_pairs_exact 2.27 -> 0.92 s, q_video_admission 6.78 ->
+    // 5.52 s, with the 4 parquet scans of the old plan collapsed to
+    // 1 (plans/r16/q_video_pairs_{before,after}.txt). The one
+    // flutter-band exception: q_phash_pairs 1.75 -> 1.90 s wall with
+    // cpu DOWN 3.04 -> 2.72 — at its small capped point the old
+    // broadcast plan was already cheap; kept for the shared
+    // one-evaluation shape (the cpu column agrees it is not slower).
+    // The deliberate trade: an ABOVE-cap bucket's rows now ride the
+    // banding exchange once before the filter drops them (the old
+    // agg+join dropped them pre-shuffle via the map-side-aggregated
+    // count), so a single adversarially hot NEAR-code bucket lands
+    // on one window task before dying. Post-cap task bounds are
+    // unchanged (<= maxBucket rows per bucket either way); identical
+    // hot CODES are pre-collapsed upstream by the production path
+    // (CorpusPipeline's code_precollapse route), and
+    // oversizedHammingBuckets remains the monitor for the rest —
+    // callers facing uncollapsible hot-bucket mass should run it and
+    // tighten maxHamming/bits rather than rely on the cap as a
+    // shuffle shield.
     val banded = bandedSegments(coded, maxHamming, bits)
-    val kept = capBuckets(banded, Seq("seg", "sb"), maxBucket,
-      minBucket = 2) // size-1 buckets cannot form a pair
+    val kept = banded
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("seg"), col("sb"))))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+      .drop("__bsz")
     // the exact-hamming verify runs PIPELINED inside the bucket
     // join's probe output (codegen'd xor+bit_count, no exchange in
     // between), so only pairs that actually pass the bound reach the
