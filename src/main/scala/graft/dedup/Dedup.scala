@@ -836,9 +836,22 @@ object Dedup {
     // pairs; degenerate buckets (near-identical clusters, all-same
     // boilerplate) are capped — exact-dup and smaller bands cover
     // those, and at 100 TB an uncapped hot bucket is THE failure mode
-    // of LSH joins.
-    val banded = capBuckets(bandRows, Seq("band", "bh"), maxBucket,
-        minBucket = 2) // size-1 buckets cannot form a pair
+    // of LSH joins. The cap is a WINDOW count over the band shuffle's
+    // own (band, bh) partitioning (r16, the hammingBandedPairs
+    // reshape): the old capBuckets agg+join-back re-evaluated
+    // `bandRows` — a full shingle + minhash-signature pass — once per
+    // plan leg (4x per pairs query across both self-join sides);
+    // here ONE Exchange hashpartitioning(band, bh) feeds the count,
+    // the cap filter, and both self-join sides (identical subtree ->
+    // exchange reuse), and the join's equi keys are satisfied by the
+    // same partitioning. Kept membership is identical
+    // (2 <= size <= maxBucket; size-1 buckets cannot form a pair).
+    // Same hot-mass trade as hammingBandedPairs' scaladoc: above-cap
+    // rows ride this one exchange before dying.
+    val banded = bandRows
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
       .select(col("id"), col("band"), col("bh"))
     val cand = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&

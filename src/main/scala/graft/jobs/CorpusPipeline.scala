@@ -1178,10 +1178,12 @@ object CorpusPipeline {
       .select(col("media_id"), lit(true).as("__cdup"))
     // batch-internal verdict over corpus survivors: the SAME
     // frame-pair kernel as videoNearDupPairs (one shared definition).
-    // lazyCheckpoint: the frame is referenced ~4x downstream (monitor,
-    // capBuckets size aggregate, both sides of the banding self-join)
-    // and each reference would otherwise re-run the anti-join (the
-    // batch snapshot above already stops the decode re-run)
+    // lazyCheckpoint: the frame is referenced downstream by the
+    // monitor and the banding kernel (whose window-cap shape shares
+    // one exchange across its own references, but the MONITOR's
+    // aggregate is a separate plan) and each reference would
+    // otherwise re-run the anti-join (the batch snapshot above
+    // already stops the decode re-run)
     val survFrames = graft.Checkpoints.lazyCheckpoint(
       probe.join(corpusDup.select(col("media_id")),
         Seq("media_id"), "left_anti"))

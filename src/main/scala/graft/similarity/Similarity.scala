@@ -129,9 +129,6 @@ object Similarity {
     // the brute-force oracle regime).
     val (src, bits) = sizedSource(df, nBits, targetBucket)
     val coded = signCoded(src, dim, bits, nTables, seed)
-    val bucketSizes = coded.groupBy(col("tbl"), col("code"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
     // Vectors RIDE THROUGH the bucket self-join and the cosine verify
     // runs INSIDE it, pipelined: the join's probe output streams
     // straight into the codegen'd cosine + threshold filter with no
@@ -147,7 +144,22 @@ object Similarity {
     // regardless of which table's bucket computed it, and duplicates
     // across tables (<= nTables - 1 extra dots per pair) are cheaper
     // to recompute than to shuffle-dedupe up front.
-    val kept = coded.join(bucketSizes.select("tbl", "code"), Seq("tbl", "code"))
+    // Bucket cap as a WINDOW count over the code shuffle's own
+    // (tbl, code) partitioning (r16, the hammingBandedPairs reshape):
+    // the old agg+join-back re-evaluated `coded` once per plan leg —
+    // 4x per pairs query across both self-join sides — where ONE
+    // Exchange hashpartitioning(tbl, code) now feeds the count, the
+    // cap filter, and both self-join sides (identical subtree ->
+    // exchange reuse), and the join's equi keys are satisfied by the
+    // same partitioning. Kept membership unchanged
+    // (1 < size <= maxBucket). Same hot-mass trade as
+    // hammingBandedPairs' scaladoc: above-cap rows ride this one
+    // exchange before dying.
+    val kept = coded
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("code"))))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .drop("__bsz")
     kept.alias("l").join(kept.alias("r"),
         col("l.tbl") === col("r.tbl") && col("l.code") === col("r.code") &&
           col("l.id") < col("r.id"))

@@ -207,16 +207,20 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val plan = Similarity.cosineNearDupPairs(emb, threshold = 0.3, dim = 64)
       .queryExecution.executedPlan.toString
-    // the pipelined shape: 3 joins TOTAL (each self-join side joins
-    // bucketSizes, plus the bucket self-join — Catalyst even folds
-    // the cosine>=t verify into the self-join's condition), and NO
-    // join ever sees a candidate pair column: a join keyed on id_a /
-    // id_b is the regressed 3-shuffle re-join shape (measured 9.3x
-    // slower at the 100x corpus)
+    // the pipelined shape (r16 window-cap form): ONE join TOTAL —
+    // the bucket self-join, with the bucket cap a WINDOW count over
+    // the code shuffle rather than the old 2 bucket-size join-backs
+    // (which re-evaluated the coded frame once per leg); Catalyst
+    // folds the cosine>=t verify into the self-join's condition.
+    // NO join ever sees a candidate pair column: a join keyed on
+    // id_a / id_b is the regressed 3-shuffle re-join shape (measured
+    // 9.3x slower at the 100x corpus)
     val joins = "(?i)(sortmergejoin|broadcasthashjoin|shuffledhashjoin)".r
       .findAllIn(plan).size
-    assert(joins == 3, s"expected 3 joins (2 bucket-size + self), " +
-      s"got $joins:\n$plan")
+    assert(joins == 1, s"expected 1 join (the bucket self-join; " +
+      s"sizes come from the window cap), got $joins:\n$plan")
+    assert("(?i)\\bwindow\\b".r.findFirstIn(plan).nonEmpty,
+      s"expected the window bucket cap in the plan:\n$plan")
     val candJoin = "(?i)(sortmergejoin|broadcasthashjoin|shuffledhashjoin)" +
       "\\s*\\[id_[ab]"
     assert(candJoin.r.findFirstIn(plan).isEmpty,
