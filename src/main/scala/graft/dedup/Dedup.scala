@@ -1123,18 +1123,24 @@ object Dedup {
     // cpu DOWN 3.04 -> 2.72 — at its small capped point the old
     // broadcast plan was already cheap; kept for the shared
     // one-evaluation shape (the cpu column agrees it is not slower).
-    // The deliberate trade: an ABOVE-cap bucket's rows now ride the
-    // banding exchange once before the filter drops them (the old
-    // agg+join dropped them pre-shuffle via the map-side-aggregated
-    // count), so a single adversarially hot NEAR-code bucket lands
-    // on one window task before dying. Post-cap task bounds are
-    // unchanged (<= maxBucket rows per bucket either way); identical
-    // hot CODES are pre-collapsed upstream by the production path
-    // (CorpusPipeline's code_precollapse route), and
-    // oversizedHammingBuckets remains the monitor for the rest —
-    // callers facing uncollapsible hot-bucket mass should run it and
-    // tighten maxHamming/bits rather than rely on the cap as a
-    // shuffle shield.
+    // ...and the hamming key space being BOUNDED (each segment is
+    // bits/(maxHamming+1) wide — ~180 distinct (seg, sb) buckets at
+    // the 56-bit/maxHamming=14 point) adds one measured caveat: at a
+    // corpus size where EVERY bucket exceeds the cap (n > maxBucket x
+    // keyspace — 100x documents at the video point), the window-only
+    // shape shuffles the whole band-row volume just to drop it and
+    // reads 1.18x the old shape (q_video_pairs 22.5 -> 26.5 s at
+    // 100x, cpu flat). A HYBRID that pre-drops oversized keys via a
+    // map-side-aggregated broadcast anti-join BEFORE the exchange was
+    // built and measured on the same ladder — it repairs exactly that
+    // point (23.6 s) but its second derivation evaluation taxes every
+    // HEALTHY operating point 15-40% (sf0.1: q_video_pairs 3.69 ->
+    // 5.20, q_phash_pairs 1.90 -> 2.65, q_simhash_pairs 2.08 -> 2.38;
+    // 100x: q_phash_pairs 5.95 -> 7.70, q_simhash_pairs 4.57 ->
+    // 5.70) — REJECTED: the saturated regime it serves is one where
+    // the cap has already destroyed recall (output ~empty, every
+    // bucket dead) and the documented fix is sizing `bits` to the
+    // corpus, not a faster way to compute nothing.
     val banded = bandedSegments(coded, maxHamming, bits)
     val kept = banded
       .withColumn("__bsz",
