@@ -372,12 +372,16 @@ object Similarity {
     val qCells = queries.select(col("qid"), col("qvec"),
       explode(nearestCells(cents, col("qvec"), nProbe)).as("cell"))
 
-    val cand = assigned.join(broadcast(qCells), Seq("cell"))
-      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+    // score inside the probe join, dedupe the scalar — annTopK's r16
+    // reshape (SortAggregate-with-vectors -> scalar HashAggregate;
+    // the cosine is deterministic whichever probed cell surfaced the
+    // (qid, id) pair, so first-wins dedupe is order-free)
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"))
       .dropDuplicates("qid", "id")
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    cand.withColumn("score", cosine(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
@@ -471,15 +475,16 @@ object Similarity {
       explode(nearestCells(cents, col("qvec"), nProbe)).as("cell"))
     val probed = qCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cand = assignments
+    // same scalar-dedupe reshape as ivfTopK above
+    val scored = assignments
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(qCells), Seq("cell"))
-      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"))
       .dropDuplicates("qid", "id")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id"))
-    cand.withColumn("score", cosine(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
@@ -711,10 +716,18 @@ object Similarity {
     }
     val qCoded = coded(queries, "qvec", Seq("qid", "qvec"), multiProbe)
     val bCoded = coded(base, "vec", Seq("id", "vec"), probe = false)
-    val cand = bCoded.join(broadcast(qCoded), Seq("tbl", "code"))
-      .select(col("qid"), col("qvec"), col("id"), col("vec"))
+    // score INSIDE the candidate join, dedupe the scalar after (r16):
+    // dropDuplicates over rows still carrying both vectors ran as a
+    // SortAggregate (array columns have no hash-agg buffer) and
+    // shuffled 2 x dim floats per candidate; the cosine is the same
+    // deterministic double whichever (tbl, code) surfaced the pair —
+    // cosineNearDupPairs' standing argument — so scoring first makes
+    // the dedupe a scalar-buffer HashAggregate and the dedupe
+    // exchange carries (qid, id, score) only. Results identical.
+    val scored = bCoded.join(broadcast(qCoded), Seq("tbl", "code"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"))
       .dropDuplicates("qid", "id")
-    val scored = cand.withColumn("score", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
