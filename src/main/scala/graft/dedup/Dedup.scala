@@ -1141,7 +1141,15 @@ object Dedup {
     // the cap has already destroyed recall (output ~empty, every
     // bucket dead) and the documented fix is sizing `bits` to the
     // corpus, not a faster way to compute nothing.
+    // null codes (undecodable media) band to null sb in EVERY
+    // segment; the old inner-join cap dropped them implicitly (null
+    // keys never match), the window shape must drop them explicitly
+    // or a null-heavy corpus rides its garbage mass through the
+    // exchange into one null partition per segment. Results are
+    // identical either way (null sb matches nothing in the
+    // self-join); this keeps the drop BEFORE the shuffle.
     val banded = bandedSegments(coded, maxHamming, bits)
+      .filter(col("sb").isNotNull)
     val kept = banded
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("seg"), col("sb"))))

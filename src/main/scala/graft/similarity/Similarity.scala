@@ -155,7 +155,13 @@ object Similarity {
     // (1 < size <= maxBucket). Same hot-mass trade as
     // hammingBandedPairs' scaladoc: above-cap rows ride this one
     // exchange before dying.
+    // null codes (null embeddings) were dropped implicitly by the old
+    // inner-join cap; drop them explicitly before the exchange so a
+    // null-heavy corpus doesn't shuffle its garbage mass into one
+    // null partition per table (results identical — null codes match
+    // nothing in the self-join)
     val kept = coded
+      .filter(col("code").isNotNull)
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("tbl"), col("code"))))
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
