@@ -333,6 +333,22 @@ object Bench {
       (wall, cpu, ok)
     }
 
+    // pass-boundary hygiene: a full-registry pass leaves the JVM
+    // carrying GC debt (promoted shuffle/codegen garbage) that the
+    // NEXT pass's queries then pay for inside their timed region —
+    // the standing 1.1-1.4x sweep-vs-solo-probe band (the r16
+    // verdict's bench-hygiene item: host_profile_ratio persistently
+    // reads BELOW the same sweep's per-query ratios). One explicit
+    // full GC between passes runs strictly OUTSIDE every timed
+    // query; per-query timing semantics (noop sink, min-of-N) are
+    // untouched. A/B on back-to-back canonical sweeps on record in
+    // OPTIMIZATION_r17.md ("Bench hygiene").
+    def interPassGc(): Unit = {
+      System.gc()
+      // one yield so finalization/cleaner backlog drains before the
+      // next pass's first timed query starts
+      Thread.sleep(200)
+    }
     // pass 1: every query once (never budget-skipped — coverage first)
     names.foreach { name =>
       val (t, c, ok) = once(name)
@@ -347,6 +363,7 @@ object Bench {
     // window can't hit the same query in every pass. Each pass (and
     // each query within it) starts only while under the wall budget.
     (2 to 3).foreach { _ =>
+      interPassGc()
       names.foreach { name =>
         if (okFlags(name) && elapsedS < budgetS) {
           val (t, c, ok) = once(name)

@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -61,7 +61,38 @@ object Sessions {
         "graft.streaming.NioCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-      .getOrCreate()
+    // Parameterized PRODUCTION JOIN PROFILE (guide §3.1 + §5),
+    // opt-in via SPARK_GRAFT_JOIN_PROFILE=prod; the default leaves
+    // every join setting at stock so the driver's bench stays
+    // comparable across rounds (a local[32]-tuned constant would be
+    // a fake win — round rules). What it does and why:
+    //  - preferSortMergeJoin=false lets the planner pick SHUFFLED
+    //    HASH JOIN where its size checks pass, and the AQE local-map
+    //    threshold lets AQE rewrite a planned sort-merge to shuffled
+    //    hash at runtime when every post-shuffle partition is small
+    //    enough to build. The memory-bound join family (q_j1's
+    //    full-outer merge, q_j2's overwrite) spends its 1000x-scale
+    //    time in parallel sort-run SPILL through the local heap
+    //    (r16 ladder: q_j1 122 s at 600M rows, cpu/wall 26, the last
+    //    10x costing 12.6x) — a hash build sized under the partition
+    //    bound skips the sort entirely.
+    //  - measured at 600M rows / 8 GB heap, solo per arm — numbers
+    //    and result-parity evidence in OPTIMIZATION_r17.md
+    //    ("Production join profile"); sf0.1 plans and bench numbers
+    //    are UNCHANGED with the profile off (the default).
+    //  - the risk this trades: an SHJ build-side partition that does
+    //    not fit memory fails where SMJ would spill — size
+    //    maxShuffledHashJoinLocalMapThreshold to what one task can
+    //    hold (heap / cores / ~4 safety), the reasoning the 128m
+    //    default below encodes for an 8 GB x 32-core local profile.
+    val spark = (sys.env.get("SPARK_GRAFT_JOIN_PROFILE") match {
+      case Some("prod") => builder
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+          "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+          sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark
   }

@@ -282,31 +282,6 @@ object Dedup {
           least(col("src"), col("dst")).as("dst"))
         .distinct())
 
-    // large-star: for each node u over its full neighborhood Γ(u),
-    // m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
-    // Output keeps the src > dst orientation (v > u >= m). No
-    // distinct here: small-star's aggregates are duplicate-tolerant
-    // (min over dupes is min) and ITS final distinct canonicalizes
-    // the round — one exchange per round saved.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy(col("src"))
-        .agg(min(least(col("dst"), col("src"))).as("m"))
-      sym.join(mins, Seq("src"))
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-    }
-    // small-star: for each node u over its SMALLER neighbors
-    // N(u) = {v < u} (the src > dst orientation gives these directly),
-    // m = min(N(u)); rewire every v ∈ N(u) \ {m} and u itself to m.
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val rewired = e.join(mins, Seq("src"))
-        .filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-      rewired.union(mins.select(col("src"), col("m").as("dst"))).distinct()
-    }
-
     // per-round convergence probe: ONE aggregate job over the (post-
     // distinct, so set-valued) edge frame — count + order-free
     // xor/sum fingerprints of xxhash64(src, dst). A stable
@@ -326,7 +301,7 @@ object Dedup {
     var iter = 0
     var done = fp._1 == 0L
     while (!done && iter < maxIter) {
-      val next = graft.Checkpoints.iter(smallStar(largeStar(edges)))
+      val next = graft.Checkpoints.iter(starRound(edges))
       val nfp = fingerprint(next)
       if (nfp == fp) {
         // counts match (from fp) and next \ edges = ∅  ⇒  next == edges
@@ -360,6 +335,67 @@ object Dedup {
     // reference would re-run the label aggregation and singleton
     // anti-join
     (graft.Checkpoints.lazyCheckpoint(labels.union(singletons)), iter)
+  }
+
+  /** ONE star-contraction round: smallStar ∘ largeStar over an edge
+    * frame oriented src > dst. Package-visible (not an API) so the
+    * round's PLAN SHAPE is pinnable by spec and dumpable as a plan
+    * artifact — the loop above is opaque in every declared query's
+    * plan (rounds execute eagerly behind checkpoints), which is why
+    * the r16 plan deliverables could not show it.
+    *
+    * Both halves compute their per-node min as a WINDOW over the
+    * round frame's own hashpartitioning(src) — the r16 window-cap
+    * shape (guide §2.4). The old groupBy(src)+join-back shuffled each
+    * star frame TWICE per round (once partially aggregated for the
+    * mins, once raw for the join probe; the two exchange subtrees
+    * differ, so AQE reuse cannot fire): 5 exchanges + 2 joins per
+    * round, now 3 exchanges and no joins. Measured (CcBenchJob):
+    * diameter-100k path 39.2 -> 26.0 s over the same 18 rounds, the
+    * 1%-batch incremental fold 8.3 -> 6.6 s, labels identical. The
+    * window's whole-group task is not a NEW skew exposure — the old
+    * join's probe side already colocated every row of a hot src group
+    * in one task (DedupSpec pins the 5000-spoke hot-star case).
+    *
+    * large-star: for each node u over its full neighborhood Γ(u),
+    * m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m —
+    * output keeps the src > dst orientation (v > u >= m), and no
+    * distinct here: small-star's min is duplicate-tolerant and ITS
+    * final distinct canonicalizes the round. small-star: for each
+    * node u over its SMALLER neighbors N(u) = {v < u}, m = min(N(u));
+    * rewire every v ∈ N(u) \ {m} and u itself to m. Its center rows
+    * (src, m) are emitted once per EDGE rather than once per src —
+    * duplicates collapse in the final distinct's map-side partial
+    * aggregate (all rows of one src share a task after the window
+    * exchange), so the distinct's shuffle carries the same set the
+    * old mins-frame union did.
+    *
+    * The small-star union references the windowed frame twice, so
+    * the INITIAL plan duplicates the upstream round into both
+    * branches (5 Exchange nodes printed); at runtime AQE exchange
+    * reuse executes the two identical window exchanges once each —
+    * 3 exchange executions per round, ReusedExchange visible in the
+    * executed plan (DedupSpec pins it; plans/r17/cc_star_round_*
+    * carry the dumps). A single-pass explode form that avoids the
+    * duplication structurally (3 exchanges in the initial plan too)
+    * was built and measured SLOWER — CcBenchJob 100k: 33.7-35.1 s vs
+    * 24.5-26.0 s for this shape — the union's two branches run as
+    * independent AQE stages over the reused exchange where the
+    * explode serializes them behind one Generate; measured, rejected
+    * (guide §1). */
+  private[graft] def starRound(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val large = sym
+      .withColumn("m",
+        min(least(col("dst"), col("src")))
+          .over(Window.partitionBy(col("src"))))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val withM = large.withColumn("m",
+      min(col("dst")).over(Window.partitionBy(col("src"))))
+    val rewired = withM.filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    rewired.union(withM.select(col("src"), col("m").as("dst"))).distinct()
   }
 
   /** Incremental connected components — the clustering face of the
@@ -848,7 +884,16 @@ object Dedup {
     // (2 <= size <= maxBucket; size-1 buckets cannot form a pair).
     // Same hot-mass trade as hammingBandedPairs' scaladoc: above-cap
     // rows ride this one exchange before dying.
+    // bh.isNotNull BEFORE the exchange, for symmetry with the hamming
+    // and cosine window-cap sites (r16 ADVICE): bandRowsFromShingles
+    // can never emit a null bh (xxhash64 over concat_ws), but this
+    // face also accepts CALLER-provided precomputed band rows — an
+    // external/persisted index carrying null bh would otherwise
+    // shuffle its null mass into one partition per band before
+    // non-matching (null keys match nothing in the self-join, so
+    // results are identical either way).
     val banded = bandRows
+      .filter(col("bh").isNotNull)
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)

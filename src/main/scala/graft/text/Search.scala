@@ -210,7 +210,18 @@ object Search {
         (guarded, post.filter(col("term").isin(v: _*)))
       case None =>
         val wanted = qterms0.select(col("term")).distinct()
-        (qterms0, post.join(broadcast(wanted), Seq("term"), "left_semi"))
+        // same double-evaluation economics as score(): the filtered
+        // slice is read twice by termScores, so materialize it once.
+        // Only on THIS branch: the vocabulary-literal branch exists
+        // precisely so the probe plan keeps its bucket-pruned index
+        // scans (SearchSpec pins the SelectedBucketsCount evidence),
+        // and a checkpoint would bury the scan in a LogicalRDD — a
+        // pruned re-scan of a persisted index is the cheap case by
+        // design, where this semi-join branch's inline composition
+        // (q_bm25_multi) re-runs a full tokenize+postings aggregate
+        // per evaluation.
+        (qterms0, graft.Checkpoints.lazyCheckpoint(
+          post.join(broadcast(wanted), Seq("term"), "left_semi")))
     }
     val scored = termScores(filtered, stats, k1, b)
     val perQuery = scored
@@ -292,7 +303,10 @@ object Search {
     // qtermsDf is a driver-built LocalRelation: this collect is a
     // local scan, not a cluster job
     val allTerms = qtermsDf.collect().map(_.getString(1)).distinct.toSeq
-    val scored = termScores(post.filter(col("term").isin(allTerms: _*)),
+    // query-vocabulary slice read twice by termScores — same
+    // materialization call as score()/bm25Batch
+    val scored = termScores(graft.Checkpoints.lazyCheckpoint(
+        post.filter(col("term").isin(allTerms: _*))),
       stats, k1, b)
     val perQuery = scored
       .join(broadcast(qtermsDf), Seq("term"))
@@ -444,7 +458,20 @@ object Search {
   private def score(post: DataFrame, stats: DataFrame, idCol: String,
       k: Int, k1: Double, b: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val ts = termScores(post, stats, k1, b)
+    // `post` here is always the QUERY-FILTERED postings slice (every
+    // caller filters to the queried vocabulary first) — a few rows
+    // per matching document, never the corpus index. termScores
+    // evaluates it twice (the df aggregate and the scoring join), so
+    // without a materialization the raw-docs face re-tokenizes the
+    // whole corpus per evaluation (guide §2.4: compute once). The
+    // checkpoint is safe against the r12 statistics-loss trap: every
+    // join downstream is explicitly broadcast-hinted. Measured at
+    // sf0.1 (solo A/B/A, min-of-3 per arm): q_bm25_topk 0.94 ->
+    // 0.73 s with cpu 4.5 -> 2.2-2.9 (the second tokenize gone),
+    // q_bm25_multi 1.82 -> 1.47 s (cpu 7.8 -> 4.1-5.1),
+    // q_bm25_from_postings 0.61 -> 0.42 s (cpu 2.2 -> 1.2) — cpu
+    // moves with the removed evaluation, not the host band.
+    val ts = termScores(graft.Checkpoints.lazyCheckpoint(post), stats, k1, b)
     candidates.fold(ts)(c =>
         ts.join(c.select(col("id")), Seq("id"), "left_semi"))
       .groupBy(col("id"))

@@ -428,6 +428,50 @@ class DedupSpec extends SparkSpec {
     assert(got(500L) == 500L)
   }
 
+  test("starRound plans no join, and at runtime AQE reuses the " +
+      "duplicated window exchange — 3 exchange executions per round " +
+      "(the r17 window-reshape shape pin; the old groupBy+join-back " +
+      "round ran 5 non-reusable exchanges + 2 joins)") {
+    val e = Seq((5L, 1L), (7L, 2L), (7L, 5L)).toDF("src", "dst")
+      .localCheckpoint()
+    val round = Dedup.starRound(e)
+    val initial = round.queryExecution.executedPlan.toString
+    assert(!initial.contains("Join"),
+      s"starRound should plan no join:\n$initial")
+    assert("Window".r.findAllIn(initial).length >= 2,
+      s"starRound should plan window mins:\n$initial")
+    // the two-reference small-star union duplicates the upstream
+    // round in the INITIAL plan; the runtime claim is that AQE
+    // executes the identical window exchanges once
+    round.collect()
+    val executed = round.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"expected AQE exchange reuse in the executed round:\n$executed")
+  }
+
+  test("connectedComponents window-min star rounds: one hot center with " +
+      "thousands of spokes (the single-hot-group straggler regime) " +
+      "converges fast with exact labels") {
+    // r17 reshaped largeStar/smallStar's per-round min from
+    // groupBy+join-back to a window over the round frame's own
+    // (src) partitioning; this is the shape's worst partition-group
+    // case — one node whose group holds nearly every edge — pinned
+    // here so the reshape's skew behavior stays covered, not just
+    // the uniform planted graphs. Ids descend toward the center so
+    // large-star (which rewires LARGER neighbors) carries the load.
+    val n = 5000L
+    val star = (1L to n).map(i => (0L, i)) ++
+      Seq((n + 1L, n + 2L)) // plus an unrelated pair
+    val (labels, rounds) = Dedup.connectedComponentsStats(
+      star.toDF("id_a", "id_b"), "id_a", "id_b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n.toInt + 3)
+    assert((0L to n).forall(got(_) == 0L))
+    assert(got(n + 1L) == n + 1L && got(n + 2L) == n + 1L)
+    // a star IS the fixed point: detection needs ~1 confirming round
+    assert(rounds <= 3, s"hot star took $rounds rounds")
+  }
+
   test("incrementalConnectedComponents: folding a batch into previous " +
       "labels equals full recompute — clusters bridge and re-minimize, " +
       "new nodes join, untouched clusters survive") {
