@@ -892,12 +892,19 @@ object Dedup {
     // shuffle its null mass into one partition per band before
     // non-matching (null keys match nothing in the self-join, so
     // results are identical either way).
-    val banded = bandRows
-      .filter(col("bh").isNotNull)
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
-      .select(col("id"), col("band"), col("bh"))
+    // cap disabled (Int.MaxValue) skips the window — same argument
+    // and same measured claw-back as hammingBandedPairs: nothing can
+    // exceed the cap, singleton buckets self-exclude in the
+    // l.id < r.id join, output identical
+    val nonNull = bandRows.filter(col("bh").isNotNull)
+    val banded =
+      if (maxBucket == Int.MaxValue)
+        nonNull.select(col("id"), col("band"), col("bh"))
+      else nonNull
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+        .select(col("id"), col("band"), col("bh"))
     val cand = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
@@ -1195,11 +1202,24 @@ object Dedup {
     // self-join); this keeps the drop BEFORE the shuffle.
     val banded = bandedSegments(coded, maxHamming, bits)
       .filter(col("sb").isNotNull)
-    val kept = banded
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("seg"), col("sb"))))
-      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // cap DISABLED (Int.MaxValue — the exact-oracle operating points)
+    // skips the window outright: no bucket can exceed the cap, and
+    // the >= 2 lower bound is pure pruning (a size-1 bucket cannot
+    // produce a pair under l.id < r.id), so the output is identical
+    // while the whole-partition sort+count the window pays at these
+    // bounded points disappears. The self-join still shares ONE
+    // (seg, sb) exchange via AQE reuse (identical subtrees either
+    // way). Measured solo at sf0.1 (r17): q_video_pairs_exact cpu
+    // 2.6 -> 1.4, q_phash_pairs_exact cpu 1.7 -> 1.1 — the r16
+    // reshape's measured small-point cost, clawed back without
+    // touching the capped scale path.
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(col("seg"), col("sb"))))
+        .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+        .drop("__bsz")
     // the exact-hamming verify runs PIPELINED inside the bucket
     // join's probe output (codegen'd xor+bit_count, no exchange in
     // between), so only pairs that actually pass the bound reach the

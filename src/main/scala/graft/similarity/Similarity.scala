@@ -160,12 +160,18 @@ object Similarity {
     // null-heavy corpus doesn't shuffle its garbage mass into one
     // null partition per table (results identical — null codes match
     // nothing in the self-join)
-    val kept = coded
-      .filter(col("code").isNotNull)
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("tbl"), col("code"))))
-      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // cap disabled (Int.MaxValue) skips the window — same argument
+    // and same measured claw-back as Dedup.hammingBandedPairs:
+    // nothing can exceed the cap, singleton buckets self-exclude in
+    // the l.id < r.id join, output identical
+    val nonNull = coded.filter(col("code").isNotNull)
+    val kept =
+      if (maxBucket == Int.MaxValue) nonNull
+      else nonNull
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(col("tbl"), col("code"))))
+        .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+        .drop("__bsz")
     kept.alias("l").join(kept.alias("r"),
         col("l.tbl") === col("r.tbl") && col("l.code") === col("r.code") &&
           col("l.id") < col("r.id"))
@@ -880,8 +886,11 @@ object Similarity {
       idUniverse: Option[DataFrame] = None): DataFrame = {
     val assigned = graft.Checkpoints.lazyCheckpoint(assignments)
     // per-cell sizes: one row per cell — drives the pairing guard AND
-    // the skip report below from a single aggregate
-    val cellSizes = assigned.groupBy(col("cell"))
+    // the skip report below from a single aggregate. Lazy: with the
+    // cap disabled and no uniqueness check to run, no consumer ever
+    // materializes it (the exact-oracle points skip three jobs —
+    // sizes aggregate, over-cap probe, ok-cells join)
+    lazy val cellSizes = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("csz"))
       .localCheckpoint()
     if (checkUnique) {
@@ -903,19 +912,29 @@ object Similarity {
     // count/mass is logged here (driver-side, over the nLists-row
     // sizes frame — never a data scan), and oversizedSemanticCells
     // reports the cells themselves.
-    val overRow = cellSizes.filter(col("csz") > maxCell)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("csz")), lit(0L)).as("mass"))
-      .collect()(0)
-    if (overRow.getLong(0) > 0)
-      System.err.println(s"[semantic-dedup] maxCell=$maxCell skipped " +
-        s"${overRow.getLong(0)} oversized cell(s) holding " +
-        s"${overRow.getLong(1)} rows — their near-dups pass through " +
-        "as survivors; see Similarity.oversizedSemanticCells")
-    val okCells = cellSizes
-      .filter(col("csz") > 1 && col("csz") <= maxCell)
-      .select(col("cell"))
-    val kept = assigned.join(okCells, Seq("cell"))
+    // Cap disabled (Int.MaxValue — the exact-oracle regime) skips the
+    // guard outright: no cell can exceed the cap (the log is provably
+    // empty) and a size-1 cell self-excludes in the l.id < r.id join,
+    // so the output is identical while the sizes aggregate + ok-cells
+    // join disappear — the r17 uncapped-skip argument shared with the
+    // three window-cap kernels.
+    val kept =
+      if (maxCell == Int.MaxValue) assigned
+      else {
+        val overRow = cellSizes.filter(col("csz") > maxCell)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("csz")), lit(0L)).as("mass"))
+          .collect()(0)
+        if (overRow.getLong(0) > 0)
+          System.err.println(s"[semantic-dedup] maxCell=$maxCell skipped " +
+            s"${overRow.getLong(0)} oversized cell(s) holding " +
+            s"${overRow.getLong(1)} rows — their near-dups pass through " +
+            "as survivors; see Similarity.oversizedSemanticCells")
+        val okCells = cellSizes
+          .filter(col("csz") > 1 && col("csz") <= maxCell)
+          .select(col("cell"))
+        assigned.join(okCells, Seq("cell"))
+      }
     // vectors ride through the self-join, cosine verifies inside it
     // (the pipelined shape cosineNearDupPairs measured 9.3x faster
     // than ids-only + re-join at the 100x corpus)
