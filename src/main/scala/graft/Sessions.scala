@@ -61,38 +61,29 @@ object Sessions {
         "graft.streaming.NioCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-    // Parameterized PRODUCTION JOIN PROFILE (guide §3.1 + §5),
-    // opt-in via SPARK_GRAFT_JOIN_PROFILE=prod; the default leaves
-    // every join setting at stock so the driver's bench stays
-    // comparable across rounds (a local[32]-tuned constant would be
-    // a fake win — round rules). What it does and why:
-    //  - preferSortMergeJoin=false lets the planner pick SHUFFLED
-    //    HASH JOIN where its size checks pass, and the AQE local-map
-    //    threshold lets AQE rewrite a planned sort-merge to shuffled
-    //    hash at runtime when every post-shuffle partition is small
-    //    enough to build. The memory-bound join family (q_j1's
-    //    full-outer merge, q_j2's overwrite) spends its 1000x-scale
-    //    time in parallel sort-run SPILL through the local heap
-    //    (r16 ladder: q_j1 122 s at 600M rows, cpu/wall 26, the last
-    //    10x costing 12.6x) — a hash build sized under the partition
-    //    bound skips the sort entirely.
-    //  - measured at 600M rows / 8 GB heap, solo per arm — numbers
-    //    and result-parity evidence in OPTIMIZATION_r17.md
-    //    ("Production join profile"); sf0.1 plans and bench numbers
-    //    are UNCHANGED with the profile off (the default).
-    //  - the risk this trades: an SHJ build-side partition that does
-    //    not fit memory fails where SMJ would spill — size
-    //    maxShuffledHashJoinLocalMapThreshold to what one task can
-    //    hold (heap / cores / ~4 safety), the reasoning the 128m
-    //    default below encodes for an 8 GB x 32-core local profile.
-    val spark = (sys.env.get("SPARK_GRAFT_JOIN_PROFILE") match {
-      case Some("prod") => builder
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-          "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-          sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
-      case _ => builder
-    }).getOrCreate()
+    // NO "production join profile" knob ships, DELIBERATELY — it was
+    // built and measured three ways at 600M rows / 8 GB heap / 32
+    // cores (r17, guide §3.1 + §5 + §2.2; full matrix in
+    // OPTIMIZATION_r17.md "Production join profile") and every arm
+    // lost to this stock configuration:
+    //  1. preferSortMergeJoin=false + AQE local-map threshold at the
+    //     local 32-partition count: statically-planned ShuffledHash
+    //     OOM'd ("not enough memory to build hash map", ~800 MB
+    //     builds x 32 concurrent tasks) — the §3.1 risk verbatim.
+    //  2. The same paired with 8x-cores initial shuffle partitions +
+    //     64m AQE advisory (~105 MB builds): still OOM — 32
+    //     concurrent builds plus probe buffers exceed the ~4.4 GB
+    //     unified execution pool. A ~27 GB-shuffle full-outer join
+    //     does not hash-build on this box in any form; SMJ's spill
+    //     is the CORRECT strategy for it here.
+    //  3. The partition lever alone (no SHJ): pass-for-pass q_j1
+    //     182->256 s cold / 167->206 s warm, q_j2 173->246 s, cpu
+    //     FLAT — more blocks (the §2.2 quadratic), no spill relief.
+    // On a real cluster the levers may read differently (per-task
+    // memory and network profiles differ) — re-measure THERE before
+    // configuring; an env knob that only ever measured slower or
+    // OOM-prone locally would be a footgun, not a profile.
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark
   }
