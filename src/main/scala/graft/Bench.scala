@@ -333,22 +333,17 @@ object Bench {
       (wall, cpu, ok)
     }
 
-    // pass-boundary hygiene: a full-registry pass leaves the JVM
-    // carrying GC debt (promoted shuffle/codegen garbage) that the
-    // NEXT pass's queries then pay for inside their timed region —
-    // the standing 1.1-1.4x sweep-vs-solo-probe band (the r16
-    // verdict's bench-hygiene item: host_profile_ratio persistently
-    // reads BELOW the same sweep's per-query ratios). One explicit
-    // full GC between passes runs strictly OUTSIDE every timed
-    // query; per-query timing semantics (noop sink, min-of-N) are
-    // untouched. A/B on back-to-back canonical sweeps on record in
-    // OPTIMIZATION_r17.md ("Bench hygiene").
-    def interPassGc(): Unit = {
-      System.gc()
-      // one yield so finalization/cleaner backlog drains before the
-      // next pass's first timed query starts
-      Thread.sleep(200)
-    }
+    // NO inter-pass System.gc(), DELIBERATELY (r17): the standing
+    // 1.1-1.4x sweep-vs-solo-probe band was hypothesized (r16
+    // verdict item 8) to be GC debt accrued across the 118-query
+    // passes; a forced full GC + drain between passes was built and
+    // A/B'd on back-to-back canonical sweeps — GC-off 104.1 s
+    // (median 1.19x baseline, host probe 0.88) vs GC-on 107.9 s
+    // (median 1.25x, host probe 0.72 — a FASTER host state) — the
+    // band persists unchanged under forced GC, so the hypothesis is
+    // falsified (the residue is JIT/code-cache/page-cache state, not
+    // collectible garbage) and the no-op call does not ship
+    // (OPTIMIZATION_r17.md "Bench hygiene").
     // pass 1: every query once (never budget-skipped — coverage first)
     names.foreach { name =>
       val (t, c, ok) = once(name)
@@ -363,7 +358,6 @@ object Bench {
     // window can't hit the same query in every pass. Each pass (and
     // each query within it) starts only while under the wall budget.
     (2 to 3).foreach { _ =>
-      interPassGc()
       names.foreach { name =>
         if (okFlags(name) && elapsedS < budgetS) {
           val (t, c, ok) = once(name)
